@@ -1,0 +1,147 @@
+"""MatmulConfig: the frozen dataclass that fully specifies a matmul operator.
+
+Semantics follow the reference ``MatmulConfig``
+(/root/reference/bitblas/ops/general_matmul/__init__.py:58-237): M may be an
+int or a tuple of dynamic-shape buckets, W_dtype selects a (family, bits)
+pair, zeros_mode picks one of three dequant formulas, and __post_init__
+legalizes defaults. GPU-only knobs (propagate_a/b ladder transforms) are
+accepted for compatibility and legalized to their TPU meanings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal, Optional, Tuple, Union
+
+from ..quantization.formats import (DTYPE_MAP, is_native_compute,
+                                    source_format_and_bits)
+from .common import OptimizeStrategy, TransformKind
+
+# Default dynamic-M buckets (reference __post_init__, :188-193).
+DEFAULT_OPT_M_DECODE = (1, 16, 32, 64, 128, 256, 512, 1024)
+DEFAULT_OPT_M_BATCHED = (16, 32, 64, 128, 256, 512, 1024)
+
+
+@dataclass(frozen=True)
+class OperatorConfig:
+    """Base class for operator configs (hashable, frozen — configs are cache
+    keys, reference cache/operator.py)."""
+
+
+@dataclass(frozen=True)
+class MatmulConfig(OperatorConfig):
+    M: Union[int, Tuple[int, ...], None] = None
+    N: Optional[int] = None
+    K: Optional[int] = None
+    A_dtype: str = "float16"
+    W_dtype: Optional[str] = None  # defaults to A_dtype
+    out_dtype: str = "float16"
+    accum_dtype: str = "float32"
+    layout: Literal["nn", "nt", "tn", "tt"] = "nt"
+    with_bias: bool = False
+    group_size: int = -1
+    with_scaling: bool = False
+    with_zeros: bool = False
+    # original:  target = (decode(w) - zeros) * scale
+    # rescale:   target = decode(w) * scale - zeros
+    # quantized: target = (decode(w) - decode(qzeros)) * scale
+    zeros_mode: Literal["original", "rescale", "quantized"] = "original"
+    storage_dtype: str = "int8"
+    # fast_decoding on TPU selects the exponent-bias bitcast decode path
+    # instead of an integer->float convert (numerics.fast_decode_*).
+    fast_decoding: Optional[bool] = None
+    # Accepted for reference-API compatibility. On TPU, propagate_b != 0 means
+    # "the operator owns the device weight layout" (slot retile); propagate_a
+    # is always NonTransform because the slot layout never requires a runtime
+    # activation permute.
+    propagate_a: Optional[Union[bool, int, TransformKind]] = None
+    propagate_b: Optional[Union[bool, int, TransformKind]] = None
+    optimize_stratety: Union[int, OptimizeStrategy] = (
+        OptimizeStrategy.SingleBatchDecodeOnly)
+
+    def __post_init__(self):
+        if self.N is None or self.K is None:
+            raise ValueError("N and K must be specified")
+        if self.W_dtype is None:
+            object.__setattr__(self, "W_dtype", self.A_dtype)
+        if self.A_dtype not in DTYPE_MAP:
+            raise ValueError(f"Unsupported A_dtype {self.A_dtype}")
+        if self.W_dtype not in DTYPE_MAP:
+            raise ValueError(f"Unsupported W_dtype {self.W_dtype}")
+
+        strategy = self.optimize_stratety
+        if isinstance(strategy, int):
+            strategy = OptimizeStrategy(strategy)
+        object.__setattr__(self, "optimize_stratety", strategy)
+
+        if self.M is None:
+            default = (DEFAULT_OPT_M_DECODE
+                       if strategy == OptimizeStrategy.SingleBatchDecodeOnly
+                       else DEFAULT_OPT_M_BATCHED)
+            object.__setattr__(self, "M", default)
+        if isinstance(self.M, list):
+            object.__setattr__(self, "M", tuple(self.M))
+
+        if self.zeros_mode is None:
+            object.__setattr__(self, "zeros_mode", "original")
+        if self.group_size is None:
+            object.__setattr__(self, "group_size", -1)
+        for name in ("with_bias", "with_scaling", "with_zeros"):
+            if getattr(self, name) is None:
+                object.__setattr__(self, name, False)
+
+        # Legalize propagate flags to TPU semantics.
+        object.__setattr__(self, "propagate_a", TransformKind.NonTransform)
+        pb = self.propagate_b
+        if pb is None:
+            pb = not self.is_native_compute()
+        if isinstance(pb, bool):
+            pb = (TransformKind.LDMatrixTransform
+                  if pb else TransformKind.NonTransform)
+        object.__setattr__(self, "propagate_b", TransformKind(pb))
+
+        # fast_decoding default rule mirrors the reference
+        # (__initialize_fast_decoding, :169-186): only profitable for
+        # sub-byte int/uint weights with float activations.
+        if self.fast_decoding is None:
+            family, bits = source_format_and_bits(self.W_dtype)
+            supported = (family in ("int", "uint") and bits < 8
+                         and self.A_dtype in ("float16", "bfloat16"))
+            object.__setattr__(self, "fast_decoding", supported)
+
+        # Native same-dtype compute stores the weight in its own dtype.
+        if (self.A_dtype == self.W_dtype and self.W_dtype in (
+                "float16", "bfloat16", "int8", "e4m3_float8", "e5m2_float8",
+                "float32", "float64")):
+            object.__setattr__(self, "storage_dtype", self.W_dtype)
+
+        # int source formats have an implicit zero point already.
+        family, _ = source_format_and_bits(self.W_dtype)
+        if family == "int" and self.with_zeros:
+            raise ValueError(
+                "with_zeros is unsupported for signed int weights "
+                "(constant zero point is implied)")
+
+    # -- derived properties -------------------------------------------------
+    def is_native_compute(self) -> bool:
+        return is_native_compute(self.A_dtype, self.W_dtype)
+
+    @property
+    def source_format(self) -> str:
+        return source_format_and_bits(self.W_dtype)[0]
+
+    @property
+    def bit(self) -> int:
+        return source_format_and_bits(self.W_dtype)[1]
+
+    @property
+    def is_dynamic_m(self) -> bool:
+        return isinstance(self.M, tuple)
+
+    @property
+    def m_buckets(self) -> Tuple[int, ...]:
+        return self.M if isinstance(self.M, tuple) else (self.M,)
+
+    @property
+    def effective_group_size(self) -> int:
+        return self.K if self.group_size in (-1, None) else self.group_size

@@ -1,0 +1,116 @@
+"""Reference (oracle) executors: dequantize + XLA dot_general.
+
+This is the semantic ground truth every Pallas kernel is tested against
+(build plan stage 2, SURVEY.md §7). Inputs use the *reference tensor layouts*
+of BitBLAS checkpoints:
+
+  qweight : [N, K*bits/storage_bits]  packed along K, LSB-first
+            (general_compress; plain [N, K] for 8-bit formats)
+  scales  : [N, K/group_size]
+  zeros   : [N, K/group_size]              (zeros_mode original/rescale)
+  qzeros  : [K/group_size, N*bits/8] int8  packed along N (zeros_mode quantized,
+            reference module/__init__.py:183-192 buffer shapes)
+  bias    : [N]
+
+Dequant math is bit-exact vs the reference TIR decode
+(tirscript/matmul_dequantize_impl.py:192-260); the contraction accumulates in
+float32/int32 (MXU semantics) rather than the reference's optional f16
+accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..quantization import numerics
+from ..quantization.formats import as_jax_dtype, nf4_lut
+from .matmul_config import MatmulConfig
+
+
+def dequantize_weight(
+    config: MatmulConfig,
+    qweight: jnp.ndarray,
+    scales: Optional[jnp.ndarray] = None,
+    zeros: Optional[jnp.ndarray] = None,
+    qzeros: Optional[jnp.ndarray] = None,
+    lut: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Decode a reference-layout packed weight to dense [N, K] in A_dtype."""
+    family, bits = config.source_format, config.bit
+    N, K = config.N, config.K
+    adt = as_jax_dtype(config.A_dtype)
+    g = config.effective_group_size
+
+    if bits < 8:
+        fields = numerics.unpack_fields(qweight, bits)[..., :K]
+    else:
+        fields = jnp.asarray(qweight).astype(
+            jnp.uint8 if family != "int" else jnp.int8)
+        if family == "int":
+            # 8-bit signed weights are stored unbiased.
+            fields = fields.astype(jnp.int32)
+
+    if family == "nf" and lut is None:
+        lut = nf4_lut(adt)
+
+    if config.with_zeros and config.zeros_mode == "quantized":
+        # qzeros [K/g, N/e]: decode the zero for (n, k//g), subtract in the
+        # integer domain, then cast (reference decode() first branch).
+        zfields = numerics.unpack_fields(qzeros, bits)[..., :N]  # [K/g, N]
+        z_nk = zfields.T  # [N, K/g]
+        z_full = jnp.repeat(z_nk, g, axis=1)[:, :K]
+        w = numerics.decode_uint_field_with_zeros(fields, z_full, adt)
+    elif family == "int" and bits == 8:
+        w = fields.astype(adt)
+    else:
+        w = numerics.decode_field(fields, family, bits, adt, lut=lut)
+
+    if config.with_scaling:
+        s_full = jnp.repeat(scales.astype(adt), g, axis=1)[:, :K]
+        z_full = None
+        if config.with_zeros and config.zeros_mode != "quantized":
+            z_full = jnp.repeat(zeros.astype(adt), g, axis=1)[:, :K]
+        w = numerics.apply_scaling(w, s_full, z_full, config.zeros_mode)
+    return w.astype(adt)
+
+
+def matmul_dense_reference(config: MatmulConfig, A: jnp.ndarray,
+                           W_dense_nk: jnp.ndarray,
+                           bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """C = A @ W^T with MXU-style accumulation. W_dense_nk is [N, K]."""
+    int_path = config.A_dtype in ("int8", "uint8", "int4", "uint4") and \
+        config.source_format in ("int", "uint")
+    acc_dtype = jnp.int32 if int_path else jnp.float32
+    out = lax.dot_general(
+        A, W_dense_nk,
+        dimension_numbers=(((A.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=acc_dtype,
+    )
+    out = out.astype(as_jax_dtype(config.out_dtype))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def matmul_reference(
+    config: MatmulConfig,
+    A: jnp.ndarray,
+    qweight: jnp.ndarray,
+    scales: Optional[jnp.ndarray] = None,
+    zeros: Optional[jnp.ndarray] = None,
+    qzeros: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    lut: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full oracle: dequantize (if needed) then contract."""
+    if config.is_native_compute():
+        W = qweight if config.layout == "nt" else qweight.T
+        return matmul_dense_reference(config, A, W, bias)
+    if config.layout != "nt":
+        raise NotImplementedError(
+            f"dequant path supports layout 'nt' only, got {config.layout}")
+    W = dequantize_weight(config, qweight, scales, zeros, qzeros, lut)
+    return matmul_dense_reference(config, A, W, bias)

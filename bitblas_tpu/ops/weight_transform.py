@@ -1,0 +1,105 @@
+"""Reference-layout -> TPU device-layout weight transforms (host side).
+
+This is the counterpart of the reference's offline weight pipeline
+(``Matmul.transform_weight`` + the OPExecutorCPU chain of ladder_permutate ->
+quant_compress -> lop3_permutate, /root/reference/bitblas/ops/operator.py:529-557).
+Here the chain is: unpack reference packing (if any) -> transpose to K-major
+-> slot-strided N repack for the tuned kernel's block_n.
+
+All functions take/return numpy arrays; they run once at weight-load time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..quantization import packing
+from .matmul_config import MatmulConfig
+
+
+@dataclass
+class DeviceWeights:
+    """Device-layout operand bundle for the fused kernel."""
+    qweight: np.ndarray                    # [K, N*bits/8] (or [K, N] 8-bit)
+    scales: Optional[np.ndarray] = None    # [K/g, N]
+    zeros: Optional[np.ndarray] = None     # [K/g, N] or qzeros [K/g, N*bits/8]
+    bias: Optional[np.ndarray] = None      # [1, N]
+
+    def args(self):
+        out = [self.qweight]
+        if self.scales is not None:
+            out.append(self.scales)
+        if self.zeros is not None:
+            out.append(self.zeros)
+        if self.bias is not None:
+            out.append(self.bias)
+        return out
+
+
+def unpacked_weight_to_device(config: MatmulConfig, w_fields_nk: np.ndarray,
+                              block_n: int) -> np.ndarray:
+    """[N, K] unsigned fields (or int8 values for 8-bit formats) -> device."""
+    bits = config.bit
+    w_kn = np.ascontiguousarray(w_fields_nk.T)
+    if bits >= 8:
+        return w_kn.astype(np.int8)
+    return packing.pack_nslot(w_kn.astype(np.uint8), bits, block_n)
+
+
+def reference_weight_to_device(config: MatmulConfig, qweight: np.ndarray,
+                               block_n: int) -> np.ndarray:
+    """Reference packed qweight [N, K*bits/8] -> device layout."""
+    bits = config.bit
+    if bits >= 8:
+        return unpacked_weight_to_device(config, qweight.view(np.int8), block_n)
+    fields = packing.general_decompress(qweight.view(np.int8), bits,
+                                        out_elems=config.K)
+    return unpacked_weight_to_device(config, fields, block_n)
+
+
+def scales_to_device(scales_ngk: np.ndarray) -> np.ndarray:
+    """[N, K/g] -> [K/g, N]."""
+    return np.ascontiguousarray(scales_ngk.T)
+
+
+def qzeros_to_device(config: MatmulConfig, qzeros: np.ndarray,
+                     block_n: int) -> np.ndarray:
+    """Reference quantized-zeros [K/g, N*bits/8] (adjacent-packed along N)
+    -> slot-strided [K/g, N*bits/8]."""
+    bits = config.bit
+    zfields = packing.general_decompress(qzeros.view(np.int8), bits,
+                                         out_elems=config.N)
+    return packing.pack_nslot(zfields, bits, block_n)
+
+
+def bias_to_device(bias: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(bias.reshape(1, -1))
+
+
+def transform_reference_operands(
+    config: MatmulConfig,
+    block_n: int,
+    qweight: np.ndarray,
+    scales: Optional[np.ndarray] = None,
+    zeros: Optional[np.ndarray] = None,
+    qzeros: Optional[np.ndarray] = None,
+    bias: Optional[np.ndarray] = None,
+) -> DeviceWeights:
+    """Bundle-transform reference-layout operands (see ops/reference.py
+    docstring for shapes) into the device layout for a kernel with the given
+    block_n."""
+    dw = DeviceWeights(
+        qweight=reference_weight_to_device(config, qweight, block_n))
+    if config.with_scaling:
+        dw.scales = scales_to_device(scales)
+    if config.with_zeros:
+        if config.zeros_mode == "quantized":
+            dw.zeros = qzeros_to_device(config, qzeros, block_n)
+        else:
+            dw.zeros = scales_to_device(zeros)
+    if config.with_bias and bias is not None:
+        dw.bias = bias_to_device(bias)
+    return dw

@@ -1,0 +1,46 @@
+"""Tuning hints: the TPU analog of the reference roller `Hint`
+(/root/reference/bitblas/base/roller/hint.py:152-260).
+
+A GPU hint carries block/warp/rstep/pipeline/async-copy knobs; on TPU the
+Mosaic compiler owns register layout and software pipelining, so the tunable
+surface collapses to tile shapes plus a few numeric-path switches. Hints are
+JSON-serializable — they are what the disk cache persists (the compiled
+executable itself lives in the JAX persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field, fields
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class TileHint:
+    # MXU tile shape: (block_m, block_k) x (block_k, block_n) per grid step.
+    block_m: int = 128
+    block_n: int = 256
+    block_k: int = 512
+    # dtype fed to the MXU for float paths ("bfloat16" single-pass,
+    # "float32" multi-pass) and int paths ("int8" native, or a float dtype
+    # to emulate). Decode targets this dtype directly.
+    mma_dtype: str = "bfloat16"
+    # lax precision for float dots: "default" | "high" | "highest".
+    precision: str = "default"
+    # NF4 LUT strategy: "take" (dynamic gather) or "select" (branchless mux).
+    lut_mode: str = "take"
+    # Cap Mosaic VMEM usage; None = compiler default.
+    vmem_limit_bytes: Optional[int] = None
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TileHint":
+        names = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def short_name(self) -> str:
+        s = f"t{self.block_m}x{self.block_n}x{self.block_k}_{self.mma_dtype}"
+        if self.precision != "default":
+            s += f"_{self.precision}"
+        return s
