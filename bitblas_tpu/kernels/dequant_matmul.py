@@ -2,34 +2,40 @@
 
 This is the TPU-native replacement for the reference's TileLang dequant GEMM
 schedulers (/root/reference/bitblas/ops/general_matmul/tilelang/dequantize/,
-esp. matmul_dequantize_mma.py:200-510). Key design differences, chosen for
-the TPU memory/compute model rather than translated from CUDA:
+esp. matmul_dequantize_mma.py:200-510). Key design decisions, chosen for the
+TPU memory/compute model rather than translated from CUDA:
 
 * Weights arrive in the *slot-strided N-packed* device layout
-  (quantization/packing.pack_nslot): storage word [k, j] of an N-tile holds
-  ``e`` weights for output columns ``i*BN/e + j``. Each slot ``i`` is
-  extracted with one shift+mask — a pure VPU op with zero cross-lane
-  movement — and contributes an MXU dot into its own contiguous output
-  column range. This replaces ladder layout propagation + LOP3 interleave.
-* The K-loop is the Pallas grid's innermost dimension; Mosaic double-buffers
-  the HBM->VMEM block DMAs automatically (the reference emits explicit
-  software pipelines + cp.async).
-* Accumulation always happens in f32/i32 VMEM scratch (MXU native), not in
-  the activation dtype.
+  (quantization/packing.pack_nslot with pack_tile_n = 128*e): storage word
+  [k, j] of a pack tile holds ``e`` weights for output columns
+  ``slot*128 + j`` of that tile. Each slot is extracted with one shift+mask —
+  pure VPU ops with zero cross-lane movement — and feeds its own MXU dot
+  into a lane-aligned 128-column output slice. This replaces the reference's
+  ladder layout propagation + LOP3 interleave, is tuning-independent, and
+  never requires a runtime activation permute.
+* Scales/zeros are uniform within a k-group, so they factor out of the
+  contraction: sum_k a*(w-z)*s = s*(a @ w_raw - z*sum_k a). The kernel dots
+  raw decoded weights and applies scale/zero in a tiny [BM, 128] f32 epilogue
+  per (group, slot) — no per-element scale multiplies at all.
+* The K-loop is the innermost grid dimension; Mosaic double-buffers the
+  HBM->VMEM block DMAs automatically (the reference emits explicit software
+  pipelines + cp.async).
+* Accumulation always happens in f32/i32 VMEM scratch (MXU native).
+* Mosaic has no f16 type: float16 operands are converted to the mma dtype at
+  the XLA boundary; grouped tensors are stored f32 (exact upcast of f16).
 
 Grid: (M/BM, N/BN, K/BK), K innermost. Blocks:
-  A       [BM, BK]        activations (any float/int dtype)
-  Wp      [BK, BN/e]      packed weights (int8/int16/int32 storage)
-  scales  [BK/g | 1, BN]
-  zeros   [BK/g | 1, BN]      (zeros_mode original/rescale)
-  qzeros  [BK/g | 1, BN/e]    (zeros_mode quantized; slot-packed like Wp)
-  bias    [1, BN]
+  A       [BM, BK]            activations (bf16/f32/int8 inside the kernel)
+  Wp      [BK, BN/e]          packed weights (int8 storage)
+  scales  [BK/g | 1, 1, BN]   f32   (3D: Mosaic constrains last two dims only)
+  zeros   [BK/g | 1, 1, BN]   f32   (zeros_mode original/rescale)
+  qzeros  [BK/g | 1, 1, BN/e] int8  (zeros_mode quantized; slot-packed)
+  bias    [1, BN]             f32
   out     [BM, BN]
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -39,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quantization import numerics
 from ..quantization.formats import NF4_TABLE, as_jax_dtype
+from ..quantization.packing import pack_tile_n
 from ..tuner.hint import TileHint
 from .spec import KernelSpec
 
@@ -58,92 +65,95 @@ def _mma_jdtype(name: str):
     }[name]
 
 
-def _decode_slot(spec: KernelSpec, hint: TileHint, words: jnp.ndarray,
-                 slot: int, lut_vals=None) -> jnp.ndarray:
-    """Extract + decode slot `slot` of a packed tile -> mma dtype.
+def _cast(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """astype that routes f16<->bf16 and int->f16/bf16 through f32 (Mosaic
+    lacks those direct casts)."""
+    if x.dtype == dtype:
+        return x
+    dt = jnp.dtype(dtype)
+    pair = {x.dtype, dt}
+    if pair == {jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16)}:
+        return x.astype(jnp.float32).astype(dtype)
+    if (jnp.issubdtype(x.dtype, jnp.integer)
+            and dt in (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16))):
+        return x.astype(jnp.float32).astype(dtype)
+    return x.astype(dtype)
 
-    `words` is the packed tile as int32 (or the raw byte tile for 8-bit
-    formats). Pure elementwise VPU ops.
-    """
+
+def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
+                  lut_vals=None) -> jnp.ndarray:
+    """Decode extracted sub-byte fields (int32 in [0, 2^bits)) -> mma dtype.
+    Bit-exact vs the reference decode formulas (quantization/numerics.py)."""
     mma = _mma_jdtype(hint.mma_dtype)
     bits, family = spec.bits, spec.family
-
-    if bits >= 8:
-        # 8-bit formats: no field extraction.
-        if family == "int":
-            return words.astype(mma)  # already sign-extended int32
-        if family == "uint":
-            return (words & 0xFF).astype(mma)
-        if family == "fp_e4m3":
-            return numerics.decode_f8e4m3_byte((words & 0xFF).astype(jnp.uint16),
-                                               jnp.float16).astype(mma)
-        if family == "fp_e5m2":
-            return numerics.decode_f8e5m2_byte((words & 0xFF).astype(jnp.uint16),
-                                               jnp.float16).astype(mma)
-        raise ValueError(f"unsupported 8-bit family {family}")
-
-    mask = (1 << bits) - 1
-    field = (words >> (slot * bits)) & mask  # int32 in [0, 2^bits)
-
     if family == "uint":
         if spec.fast_decoding and hint.mma_dtype == "bfloat16":
             return numerics.fast_decode_uint_to_bf16(field.astype(jnp.uint16), bits)
         if spec.fast_decoding and hint.mma_dtype == "float16":
             return numerics.fast_decode_uint_to_f16(field.astype(jnp.uint16), bits)
-        return field.astype(mma)
+        return _cast(field, mma)
     if family == "int":
         bias = 1 << (bits - 1)
         if spec.fast_decoding and hint.mma_dtype == "bfloat16":
             return numerics.fast_decode_uint_to_bf16(
                 field.astype(jnp.uint16), bits) - jnp.bfloat16(bias)
-        return (field - bias).astype(mma)
+        return _cast(field - bias, mma)
     if family == "fp":  # fp4_e2m1
-        return numerics.decode_fp4_field(field, jnp.float16).astype(mma)
+        if hint.mma_dtype == "float16":
+            return numerics.decode_fp4_field(field, jnp.float16)
+        return _cast(numerics.decode_fp4_field_f32(field), mma)
     if family == "nf":
         if lut_vals is not None:
-            # dynamic gather from the VMEM LUT input
-            return jnp.take(lut_vals, field, axis=0).astype(mma)
+            return _cast(jnp.take(lut_vals, field, axis=0), mma)
         lut = [float(v) for v in NF4_TABLE]
-        # Branchless mux over static scalar constants (15 selects).
         out = jnp.full(field.shape, lut[0], dtype=jnp.float32)
         for v in range(1, 16):
             out = jnp.where(field == v, jnp.float32(lut[v]), out)
-        return out.astype(mma)
+        return _cast(out, mma)
     raise ValueError(f"unsupported family {family}{bits}")
 
 
-def _broadcast_groups(tile: jnp.ndarray, block_k: int, group_size: int):
-    """[BK/g, BN] -> [BK, BN] by repeating each group row (static counts)."""
-    rows = tile.shape[0]
-    if rows * group_size == block_k:
-        if group_size == 1:
-            return tile
-        return jnp.repeat(tile, group_size, axis=0)
-    # g > BK: single row covers the whole tile.
-    assert rows == 1, (rows, block_k, group_size)
-    return tile
+def _decode_byte(spec: KernelSpec, hint: TileHint, words: jnp.ndarray) -> jnp.ndarray:
+    """Decode 8-bit formats (words: int32; sign-extended only for int)."""
+    mma = _mma_jdtype(hint.mma_dtype)
+    family = spec.family
+    if family == "int":
+        return _cast(words, mma)
+    if family == "uint":
+        return _cast(words, mma)
+    if family == "fp_e4m3":
+        if hint.mma_dtype == "float16":
+            return numerics.decode_f8e4m3_byte(
+                words.astype(jnp.uint16), jnp.float16)
+        return _cast(numerics.decode_f8e4m3_to_f32(words), mma)
+    if family == "fp_e5m2":
+        if hint.mma_dtype == "float16":
+            return numerics.decode_f8e5m2_byte(
+                words.astype(jnp.uint16), jnp.float16)
+        return _cast(numerics.decode_f8e5m2_to_f32(words), mma)
+    raise ValueError(f"unsupported 8-bit family {family}")
 
 
 def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                         interpret: bool = False):
-    """Build the jitted fused dequant-matmul for one (spec, hint).
+    """Build the fused dequant-matmul for one (spec, hint).
 
-    Returns fn(A, Wp, [scales], [zeros|qzeros], [bias]) -> out [M, N].
+    Returns fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
+    Device layouts are hint-independent (see module docstring).
     """
     M, N, K = spec.m, spec.n, spec.k
     e = spec.elems_per_word
     BM, BN, BK = min(hint.block_m, M), hint.block_n, hint.block_k
     BM = max(BM, 8)
+    pack_n = pack_tile_n(N, e) if spec.bits < 8 else BN
+    if spec.bits < 8 and BN % pack_n:
+        # Legalize: the N tile must cover whole pack tiles.
+        BN = pack_n * max(1, BN // pack_n)
     if N % BN or K % BK:
         raise ValueError(f"N={N} K={K} not divisible by tile ({BN},{BK})")
-    if BN % e:
-        raise ValueError(f"block_n={BN} must be a multiple of e={e}")
-    # (BN >= 128*e keeps every slot dot lane-aligned; smaller is allowed for
-    # small-N cases and left to Mosaic to pad.)
     g = spec.group_size if spec.group_size > 0 else K
     if not (BK % g == 0 or g % BK == 0):
         raise ValueError(f"block_k={BK} incompatible with group_size={g}")
-    sub = BN // e
     padded_m = pl.cdiv(M, BM) * BM
     grid = (padded_m // BM, N // BN, K // BK)
     nk = grid[2]
@@ -152,48 +162,65 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     int_path = spec.is_int_activation
     acc_dtype = jnp.int32 if (int_path and hint.mma_dtype == "int8") else jnp.float32
     out_dtype = as_jax_dtype(spec.out_dtype)
+    f16 = jnp.dtype(jnp.float16)
+    if not interpret and hint.mma_dtype == "float16":
+        raise ValueError("mma_dtype=float16 is only valid in interpret mode; "
+                         "Mosaic kernels cannot use f16 (pick bfloat16/float32)")
+    kernel_out_dtype = out_dtype
+    if not interpret and jnp.dtype(out_dtype) == f16:
+        kernel_out_dtype = mma if mma in (jnp.bfloat16, jnp.float32) else jnp.float32
     precision = _PRECISION[hint.precision]
     quantized_zeros = spec.with_zeros and spec.zeros_mode == "quantized"
+    is_nf_take = spec.family == "nf" and hint.lut_mode == "take"
 
-    # Group rows visible in one K tile.
+    # Output-column segments within one [BM, BN] block: (col_start, width,
+    # slot, packed_word_start). For 8-bit formats there is a single segment.
+    if spec.bits < 8:
+        sub = pack_n // e
+        segments = [(t * pack_n + s * sub, sub, s, t * sub)
+                    for t in range(BN // pack_n) for s in range(e)]
+        wp_width = BN // e
+    else:
+        segments = [(0, BN, 0, 0)]
+        wp_width = BN
+
     srows = BK // g if BK >= g else 1
+    gpt = max(BK // g, 1)   # groups per k-tile
+    glen = min(g, BK)       # rows per group inside the tile
 
     def scale_index(i, j, k):
         del i
         if BK >= g:
-            return (k, j)
-        return ((k * BK) // g, j)
+            return (k, 0, j)
+        return ((k * BK) // g, 0, j)
 
     in_specs = [
         pl.BlockSpec((BM, BK), lambda i, j, k: (i, k)),
-        pl.BlockSpec((BK, BN // e if spec.bits < 8 else BN),
-                     lambda i, j, k: (k, j)),
+        pl.BlockSpec((BK, wp_width), lambda i, j, k: (k, j)),
     ]
     if spec.with_scaling:
-        in_specs.append(pl.BlockSpec((srows, BN), scale_index))
+        in_specs.append(pl.BlockSpec((srows, 1, BN), scale_index))
     if spec.with_zeros:
-        if quantized_zeros:
-            in_specs.append(pl.BlockSpec((srows, BN // e), scale_index))
-        else:
-            in_specs.append(pl.BlockSpec((srows, BN), scale_index))
+        in_specs.append(pl.BlockSpec(
+            (srows, 1, BN // e if quantized_zeros else BN), scale_index))
     if spec.with_bias:
         in_specs.append(pl.BlockSpec((1, BN), lambda i, j, k: (0, j)))
-    is_nf_take = spec.family == "nf" and hint.lut_mode == "take"
     if is_nf_take:
         in_specs.append(pl.BlockSpec((1, 16), lambda i, j, k: (0, 0)))
+
+    mask_v = (1 << spec.bits) - 1
 
     def kernel(*refs):
         idx = 0
         a_ref = refs[idx]; idx += 1
         w_ref = refs[idx]; idx += 1
-        s_ref = z_ref = b_ref = None
+        s_ref = z_ref = b_ref = lut_ref = None
         if spec.with_scaling:
             s_ref = refs[idx]; idx += 1
         if spec.with_zeros:
             z_ref = refs[idx]; idx += 1
         if spec.with_bias:
             b_ref = refs[idx]; idx += 1
-        lut_ref = None
         if is_nf_take:
             lut_ref = refs[idx]; idx += 1
         out_ref = refs[idx]; idx += 1
@@ -205,59 +232,72 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        a = a_ref[...]
-        if a.dtype != mma:
-            a = a.astype(mma)
-
+        a = _cast(a_ref[...], mma)
         raw = w_ref[...]
-        if spec.bits < 8:
-            words = raw.astype(jnp.int32)
-        else:
-            words = raw.astype(jnp.int32) if spec.family == "int" else \
-                raw.astype(jnp.uint8).astype(jnp.int32)
-
-        if quantized_zeros:
-            zwords = z_ref[...].astype(jnp.int32)
-
+        words = raw.astype(jnp.int32)
+        if spec.bits >= 8 and spec.family != "int":
+            words = words & 0xFF  # undo sign extension for unsigned bytes
+        zwords = z_ref[...][:, 0, :].astype(jnp.int32) if quantized_zeros else None
         lut_vals = lut_ref[0, :] if is_nf_take else None
 
-        for slot in range(e):
-            cols = slice(slot * sub, (slot + 1) * sub)
-            if quantized_zeros:
-                # integer-domain zero subtraction before the cast
-                # (bit-exact vs _tir_packed_to_unsigned_convert_with_zeros).
-                mask_v = (1 << spec.bits) - 1
-                field = (words >> (slot * spec.bits)) & mask_v
-                zfield = (zwords >> (slot * spec.bits)) & mask_v
-                zb = _broadcast_groups(zfield, BK, g)
-                w = (field - zb).astype(mma)
+        need_epilogue = spec.with_scaling or spec.with_zeros
+        if spec.with_zeros:
+            rowsums = [
+                jnp.sum(a[:, gi * glen:(gi + 1) * glen].astype(jnp.float32),
+                        axis=1, keepdims=True)
+                for gi in range(gpt)
+            ]
+
+        def dot(x, y):
+            return jax.lax.dot_general(
+                x, y, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype, precision=precision)
+
+        for (col0, width, slot, w0) in segments:
+            cols = slice(col0, col0 + width)
+            wslice = words[:, w0:w0 + width]
+            if spec.bits < 8:
+                field = (wslice >> (slot * spec.bits)) & mask_v
+                w = _decode_field(spec, hint, field, lut_vals)
             else:
-                w = _decode_slot(spec, hint, words, slot, lut_vals)
+                w = _decode_byte(spec, hint, wslice)
 
-            if spec.with_scaling:
-                s = _broadcast_groups(s_ref[...][:, cols], BK, g).astype(mma)
-                if spec.with_zeros and not quantized_zeros:
-                    z = _broadcast_groups(z_ref[...][:, cols], BK, g).astype(mma)
-                    if spec.zeros_mode == "original":
-                        w = (w - z) * s
-                    else:  # rescale
-                        w = w * s - z
-                else:
-                    w = w * s
+            if not need_epilogue:
+                acc_ref[:, cols] += dot(a, w)
+                continue
 
-            acc_ref[:, cols] += jax.lax.dot_general(
-                a, w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-                precision=precision,
-            )
+            contrib = jnp.zeros((a.shape[0], width), dtype=acc_dtype)
+            for gi in range(gpt):
+                rows = slice(gi * glen, (gi + 1) * glen)
+                d = dot(a[:, rows], w[rows])
+                s_row = None
+                if spec.with_scaling:
+                    s_row = s_ref[...][gi, :, cols].astype(jnp.float32)
+                if spec.with_zeros:
+                    if quantized_zeros:
+                        z_row = ((zwords[gi:gi + 1, w0:w0 + width]
+                                  >> (slot * spec.bits)) & mask_v
+                                 ).astype(jnp.float32)
+                    else:
+                        z_row = z_ref[...][gi, :, cols].astype(jnp.float32)
+                    ra = rowsums[gi]
+                    if quantized_zeros or spec.zeros_mode == "original":
+                        d = d - ra * z_row
+                        if s_row is not None:
+                            d = d * s_row
+                    else:  # rescale: w*s - z
+                        d = d * s_row - ra * z_row
+                elif s_row is not None:
+                    d = d * s_row
+                contrib = contrib + d
+            acc_ref[:, cols] += contrib
 
         @pl.when(k == nk - 1)
         def _finish():
             res = acc_ref[...]
             if spec.with_bias:
                 res = res + b_ref[...].astype(acc_dtype)
-            out_ref[...] = res.astype(out_dtype)
+            out_ref[...] = _cast(res, kernel_out_dtype)
 
     compiler_params = None
     if hint.vmem_limit_bytes is not None:
@@ -265,17 +305,16 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             vmem_limit_bytes=hint.vmem_limit_bytes)
 
     wbytes = K * N * spec.bits // 8
-    flops = 2 * M * N * K
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((padded_m, N), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((padded_m, N), kernel_out_dtype),
         scratch_shapes=[pltpu.VMEM((BM, BN), acc_dtype)],
         compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
-            flops=flops,
+            flops=2 * M * N * K,
             bytes_accessed=M * K * 2 + wbytes + M * N * 2,
             transcendentals=0,
         ),
@@ -283,6 +322,8 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     )
 
     def fn(A, Wp, scales=None, zeros=None, bias=None):
+        if not interpret and A.dtype == f16:
+            A = A.astype(mma if mma != jnp.int8 else jnp.float32)
         if A.shape[0] != padded_m:
             A = jnp.pad(A, ((0, padded_m - A.shape[0]), (0, 0)))
         args = [A, Wp]
@@ -293,9 +334,14 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         if spec.with_bias:
             args.append(bias)
         if is_nf_take:
-            args.append(jnp.asarray(NF4_TABLE, dtype=mma).reshape(1, 16))
+            lut_dtype = jnp.float16 if (interpret and mma == jnp.float16) \
+                else jnp.float32
+            args.append(jnp.asarray(NF4_TABLE, dtype=lut_dtype).reshape(1, 16))
         out = call(*args)
-        return out[:M] if out.shape[0] != M else out
+        out = out[:M] if out.shape[0] != M else out
+        if out.dtype != out_dtype:
+            out = out.astype(out_dtype)
+        return out
 
     return fn
 

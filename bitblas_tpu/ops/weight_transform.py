@@ -17,6 +17,7 @@ from typing import Optional
 import numpy as np
 
 from ..quantization import packing
+from ..quantization.packing import pack_tile_n
 from .matmul_config import MatmulConfig
 
 
@@ -24,8 +25,8 @@ from .matmul_config import MatmulConfig
 class DeviceWeights:
     """Device-layout operand bundle for the fused kernel."""
     qweight: np.ndarray                    # [K, N*bits/8] (or [K, N] 8-bit)
-    scales: Optional[np.ndarray] = None    # [K/g, N]
-    zeros: Optional[np.ndarray] = None     # [K/g, N] or qzeros [K/g, N*bits/8]
+    scales: Optional[np.ndarray] = None    # [K/g, 1, N]
+    zeros: Optional[np.ndarray] = None     # [K/g, 1, N] / qzeros [K/g, 1, N*bits/8]
     bias: Optional[np.ndarray] = None      # [1, N]
 
     def args(self):
@@ -39,49 +40,57 @@ class DeviceWeights:
         return out
 
 
-def unpacked_weight_to_device(config: MatmulConfig, w_fields_nk: np.ndarray,
-                              block_n: int) -> np.ndarray:
-    """[N, K] unsigned fields (or int8 values for 8-bit formats) -> device."""
+def unpacked_weight_to_device(config: MatmulConfig,
+                              w_fields_nk: np.ndarray) -> np.ndarray:
+    """[N, K] unsigned fields (or int8 values for 8-bit formats) -> device.
+
+    The slot pack tile is the canonical pack_tile_n(N, e) — independent of
+    kernel tuning, so one packed weight serves every tile configuration."""
     bits = config.bit
     w_kn = np.ascontiguousarray(w_fields_nk.T)
     if bits >= 8:
         return w_kn.astype(np.int8)
-    return packing.pack_nslot(w_kn.astype(np.uint8), bits, block_n)
+    e = 8 // bits
+    return packing.pack_nslot(w_kn.astype(np.uint8), bits,
+                              pack_tile_n(config.N, e))
 
 
-def reference_weight_to_device(config: MatmulConfig, qweight: np.ndarray,
-                               block_n: int) -> np.ndarray:
+def reference_weight_to_device(config: MatmulConfig,
+                               qweight: np.ndarray) -> np.ndarray:
     """Reference packed qweight [N, K*bits/8] -> device layout."""
     bits = config.bit
     if bits >= 8:
-        return unpacked_weight_to_device(config, qweight.view(np.int8), block_n)
+        return unpacked_weight_to_device(config, qweight.view(np.int8))
     fields = packing.general_decompress(qweight.view(np.int8), bits,
                                         out_elems=config.K)
-    return unpacked_weight_to_device(config, fields, block_n)
+    return unpacked_weight_to_device(config, fields)
 
 
 def scales_to_device(scales_ngk: np.ndarray) -> np.ndarray:
-    """[N, K/g] -> [K/g, N]."""
-    return np.ascontiguousarray(scales_ngk.T)
+    """[N, K/g] -> [K/g, 1, N] float32 (middle singleton keeps Mosaic's
+    last-two-dims block constraints off the group dimension; f32 because
+    Mosaic kernels cannot consume f16 refs, and the upcast is exact)."""
+    t = np.ascontiguousarray(scales_ngk.T.astype(np.float32))
+    return t.reshape(t.shape[0], 1, t.shape[1])
 
 
-def qzeros_to_device(config: MatmulConfig, qzeros: np.ndarray,
-                     block_n: int) -> np.ndarray:
+def qzeros_to_device(config: MatmulConfig, qzeros: np.ndarray) -> np.ndarray:
     """Reference quantized-zeros [K/g, N*bits/8] (adjacent-packed along N)
-    -> slot-strided [K/g, N*bits/8]."""
+    -> slot-strided [K/g, 1, N*bits/8]."""
     bits = config.bit
     zfields = packing.general_decompress(qzeros.view(np.int8), bits,
                                          out_elems=config.N)
-    return packing.pack_nslot(zfields, bits, block_n)
+    packed = packing.pack_nslot(zfields, bits,
+                                pack_tile_n(config.N, 8 // bits))
+    return packed.reshape(packed.shape[0], 1, packed.shape[1])
 
 
 def bias_to_device(bias: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(bias.reshape(1, -1))
+    return np.ascontiguousarray(bias.reshape(1, -1).astype(np.float32))
 
 
 def transform_reference_operands(
     config: MatmulConfig,
-    block_n: int,
     qweight: np.ndarray,
     scales: Optional[np.ndarray] = None,
     zeros: Optional[np.ndarray] = None,
@@ -89,15 +98,14 @@ def transform_reference_operands(
     bias: Optional[np.ndarray] = None,
 ) -> DeviceWeights:
     """Bundle-transform reference-layout operands (see ops/reference.py
-    docstring for shapes) into the device layout for a kernel with the given
-    block_n."""
+    docstring for shapes) into the tuning-independent device layout."""
     dw = DeviceWeights(
-        qweight=reference_weight_to_device(config, qweight, block_n))
+        qweight=reference_weight_to_device(config, qweight))
     if config.with_scaling:
         dw.scales = scales_to_device(scales)
     if config.with_zeros:
         if config.zeros_mode == "quantized":
-            dw.zeros = qzeros_to_device(config, qzeros, block_n)
+            dw.zeros = qzeros_to_device(config, qzeros)
         else:
             dw.zeros = scales_to_device(zeros)
     if config.with_bias and bias is not None:

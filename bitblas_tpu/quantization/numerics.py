@@ -191,6 +191,54 @@ def decode_field(field: jnp.ndarray, family: str, bits: int, dtype,
 
 
 # ---------------------------------------------------------------------------
+# Direct-to-f32 decoders (Mosaic kernels cannot touch f16 at all, so the TPU
+# kernel path builds the f32 bit pattern directly; values are identical to
+# the f16 reference decoders above for all non-inf/nan codes).
+# ---------------------------------------------------------------------------
+
+def decode_fp4_field_f32(field: jnp.ndarray) -> jnp.ndarray:
+    """fp4_e2m1 field -> f32; equals decode_fp4_field exactly (both produce
+    2^(payload-7) with zero mantissa). Mirrors reference
+    `_tir_u32_to_f4_to_f32` (quantization.py:122-136)."""
+    f4 = field.astype(jnp.uint32)
+    s = f4 >> 3
+    e_f4 = f4 & jnp.uint32(7)
+    bits32 = ((e_f4 | jnp.uint32(120)) | (s << jnp.uint32(8))) << jnp.uint32(23)
+    val = _bitcast(bits32, jnp.float32)
+    return jnp.where(e_f4 == 0, jnp.float32(0.0), val)
+
+
+def decode_f8e4m3_to_f32(byte: jnp.ndarray) -> jnp.ndarray:
+    """float8_e4m3 byte -> f32, value-identical to decode_f8e4m3_byte.
+
+    The reference's f16 bit surgery always yields a normal f16 (its exponent
+    lands in [8, 23]), so the f32 pattern is a plain rebias:
+    exp32 = low3exp + 8 + 8*e4msb + 112, mantissa <<20.
+    """
+    v = byte.astype(jnp.uint32)
+    s = v >> 7
+    e5 = ((v >> 3) & jnp.uint32(7)) + jnp.uint32(8) \
+        + ((v >> 6) & jnp.uint32(1)) * jnp.uint32(8)
+    bits32 = (s << jnp.uint32(31)) | ((e5 + jnp.uint32(112)) << jnp.uint32(23)) \
+        | ((v & jnp.uint32(7)) << jnp.uint32(20))
+    return _bitcast(bits32, jnp.float32)
+
+
+def decode_f8e5m2_to_f32(byte: jnp.ndarray) -> jnp.ndarray:
+    """float8_e5m2 byte -> f32 (finite codes; inf/nan not special-cased)."""
+    v = byte.astype(jnp.uint32)
+    s = v >> 7
+    e5 = (v >> 2) & jnp.uint32(31)
+    m = v & jnp.uint32(3)
+    normal = _bitcast(
+        (s << jnp.uint32(31)) | ((e5 + jnp.uint32(112)) << jnp.uint32(23))
+        | (m << jnp.uint32(21)), jnp.float32)
+    sub = (jnp.float32(1.0) - 2.0 * s.astype(jnp.float32)) \
+        * m.astype(jnp.float32) * jnp.float32(2.0**-16)
+    return jnp.where(e5 == 0, sub, normal)
+
+
+# ---------------------------------------------------------------------------
 # Scale / zero-point application (the three zeros modes)
 # ---------------------------------------------------------------------------
 

@@ -158,6 +158,17 @@ def unpack_qzeros_v2(qzeros: np.ndarray, bits: int) -> np.ndarray:
 # TPU device layout: slot-strided N packing
 # ---------------------------------------------------------------------------
 
+def pack_tile_n(n: int, elems: int) -> int:
+    """Canonical N-packing tile: 128 output columns per slot (lane-perfect),
+    independent of kernel block sizes so the device layout never depends on
+    tuning. Falls back to one whole-row tile for small N."""
+    t = 128 * elems
+    if n % t == 0:
+        return t
+    if n % elems:
+        raise ValueError(f"N={n} not divisible by elems={elems}")
+    return n
+
 def pack_nslot(unpacked_kn: np.ndarray, bits: int, tile_n: int,
                storage_bits: int = 8) -> np.ndarray:
     """Pack unsigned fields [K, N] -> [K, N*bits/storage_bits] int.

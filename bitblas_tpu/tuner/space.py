@@ -1,0 +1,149 @@
+"""Tile-configuration space enumeration + analytic roofline cost model.
+
+Replaces the reference's roller policy DFS
+(/root/reference/bitblas/base/roller/policy/default.py:20-744 and
+tensorcore.py:18-365): where the GPU policy searches smem tile shapes scored
+by (traffic+1)*num_wave and assigns warps/rsteps/pipelines, the TPU space is
+tiny — (block_m, block_n, block_k, mma dtype / decode path) constrained by
+VMEM — so we enumerate it exhaustively, pre-rank with a roofline model, and
+measure the top-k on device (same topk=20 contract as the reference tuner).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..kernels.spec import KernelSpec
+from .arch import TileDevice
+from .hint import TileHint
+
+# Decode cost in VPU ops per weight element (shift+mask+convert+epilogue
+# amortization), by family. Calibrated coarse — only used for pre-ranking.
+_DECODE_OPS = {"uint": 3.0, "int": 4.0, "fp": 6.0, "nf": 8.0,
+               "fp_e4m3": 8.0, "fp_e5m2": 6.0}
+
+
+def _divisors_multiple_of(n: int, base: int, lo: int, hi: int) -> List[int]:
+    """Divisors d of n with base | d and lo <= d <= hi."""
+    out = []
+    d = base
+    while d <= min(n, hi):
+        if n % d == 0 and d >= lo:
+            out.append(d)
+        d += base
+    return out
+
+
+def _dtype_bytes(name: str) -> int:
+    if name in ("float16", "bfloat16", "int16", "uint16"):
+        return 2
+    if name in ("float32", "int32", "uint32"):
+        return 4
+    return 1
+
+
+def vmem_usage(spec: KernelSpec, hint: TileHint) -> int:
+    """Rough VMEM working-set estimate (double-buffered inputs)."""
+    e = spec.elems_per_word
+    BM, BN, BK = hint.block_m, hint.block_n, hint.block_k
+    a_bytes = BM * BK * _dtype_bytes(spec.a_dtype)
+    w_bytes = BK * (BN // e if spec.bits < 8 else BN)
+    g = spec.group_size if spec.group_size > 0 else spec.k
+    srows = max(BK // g, 1)
+    s_bytes = srows * BN * 4 * (1 if spec.with_scaling else 0)
+    z_bytes = srows * BN * 4 * (1 if spec.with_zeros else 0)
+    acc_bytes = BM * BN * 4
+    out_bytes = BM * BN * _dtype_bytes(spec.out_dtype)
+    mma_b = 2 if hint.mma_dtype in ("bfloat16", "float16") else (
+        1 if hint.mma_dtype == "int8" else 4)
+    decoded = BK * (BN // e) * mma_b * 2  # slot temp + dot staging
+    return 2 * (a_bytes + w_bytes + s_bytes + z_bytes + out_bytes) \
+        + acc_bytes + decoded
+
+
+def roofline_seconds(spec: KernelSpec, hint: TileHint,
+                     arch: TileDevice) -> float:
+    """Analytic lower-bound time: max(memory, MXU, VPU decode)."""
+    M, N, K = spec.m, spec.n, spec.k
+    e = spec.elems_per_word
+    BM = min(hint.block_m, max(M, 8))
+    m_tiles = math.ceil(max(M, 8) / BM)
+    n_tiles = N // hint.block_n
+
+    w_total = K * (N // e if spec.bits < 8 else N)
+    g = spec.group_size if spec.group_size > 0 else K
+    sz_total = (K // g) * N * 4 * (int(spec.with_scaling) + int(spec.with_zeros))
+    a_total = M * K * _dtype_bytes(spec.a_dtype)
+    o_total = M * N * _dtype_bytes(spec.out_dtype)
+    bytes_moved = w_total * m_tiles + sz_total * m_tiles \
+        + a_total * n_tiles + o_total
+    t_mem = bytes_moved / arch.hbm_bandwidth
+
+    flops = 2 * (m_tiles * BM) * N * K  # includes M-padding waste
+    mxu = {"bfloat16": arch.flops_bf16, "float16": arch.flops_bf16,
+           "float32": arch.flops_f32, "int8": arch.flops_int8}[hint.mma_dtype]
+    t_mxu = flops / mxu
+
+    dec_ops = _DECODE_OPS.get(spec.family, 4.0)
+    if spec.bits >= 8 and spec.family in ("int", "uint"):
+        dec_ops = 1.0
+    if spec.fast_decoding:
+        dec_ops = max(dec_ops - 1.0, 2.0)
+    t_vpu = (K * N * m_tiles * dec_ops) / arch.vpu_ops
+
+    return max(t_mem, t_mxu, t_vpu)
+
+
+def enumerate_hints(spec: KernelSpec, arch: TileDevice,
+                    max_candidates: int = 512) -> List[TileHint]:
+    """All legal TileHints for this spec on this arch, roofline-ranked."""
+    M, N, K = spec.m, spec.n, spec.k
+    e = spec.elems_per_word
+    g = spec.group_size if spec.group_size > 0 else K
+
+    m_pad = max(M, 8)
+    bm_opts = sorted({min(b, 1 << (m_pad - 1).bit_length())
+                      for b in (8, 16, 32, 64, 128, 256, 512)
+                      if b <= 2 * m_pad})
+
+    lane_base = 128 * e if (N % (128 * e) == 0 and 128 * e <= N) else e * 128
+    bn_opts = _divisors_multiple_of(N, lane_base, lane_base,
+                                    min(N, 4096)) or \
+        _divisors_multiple_of(N, e, e, N)
+
+    # BK: divisor of K, aligned to 128 sublanes, and group-compatible.
+    bk_opts = []
+    for bk in _divisors_multiple_of(K, 128, 128, min(K, 8192)):
+        if bk % g == 0 or g % bk == 0:
+            bk_opts.append(bk)
+    if not bk_opts:
+        bk_opts = [g] if K % g == 0 else [K]
+
+    if spec.is_int_activation:
+        mma_opts = ("int8", "bfloat16")
+    else:
+        mma_opts = ("bfloat16", "float32")
+
+    hints = []
+    for bm in bm_opts:
+        for bn in bn_opts:
+            for bk in bk_opts:
+                for mma in mma_opts:
+                    h = TileHint(block_m=bm, block_n=bn, block_k=bk,
+                                 mma_dtype=mma)
+                    if vmem_usage(spec, h) > arch.vmem_bytes:
+                        continue
+                    hints.append(h)
+
+    hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
+    return hints[:max_candidates]
+
+
+def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
+    """Best analytic hint without measuring (the 'default schedule')."""
+    hints = enumerate_hints(spec, arch)
+    if not hints:
+        raise ValueError(f"no legal tile config for {spec}")
+    return hints[0]

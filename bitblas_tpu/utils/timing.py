@@ -1,0 +1,113 @@
+"""Trustworthy on-device timing.
+
+The counterpart of the reference's `time_evaluator` profiling
+(/root/reference/bitblas/ops/operator.py:223,442-450), rebuilt for a remote
+TPU runtime where naive timing lies three different ways:
+
+  1. a fixed multi-ms tunnel/launch overhead dominates single calls,
+  2. computations whose outputs are garbage-collected can be elided,
+  3. XLA dead-code-eliminates or slices anything not data-dependent
+     (e.g. consuming only out[0,0] of a dot lets XLA shrink the dot).
+
+Strategy: run the kernel inside a jitted `lax.fori_loop` whose carry is
+injected into one (small) input and fed from a reduction of the output —
+forcing full, serialized execution — and report the *slope*
+(T(n2) - T(n1)) / (n2 - n1), which cancels the fixed overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _default_inject(args):
+    """Pick the smallest float arg to perturb (cheapest copy per iteration)."""
+    best, best_size = 0, None
+    for i, a in enumerate(args):
+        if a is None:
+            continue
+        size = a.size * a.dtype.itemsize
+        if best_size is None or size < best_size:
+            best, best_size = i, size
+    return best
+
+
+def make_chained(fn: Callable, args: Sequence, inject: Optional[int] = None,
+                 full_output_dep: bool = False):
+    """Build chained(iters) that runs `fn(*args)` iters times, serialized.
+
+    `inject`: index of the arg that receives a carry-dependent perturbation
+    (defaults to the smallest arg). The perturbation is `x.at[(0,)*ndim]
+    .set(x[0...] + 0*carry)` — value-preserving, so numerics are untouched.
+
+    `full_output_dep`: reduce the whole output into the carry (needed for
+    transparent XLA computations that could otherwise be sliced; Pallas calls
+    are opaque so a single element suffices).
+    """
+    args = list(args)
+    if inject is None:
+        inject = _default_inject(args)
+
+    @jax.jit
+    def chained(iters):
+        def body(i, carry):
+            cur = list(args)
+            x = cur[inject]
+            idx = (0,) * x.ndim
+            eps = (carry * 0).astype(jnp.float32)
+            cur[inject] = x.at[idx].set((x[idx].astype(jnp.float32) + eps)
+                                        .astype(x.dtype))
+            out = fn(*cur)
+            if isinstance(out, (tuple, list)):
+                out = out[0]
+            if full_output_dep:
+                dep = jnp.sum(out.astype(jnp.float32))
+            else:
+                dep = out[(0,) * out.ndim].astype(jnp.float32)
+            return dep * 0 + carry + 1
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    return chained
+
+
+def measure_chained(chained: Callable, *, est_iters: int = 32,
+                    target_sec: float = 0.05, repeats: int = 2) -> float:
+    """Slope-timed seconds per iteration of `chained(iters)`."""
+    np.asarray(chained(2))  # compile + warm
+
+    # Rough estimate to size the measurement run.
+    t0 = time.perf_counter()
+    np.asarray(chained(est_iters))
+    rough_total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(chained(2))
+    overhead = time.perf_counter() - t0
+    per_iter = max((rough_total - overhead) / (est_iters - 2), 1e-7)
+
+    n1 = 4
+    n2 = n1 + max(16, int(target_sec / per_iter))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(chained(n1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chained(n2))
+        t2 = time.perf_counter() - t0
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return max(best, 1e-9)
+
+
+def measure_kernel(fn: Callable, args: Sequence, *, inject: Optional[int] = None,
+                   full_output_dep: bool = False, target_sec: float = 0.05,
+                   repeats: int = 2) -> float:
+    """One-call convenience: seconds per execution of fn(*args) on device."""
+    chained = make_chained(fn, args, inject=inject,
+                           full_output_dep=full_output_dep)
+    return measure_chained(chained, target_sec=target_sec, repeats=repeats)

@@ -43,8 +43,7 @@ def run_case(config: MatmulConfig, m: int, hint: TileHint = HINT, seed=0,
         None if ops.bias is None else jnp.asarray(ops.bias),
     )
     dw = transform_reference_operands(
-        config, hint.block_n, ops.qweight, ops.scales, ops.zeros, ops.qzeros,
-        ops.bias)
+        config, ops.qweight, ops.scales, ops.zeros, ops.qzeros, ops.bias)
     spec = KernelSpec.from_config(config, m)
     fn = make_dequant_matmul(spec, hint, interpret=True)
     j = lambda a: None if a is None else jnp.asarray(a)
