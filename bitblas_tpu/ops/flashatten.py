@@ -1,0 +1,162 @@
+"""FlashAtten operator (reference
+/root/reference/bitblas/ops/general_flashatten/__init__.py:24-221).
+
+Same config surface — {batch, heads, kv_heads, seq_len, dim, dtypes, layout
+"nnn"/"ntn", is_causal} — backed by the Pallas flash kernel
+(kernels/flash.py). Tunables are the q/kv block sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.flash import make_flash_attention
+from ..quantization.formats import as_jax_dtype
+from ..tuner import get_arch
+from ..utils.timing import measure_kernel
+from .matmul_config import OperatorConfig
+from .operator import BaseKernelNameGenerator
+
+FLASH_SUPPORTED_DTYPES = ("float16", "bfloat16", "float32")
+
+
+@dataclass(frozen=True)
+class FlashAttenConfig(OperatorConfig):
+    batch: Optional[int] = None
+    heads: Optional[int] = None
+    kv_heads: Optional[int] = None
+    seq_len: Optional[int] = None
+    dim: Optional[int] = None
+    Q_dtype: str = "float16"
+    K_dtype: Optional[str] = None
+    V_dtype: Optional[str] = None
+    Accu_dtype: str = "float32"
+    Out_dtype: str = "float16"
+    layout: Literal["nnn", "ntn"] = "nnn"
+    is_causal: bool = False
+
+    def __post_init__(self):
+        for f in ("batch", "heads", "seq_len", "dim"):
+            if getattr(self, f) is None:
+                raise ValueError(f"{f} must be specified")
+        if self.K_dtype is None:
+            object.__setattr__(self, "K_dtype", self.Q_dtype)
+        if self.V_dtype is None:
+            object.__setattr__(self, "V_dtype", self.Q_dtype)
+        if self.kv_heads in (None, -1):
+            object.__setattr__(self, "kv_heads", self.heads)
+        if self.heads % self.kv_heads:
+            raise ValueError("heads must be a multiple of kv_heads")
+        for d in (self.Q_dtype, self.K_dtype, self.V_dtype):
+            if d not in FLASH_SUPPORTED_DTYPES:
+                raise ValueError(f"unsupported flash dtype {d}")
+
+
+class FlashAttenKernelNameGenerator(BaseKernelNameGenerator):
+    KERNEL_PREFIX = "flashatten"
+
+    def is_valid_config(self, config) -> bool:
+        return isinstance(config, FlashAttenConfig)
+
+    def generate(self, hint=None) -> str:
+        c = self.config
+        return (f"{self.KERNEL_PREFIX}_batch{c.batch}heads{c.heads}"
+                f"seqlen{c.seq_len}dim{c.dim}_causal{int(c.is_causal)}")
+
+
+class FlashAtten:
+    """Single-device flash attention op with measured block-size tuning."""
+
+    BLOCK_CANDIDATES = ((128, 128), (128, 256), (256, 128), (256, 256),
+                        (512, 128), (128, 512))
+
+    def __init__(self, config: FlashAttenConfig, name: str = "flashatten",
+                 target: Optional[str] = None, enable_tuning: bool = False,
+                 from_database: bool = False, backend: str = "pallas"):
+        del from_database, backend
+        self.name = name
+        self.config = config
+        self.arch = get_arch(target)
+        self.interpret = self.arch.is_cpu
+        self.kernel_name_generator = FlashAttenKernelNameGenerator(config)
+        self.block_q, self.block_kv = 128, 128
+        self._build()
+        if enable_tuning and not self.interpret:
+            self.hardware_aware_finetune()
+
+    def _make(self, block_q: int, block_kv: int):
+        c = self.config
+        return make_flash_attention(
+            batch=c.batch, heads=c.heads, seq_len=c.seq_len, dim=c.dim,
+            kv_heads=c.kv_heads, causal=c.is_causal,
+            trans_k=(c.layout == "ntn"), block_q=block_q, block_kv=block_kv,
+            out_dtype=as_jax_dtype(c.Out_dtype), interpret=self.interpret)
+
+    def _build(self):
+        self._fn = self._make(self.block_q, self.block_kv)
+        self._jfn = jax.jit(self._fn)
+
+    def _example_args(self):
+        c = self.config
+        rng = np.random.default_rng(0)
+        qdt = as_jax_dtype(c.Q_dtype)
+        Q = jnp.asarray(rng.standard_normal(
+            (c.batch, c.seq_len, c.heads, c.dim), np.float32), qdt)
+        if c.layout == "ntn":
+            K = jnp.asarray(rng.standard_normal(
+                (c.batch, c.dim, c.kv_heads, c.seq_len), np.float32), qdt)
+        else:
+            K = jnp.asarray(rng.standard_normal(
+                (c.batch, c.seq_len, c.kv_heads, c.dim), np.float32), qdt)
+        V = jnp.asarray(rng.standard_normal(
+            (c.batch, c.seq_len, c.kv_heads, c.dim), np.float32), qdt)
+        return Q, K, V
+
+    def hardware_aware_finetune(self, topk: int = 20):
+        args = self._example_args()
+        best = (None, float("inf"))
+        for bq, bkv in self.BLOCK_CANDIDATES[:topk]:
+            if bq > self.config.seq_len or bkv > self.config.seq_len:
+                continue
+            try:
+                fn = self._make(bq, bkv)
+                lat = measure_kernel(fn, args, inject=0)
+                if lat < best[1]:
+                    best = ((bq, bkv), lat)
+            except Exception:  # noqa: BLE001
+                continue
+        if best[0] is not None:
+            self.block_q, self.block_kv = best[0]
+            self._build()
+
+    def forward(self, Q, K, V, output=None) -> Any:
+        del output
+        return self._jfn(Q, K, V)
+
+    def __call__(self, *args: Any, **kwargs: Any) -> Any:
+        return self.forward(*args, **kwargs)
+
+    def ref_program(self, Q, K, V):
+        """XLA oracle (reference flashatten ref program)."""
+        c = self.config
+        K_ = K
+        if c.layout == "ntn":
+            K_ = K.transpose(0, 3, 2, 1)  # [B, S, Hkv, D]
+        group = c.heads // c.kv_heads
+        K_ = jnp.repeat(K_, group, axis=2)
+        V_ = jnp.repeat(V, group, axis=2)
+        q = Q.astype(jnp.float32)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, K_.astype(jnp.float32))
+        s = s / jnp.sqrt(jnp.float32(c.dim))
+        if c.is_causal:
+            qi = jnp.arange(c.seq_len)[:, None]
+            kj = jnp.arange(c.seq_len)[None, :]
+            s = jnp.where(qi >= kj, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, V_.astype(jnp.float32))
+        return o.astype(as_jax_dtype(c.Out_dtype))

@@ -53,14 +53,16 @@ _BY_NAME = {
 def auto_detect_tpu_target() -> str:
     """Detect the attached TPU generation (analog of
     auto_detect_nvidia_target). Falls back to env/cpu."""
-    env = os.environ.get("PALLAS_AXON_TPU_GEN") or os.environ.get("TPU_GEN")
-    if env and env.lower() in _BY_NAME:
-        return _BY_NAME[env.lower()].name
     try:
         import jax
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             return "cpu_interpret"
+        # Generation hint from the runtime env wins over device_kind parsing
+        # (but never over an actual CPU backend).
+        env = os.environ.get("PALLAS_AXON_TPU_GEN") or os.environ.get("TPU_GEN")
+        if env and env.lower() in _BY_NAME:
+            return _BY_NAME[env.lower()].name
         kind = getattr(dev, "device_kind", "").lower()
         # e.g. "TPU v5 lite", "TPU v4", "TPU v5p", "TPU v6 lite"
         if "v5 lite" in kind or "v5e" in kind or "v5litepod" in kind:

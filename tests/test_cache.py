@@ -1,0 +1,51 @@
+"""Operator cache round-trip (reference testing/python/cache/
+test_operator_cache.py: tune -> save -> clear -> load -> same behavior)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from bitblas_tpu import Matmul, MatmulConfig, OperatorCache
+from bitblas_tpu.quantization import packing
+from bitblas_tpu.testing import assert_close, random_reference_operands
+
+
+def test_config_hashable():
+    c1 = MatmulConfig(M=[1, 16], N=256, K=256, A_dtype="float16",
+                      W_dtype="uint4")
+    c2 = MatmulConfig(M=[1, 16], N=256, K=256, A_dtype="float16",
+                      W_dtype="uint4")
+    assert c1 == c2 and hash(c1) == hash(c2)
+    d = {c1: 1}
+    assert d[c2] == 1
+
+
+def test_database_roundtrip(tmp_path):
+    cfg = MatmulConfig(M=[1, 16], N=256, K=256, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128)
+    op = Matmul(cfg, enable_tuning=False)
+    cache = OperatorCache()
+    cache.add(cfg, op)
+    cache.save_into_database(str(tmp_path), target="cpu_interpret")
+
+    cache2 = OperatorCache()
+    n = cache2.load_from_database(str(tmp_path), target="cpu_interpret")
+    assert n == 1
+    op2 = cache2.get(cfg)
+    assert op2 is not None
+    assert op2.hints == op.hints
+
+    ops = random_reference_operands(cfg, 16, 0)
+    codes = packing.general_decompress(ops.qweight, 4)
+    W, S = op.transform_weight(codes, scale=ops.scales)
+    out1 = op.forward(jnp.asarray(ops.A), W, scale=S)
+    out2 = op2.forward(jnp.asarray(ops.A), W, scale=S)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_cache_clear_and_size(tmp_path):
+    cache = OperatorCache()
+    cfg = MatmulConfig(M=16, N=256, K=256, A_dtype="float16", W_dtype="uint4")
+    cache.add(cfg, Matmul(cfg, enable_tuning=False))
+    assert cache.size() == 1
+    cache.clear()
+    assert cache.size() == 0

@@ -1,0 +1,123 @@
+"""Matmul operator end-to-end on CPU interpret (reference
+testing/python/operators test ladder, level 1+3: build + numerics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bitblas_tpu import Matmul, MatmulConfig, MatmulConfigWithSplitK, \
+    MatmulWithSplitK
+from bitblas_tpu.ops.reference import matmul_reference
+from bitblas_tpu.quantization import packing
+from bitblas_tpu.testing import assert_close, random_reference_operands
+
+
+def test_static_m_uint4_scaling():
+    cfg = MatmulConfig(M=32, N=512, K=512, A_dtype="float16", W_dtype="uint4",
+                       with_scaling=True, group_size=128)
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, 32, 3)
+    codes = packing.general_decompress(ops.qweight, 4)  # [N, K] codes
+    W, S = op.transform_weight(codes, scale=ops.scales)
+    out = op.forward(jnp.asarray(ops.A), W, scale=S)
+    expected = matmul_reference(cfg, jnp.asarray(ops.A),
+                                jnp.asarray(ops.qweight),
+                                jnp.asarray(ops.scales))
+    # default hints use bfloat16 mma -> bf16-grade tolerance
+    assert_close(out, expected, rtol=5e-2, atol=2.0)
+
+
+def test_dynamic_m_buckets_and_padding():
+    cfg = MatmulConfig(M=[1, 16, 64], N=512, K=512, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128)
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, 64, 5)
+    codes = packing.general_decompress(ops.qweight, 4)
+    W, S = op.transform_weight(codes, scale=ops.scales)
+    for m in (1, 3, 16, 40, 64):
+        A = jnp.asarray(ops.A[:m])
+        out = op.forward(A, W, scale=S)
+        assert out.shape == (m, 512)
+        expected = matmul_reference(cfg, A, jnp.asarray(ops.qweight),
+                                    jnp.asarray(ops.scales))
+        assert_close(out, expected, rtol=5e-2, atol=2.0, msg=f"m={m}")
+
+
+def test_m_larger_than_buckets():
+    cfg = MatmulConfig(M=[1, 16], N=512, K=512, A_dtype="float16",
+                       W_dtype="uint4")
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, 100, 1)
+    codes = packing.general_decompress(ops.qweight, 4)
+    W = op.transform_weight(codes)
+    out = op.forward(jnp.asarray(ops.A), W)
+    assert out.shape == (100, 512)
+    expected = matmul_reference(cfg, jnp.asarray(ops.A),
+                                jnp.asarray(ops.qweight))
+    assert_close(out, expected, rtol=5e-2, atol=2.0)
+
+
+def test_batched_leading_dims():
+    cfg = MatmulConfig(M=[16], N=512, K=512, A_dtype="float16",
+                       W_dtype="uint4")
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, 12, 2)
+    codes = packing.general_decompress(ops.qweight, 4)
+    W = op.transform_weight(codes)
+    A3 = jnp.asarray(ops.A[:12]).reshape(3, 4, 512)
+    out = op.forward(A3, W)
+    assert out.shape == (3, 4, 512)
+
+
+def test_native_fp16():
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
+                       W_dtype="float16")
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, 16, 4)
+    W = op.transform_weight(ops.qweight)
+    out = op.forward(jnp.asarray(ops.A), W)
+    expected = matmul_reference(cfg, jnp.asarray(ops.A), jnp.asarray(ops.qweight))
+    assert_close(out, expected, rtol=1e-2, atol=1e-2)
+
+
+def test_int_weight_transform_bias_roundtrip():
+    # transform_weight must clamp+bias signed ints exactly like the reference.
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16", W_dtype="int4")
+    op = Matmul(cfg, enable_tuning=False)
+    rng = np.random.default_rng(0)
+    w_signed = rng.integers(-8, 8, (512, 512)).astype(np.int8)
+    W = op.transform_weight(w_signed)
+    A = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float16))
+    out = op.forward(A, W)
+    expected = jnp.dot(A.astype(jnp.float32),
+                       jnp.asarray(w_signed.T, jnp.float32))
+    assert_close(out, expected, rtol=5e-2, atol=2.0)
+
+
+def test_splitk_matches_plain():
+    cfg = MatmulConfigWithSplitK(M=16, N=512, K=512, A_dtype="float16",
+                                 W_dtype="uint4", with_scaling=True,
+                                 group_size=128, k_split=4)
+    op = MatmulWithSplitK(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, 16, 6)
+    codes = packing.general_decompress(ops.qweight, 4)
+    W, S = op.transform_weight(codes, scale=ops.scales)
+    out = op.forward(jnp.asarray(ops.A), W, scale=S)
+    expected = matmul_reference(
+        MatmulConfig(M=16, N=512, K=512, A_dtype="float16", W_dtype="uint4",
+                     with_scaling=True, group_size=128),
+        jnp.asarray(ops.A), jnp.asarray(ops.qweight), jnp.asarray(ops.scales))
+    assert_close(out, expected, rtol=5e-2, atol=2.0)
+
+
+def test_retrieve_weight_shape():
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16", W_dtype="uint4")
+    op = Matmul(cfg, enable_tuning=False)
+    assert op.retrieve_weight_shape() == (512, 256)
+
+
+def test_kernel_name_generator():
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16", W_dtype="uint4")
+    op = Matmul(cfg, enable_tuning=False)
+    name = op.kernel_name_generator.generate(op.hint_for(16))
+    assert name.startswith("matmul_m16n512k512_f16xu4_t")
