@@ -1,0 +1,124 @@
+"""Headline benchmark: dequant-GEMM/GEMV % of roofline on the attached chip.
+
+Sweeps W_UINT4 x A_FP16 (GPTQ-style grouped scaling) and W_INT2 x A_INT8
+(BitNet) over M in {1, 16, 256, 4096} at N=K=4096 — the reference's headline
+regimes (README.md:13, BASELINE.md) — and prints ONE json line:
+
+  {"metric": "dequant_gemm_pct_roofline_mean", "value": <mean %>,
+   "unit": "%", "vs_baseline": <mean % / 80>}
+
+vs_baseline is measured against the BASELINE.json target (>=80% of the
+per-chip memory-bandwidth/MXU roofline for every W4A16/W2A8 kernel).
+
+Set BITBLAS_TPU_BENCH_TUNE=1 to run the measured tuner per shape instead of
+the curated hint table (slower first run; results persist in the hint DB).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bitblas_tpu.kernels.dequant_matmul import make_dequant_matmul
+    from bitblas_tpu.kernels.spec import KernelSpec
+    from bitblas_tpu.ops.matmul_config import MatmulConfig
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    from bitblas_tpu.testing import random_reference_operands
+    from bitblas_tpu.tuner import TileHint, enumerate_hints, get_arch, \
+        roofline_seconds
+    from bitblas_tpu.utils.timing import measure_kernel
+
+    arch = get_arch()
+    interpret = arch.is_cpu
+    N = K = 4096
+    tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
+
+    # Curated hints (from on-chip sweeps; see scripts/tpu_perf.py).
+    def curated(m, w_dtype):
+        if m <= 16:
+            return TileHint(block_m=256, block_n=512, block_k=1024,
+                            mma_dtype="bfloat16")
+        return TileHint(block_m=512, block_n=1024, block_k=256,
+                        mma_dtype="bfloat16")
+
+    configs = []
+    for m in (1, 16, 256, 4096):
+        configs.append((m, MatmulConfig(
+            M=m, N=N, K=K, A_dtype="float16", W_dtype="uint4",
+            with_scaling=True, group_size=128, fast_decoding=False,
+            out_dtype="float16")))
+    for m in (1, 16, 256, 4096):
+        configs.append((m, MatmulConfig(
+            M=m, N=N, K=K, A_dtype="int8", W_dtype="int2",
+            accum_dtype="int32", out_dtype="float32")))
+
+    pcts = []
+    for m, cfg in configs:
+        spec = KernelSpec.from_config(cfg, m)
+        ops = random_reference_operands(cfg, m, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        args = [jnp.asarray(ops.A), jnp.asarray(dw.qweight)]
+        if cfg.with_scaling:
+            args.append(jnp.asarray(dw.scales))
+
+        hints = [curated(m, cfg.W_dtype)]
+        if tune:
+            hints = enumerate_hints(spec, arch)[:6]
+
+        wbits = cfg.bit
+        abytes = 2 if cfg.A_dtype == "float16" else 1
+        obytes = 2 if cfg.out_dtype == "float16" else 4
+        wbytes = N * K * wbits // 8 + \
+            (N * K // cfg.effective_group_size * 4 if cfg.with_scaling else 0)
+        total = wbytes + m * K * abytes + m * N * obytes
+        mxu = arch.flops_int8 if cfg.A_dtype == "int8" else arch.flops_bf16
+        roof = max(total / arch.hbm_bandwidth, 2 * m * N * K / mxu)
+
+        best = None
+        for hint in hints:
+            try:
+                kf = make_dequant_matmul(spec, hint, interpret=interpret)
+                if cfg.with_scaling:
+                    fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)
+                else:
+                    fn = lambda A, W, _kf=kf: _kf(A, W)
+                if interpret:
+                    sec = roofline_seconds(spec, hint, arch)
+                else:
+                    sec = measure_kernel(fn, args,
+                                         inject=len(args) - 1)
+                if best is None or sec < best[0]:
+                    best = (sec, hint)
+            except Exception as ex:  # noqa: BLE001
+                log(f"bench candidate failed: {hint.short_name()}: "
+                    f"{str(ex)[:120]}")
+        if best is None:
+            log(f"SKIP m={m} {cfg.W_dtype}x{cfg.A_dtype}")
+            continue
+        sec, hint = best
+        pct = 100.0 * roof / sec
+        pcts.append(pct)
+        log(f"{cfg.W_dtype}x{cfg.A_dtype} m={m:5d}: {sec*1e6:8.1f}us "
+            f"roof={roof*1e6:7.1f}us pct={pct:5.1f}% ({hint.short_name()})")
+
+    mean_pct = float(np.mean(pcts)) if pcts else 0.0
+    print(json.dumps({
+        "metric": "dequant_gemm_pct_roofline_mean",
+        "value": round(mean_pct, 2),
+        "unit": "%",
+        "vs_baseline": round(mean_pct / 80.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""Model families: BitNet b1.58 layers and quantized Llama decoder."""
+
+from .bitnet import (  # noqa: F401
+    BitLinearInference,
+    activation_quant,
+    activation_quant_int8,
+    bitlinear_train_forward,
+    weight_quant,
+    weight_quant_codes,
+)
+from .quant_llama import (  # noqa: F401
+    LlamaConfig,
+    QuantLlama,
+    QuantLlamaLayer,
+    layer_forward,
+    rmsnorm,
+    rope,
+)

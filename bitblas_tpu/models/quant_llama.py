@@ -1,0 +1,159 @@
+"""Quantized Llama-style decoder built on the fused dequant kernels.
+
+The reference serves GPTQ llama checkpoints through integrations
+(integration/pytorch, vLLM); here the model family is in-tree: RMSNorm +
+RoPE + GQA attention (Pallas flash kernel for prefill) + SwiGLU MLP, with
+every weight matrix a W_UINT4(A_FP16/BF16, grouped scales+zeros) fused
+matmul. Used by the e2e benchmarks and the graft entrypoints.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels.flash import make_flash_attention
+from ..ops.matmul import Matmul
+from ..ops.matmul_config import MatmulConfig
+from ..quantization import packing
+from ..testing import random_reference_operands
+
+
+@dataclass
+class LlamaConfig:
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_heads: int = 16
+    num_kv_heads: int = 16
+    num_layers: int = 2
+    vocab_size: int = 32000
+    group_size: int = 128
+    act_dtype: str = "float16"
+    rope_theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+_PROJS = (("q", "hidden_size", "hidden_size"),
+          ("k", "hidden_size", "kv_size"),
+          ("v", "hidden_size", "kv_size"),
+          ("o", "hidden_size", "hidden_size"),
+          ("gate", "hidden_size", "intermediate_size"),
+          ("up", "hidden_size", "intermediate_size"),
+          ("down", "intermediate_size", "hidden_size"))
+
+
+def _dim(cfg: LlamaConfig, name: str) -> int:
+    if name == "kv_size":
+        return cfg.num_kv_heads * cfg.head_dim
+    return getattr(cfg, name)
+
+
+class QuantLlamaLayer:
+    """One decoder layer; all 7 projections are fused uint4 matmuls."""
+
+    def __init__(self, cfg: LlamaConfig, opt_m=(1, 16, 256),
+                 enable_tuning: bool = False, seed: int = 0):
+        self.cfg = cfg
+        self.ops: Dict[str, Matmul] = {}
+        self.weights: Dict[str, tuple] = {}
+        rng = np.random.default_rng(seed)
+        for name, kin, kout in _PROJS:
+            K, N = _dim(cfg, kin), _dim(cfg, kout)
+            mcfg = MatmulConfig(M=list(opt_m), N=N, K=K,
+                                A_dtype=cfg.act_dtype, W_dtype="uint4",
+                                with_scaling=True, group_size=cfg.group_size,
+                                out_dtype=cfg.act_dtype)
+            op = Matmul(mcfg, enable_tuning=enable_tuning)
+            codes = rng.integers(0, 16, (N, K)).astype(np.int8)
+            scales = (rng.standard_normal((N, K // cfg.group_size)) * 0.002
+                      + 0.01).astype(np.float16)
+            W, S = op.transform_weight(codes, scale=scales)
+            self.ops[name] = op
+            self.weights[name] = (W, S)
+        self.attn_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
+        self.mlp_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
+
+    def proj(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        W, S = self.weights[name]
+        return self.ops[name].forward(x, W, scale=S)
+
+
+def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """x [B, S, H, D]; rotate pairs (d, d + D/2)."""
+    B, S, H, D = x.shape
+    half = D // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, :, None] * freqs  # [B, S, half]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
+                  positions: jnp.ndarray, *, causal: bool = True,
+                  flash: Optional[callable] = None) -> jnp.ndarray:
+    """x [B, S, hidden] -> [B, S, hidden]."""
+    cfg = layer.cfg
+    B, S, _ = x.shape
+    h = rmsnorm(x, layer.attn_norm)
+    q = layer.proj("q", h).reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = layer.proj("k", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = layer.proj("v", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+    if flash is not None:
+        attn = flash(q, k, v)
+    else:
+        group = cfg.num_heads // cfg.num_kv_heads
+        k_ = jnp.repeat(k, group, axis=2)
+        v_ = jnp.repeat(v, group, axis=2)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                       k_.astype(jnp.float32)) / math.sqrt(cfg.head_dim)
+        if causal:
+            qi = jnp.arange(S)[:, None]
+            kj = jnp.arange(S)[None, :]
+            s = jnp.where(qi >= kj, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", p,
+                          v_.astype(jnp.float32)).astype(x.dtype)
+    attn = attn.reshape(B, S, cfg.hidden_size)
+    x = x + layer.proj("o", attn)
+    h = rmsnorm(x, layer.mlp_norm)
+    gate = layer.proj("gate", h)
+    up = layer.proj("up", h)
+    act = (jax.nn.silu(gate.astype(jnp.float32))
+           * up.astype(jnp.float32)).astype(x.dtype)
+    x = x + layer.proj("down", act)
+    return x
+
+
+class QuantLlama:
+    """A stack of quantized decoder layers (no embeddings — the benchmark
+    and graft entrypoints drive hidden states directly)."""
+
+    def __init__(self, cfg: LlamaConfig, opt_m=(1, 16, 256),
+                 enable_tuning: bool = False):
+        self.cfg = cfg
+        self.layers = [QuantLlamaLayer(cfg, opt_m, enable_tuning, seed=i)
+                       for i in range(cfg.num_layers)]
+
+    def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+        for layer in self.layers:
+            x = layer_forward(layer, x, positions)
+        return x

@@ -1,0 +1,180 @@
+"""Mesh-sharded execution: tensor-parallel fused dequant matmuls.
+
+The reference is single-GPU by design (SURVEY.md §2.11 — TP is delegated to
+vLLM around BitBLAS layers). Here distribution is first-class: packed
+quantized weights and their scales/zeros shard over a `jax.sharding.Mesh`,
+and the fused kernel runs under `shard_map` with XLA collectives over ICI.
+
+Two classic layouts (Megatron-style):
+  * column-parallel: shard the output dim N. The packed weight [K, N*bits/8]
+    shards on its last axis (the slot-strided pack tile is 128*e columns =
+    128 packed words wide, so any N shard that is a multiple of the pack tile
+    preserves slot alignment — shard counts dividing N/pack_n are legal).
+    No collective needed; output stays N-sharded.
+  * row-parallel: shard the reduction dim K (weight axis 0, activation last
+    axis). Each device computes a partial matmul over its K shard; a psum
+    (all-reduce over ICI) combines — exactly MatmulWithSplitK's sum, done
+    across chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..kernels.dequant_matmul import make_dequant_matmul
+from ..kernels.spec import KernelSpec
+from ..ops.matmul_config import MatmulConfig
+from ..ops.weight_transform import DeviceWeights
+from ..quantization.packing import pack_tile_n
+from ..tuner import TileHint, default_hint, get_arch
+
+
+def _local(config: MatmulConfig, n: Optional[int] = None,
+           k: Optional[int] = None) -> MatmulConfig:
+    import dataclasses
+    return dataclasses.replace(config, N=n or config.N, K=k or config.K)
+
+
+def shard_weights_column(dw: DeviceWeights, mesh: Mesh, axis: str,
+                         config: MatmulConfig) -> DeviceWeights:
+    """Place device-layout weights column-parallel (N sharded) on the mesh."""
+    tp = mesh.shape[axis]
+    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
+    pack_n = pack_tile_n(config.N, e) if config.bit < 8 else 1
+    assert (config.N // tp) % max(pack_n, 1) == 0, \
+        f"N/tp={config.N//tp} must be a multiple of pack tile {pack_n}"
+    out = DeviceWeights(
+        qweight=jax.device_put(
+            dw.qweight, NamedSharding(mesh, P(None, axis))))
+    if dw.scales is not None:
+        out.scales = jax.device_put(
+            dw.scales, NamedSharding(mesh, P(None, None, axis)))
+    if dw.zeros is not None:
+        out.zeros = jax.device_put(
+            dw.zeros, NamedSharding(mesh, P(None, None, axis)))
+    if dw.bias is not None:
+        out.bias = jax.device_put(
+            dw.bias, NamedSharding(mesh, P(None, axis)))
+    return out
+
+
+def shard_weights_row(dw: DeviceWeights, mesh: Mesh, axis: str,
+                      config: MatmulConfig) -> DeviceWeights:
+    """Place device-layout weights row-parallel (K sharded) on the mesh."""
+    g = config.effective_group_size
+    tp = mesh.shape[axis]
+    assert (config.K // tp) % g == 0, "K shard must stay group-aligned"
+    out = DeviceWeights(
+        qweight=jax.device_put(dw.qweight, NamedSharding(mesh, P(axis, None))))
+    if dw.scales is not None:
+        out.scales = jax.device_put(
+            dw.scales, NamedSharding(mesh, P(axis, None, None)))
+    if dw.zeros is not None:
+        out.zeros = jax.device_put(
+            dw.zeros, NamedSharding(mesh, P(axis, None, None)))
+    if dw.bias is not None:
+        out.bias = jax.device_put(dw.bias, NamedSharding(mesh, P(None, None)))
+    return out
+
+
+def make_column_parallel_matmul(config: MatmulConfig, m: int, mesh: Mesh,
+                                axis: str = "tp",
+                                hint: Optional[TileHint] = None,
+                                interpret: Optional[bool] = None,
+                                gather_output: bool = False) -> Callable:
+    """fn(A_replicated, Wp, scales?, zeros?, bias?) -> out sharded on N
+    (or gathered when gather_output)."""
+    arch = get_arch()
+    if interpret is None:
+        interpret = arch.is_cpu
+    tp = mesh.shape[axis]
+    local_cfg = _local(config, n=config.N // tp)
+    spec = KernelSpec.from_config(local_cfg, m)
+    hint = hint or default_hint(spec, arch)
+    local_fn = make_dequant_matmul(spec, hint, interpret=interpret)
+
+    has_s, has_z, has_b = (config.with_scaling, config.with_zeros,
+                           config.with_bias)
+
+    def wrapped(A, Wp, scales, zeros, bias):
+        out = local_fn(A, Wp, scales=scales if has_s else None,
+                       zeros=zeros if has_z else None,
+                       bias=bias if has_b else None)
+        if gather_output:
+            out = jax.lax.all_gather(out, axis, axis=1, tiled=True)
+        return out
+
+    in_specs = (P(None, None), P(None, axis),
+                P(None, None, axis) if has_s else P(),
+                P(None, None, axis) if has_z else P(),
+                P(None, axis) if has_b else P())
+    out_specs = P(None, None) if gather_output else P(None, axis)
+    sm = shard_map(wrapped, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+
+    def fn(A, Wp, scales=None, zeros=None, bias=None):
+        dummy = jnp.zeros((1,), jnp.float32)
+        return sm(A, Wp,
+                  scales if has_s else dummy,
+                  zeros if has_z else dummy,
+                  bias if has_b else dummy)
+
+    return fn
+
+
+def make_row_parallel_matmul(config: MatmulConfig, m: int, mesh: Mesh,
+                             axis: str = "tp",
+                             hint: Optional[TileHint] = None,
+                             interpret: Optional[bool] = None,
+                             reduce_scatter: bool = False) -> Callable:
+    """fn(A_k_sharded, Wp, scales?, zeros?, bias?) -> out replicated via psum
+    (or N-sharded via psum_scatter when reduce_scatter)."""
+    arch = get_arch()
+    if interpret is None:
+        interpret = arch.is_cpu
+    tp = mesh.shape[axis]
+    local_cfg = _local(config, k=config.K // tp)
+    spec = KernelSpec.from_config(local_cfg, m)
+    hint = hint or default_hint(spec, arch)
+    local_fn = make_dequant_matmul(spec, hint, interpret=interpret)
+
+    has_s, has_z, has_b = (config.with_scaling, config.with_zeros,
+                           config.with_bias)
+
+    def wrapped(A, Wp, scales, zeros, bias):
+        out = local_fn(A, Wp, scales=scales if has_s else None,
+                       zeros=zeros if has_z else None, bias=None)
+        acc = out.astype(jnp.float32)
+        if reduce_scatter:
+            acc = jax.lax.psum_scatter(acc, axis, scatter_dimension=1,
+                                       tiled=True)
+        else:
+            acc = jax.lax.psum(acc, axis)
+        if has_b and bias is not None:
+            acc = acc + bias.astype(acc.dtype)
+        return acc.astype(out.dtype)
+
+    in_specs = (P(None, axis), P(axis, None),
+                P(axis, None, None) if has_s else P(),
+                P(axis, None, None) if has_z else P(),
+                (P(None, axis) if reduce_scatter else P(None, None))
+                if has_b else P())
+    out_specs = P(None, axis) if reduce_scatter else P(None, None)
+    sm = shard_map(wrapped, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_vma=False)
+
+    def fn(A, Wp, scales=None, zeros=None, bias=None):
+        dummy = jnp.zeros((1,), jnp.float32)
+        return sm(A, Wp,
+                  scales if has_s else dummy,
+                  zeros if has_z else dummy,
+                  bias if has_b else dummy)
+
+    return fn
