@@ -27,6 +27,17 @@ from __future__ import annotations
 
 import numpy as np
 
+_NATIVE_MIN_ELEMS = 1 << 20  # use the C++ library for checkpoint-scale arrays
+
+
+def _native():
+    """The compiled repack library (bitblas_tpu/native), or None."""
+    try:
+        from .. import native
+        return native if native.available() else None
+    except Exception:  # noqa: BLE001
+        return None
+
 
 # ---------------------------------------------------------------------------
 # Reference-compatible K-major packing (checkpoint interchange format)
@@ -35,8 +46,13 @@ import numpy as np
 def general_compress(unpacked: np.ndarray, bits: int = 4,
                      storage_dtype=np.int8) -> np.ndarray:
     """Pack along the last axis, LSB-first; bit-identical to the reference's
-    ``general_compress`` but vectorized."""
+    ``general_compress`` but vectorized (C++ path for large arrays)."""
     storage_bits = np.dtype(storage_dtype).itemsize * 8
+    nat = _native()
+    if (nat is not None and storage_bits == 8 and unpacked.ndim >= 2
+            and unpacked.size >= _NATIVE_MIN_ELEMS
+            and unpacked.dtype != np.float16):
+        return nat.general_compress(unpacked, bits)
     elems = storage_bits // bits
     if unpacked.dtype == np.float16:
         unpacked = unpacked.astype(np.int8)
@@ -53,6 +69,13 @@ def general_decompress(packed: np.ndarray, bits: int,
                        out_elems: int | None = None) -> np.ndarray:
     """Inverse of general_compress -> uint8 fields in [0, 2^bits)."""
     storage_bits = packed.dtype.itemsize * 8
+    nat = _native()
+    if (nat is not None and storage_bits == 8 and packed.ndim >= 2
+            and packed.size >= _NATIVE_MIN_ELEMS // 8):
+        out = nat.general_decompress(packed, bits)
+        if out_elems is not None:
+            out = out[..., :out_elems]
+        return out
     elems = storage_bits // bits
     udt = np.dtype(f"uint{storage_bits}")
     u = packed.view(udt)
@@ -183,6 +206,10 @@ def pack_nslot(unpacked_kn: np.ndarray, bits: int, tile_n: int,
     if tile_n % elems != 0 or N % tile_n != 0:
         raise ValueError(f"tile_n={tile_n} must divide N={N} and be divisible "
                          f"by elems={elems}")
+    nat = _native()
+    if (nat is not None and storage_bits == 8
+            and unpacked_kn.size >= _NATIVE_MIN_ELEMS):
+        return nat.pack_nslot(unpacked_kn, bits, tile_n)
     sub = tile_n // elems
     u = unpacked_kn.astype(np.uint32) & ((1 << bits) - 1)
     # [K, T, e, sub]: tile t, slot i, in-tile packed column j
