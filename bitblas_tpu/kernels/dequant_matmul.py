@@ -75,7 +75,7 @@ def _cast(x: jnp.ndarray, dtype) -> jnp.ndarray:
     if pair == {jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16)}:
         return x.astype(jnp.float32).astype(dtype)
     if (jnp.issubdtype(x.dtype, jnp.integer)
-            and dt in (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16))):
+            and dt == jnp.dtype(jnp.float16)):
         return x.astype(jnp.float32).astype(dtype)
     return x.astype(dtype)
 
@@ -160,7 +160,22 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
 
     mma = _mma_jdtype(hint.mma_dtype)
     int_path = spec.is_int_activation
-    acc_dtype = jnp.int32 if (int_path and hint.mma_dtype == "int8") else jnp.float32
+    # int32 accumulation only when nothing downstream needs float math: the
+    # scale/zero/telescope epilogues run in f32 (exact for |sums| < 2^24,
+    # i.e. K*2^(bits+7) < 2^24 — always true for LLM shapes).
+    has_float_epilogue = (spec.with_scaling or spec.with_zeros
+                          or (hint.decode_mode == "telescope"
+                              and spec.bits < 8
+                              and spec.family in ("uint", "int")))
+    acc_dtype = jnp.int32 if (int_path and hint.mma_dtype == "int8"
+                              and not has_float_epilogue) else jnp.float32
+    if (hint.decode_mode == "telescope" and spec.bits < 8
+            and spec.family in ("uint", "int") and mma == jnp.int8):
+        # Telescope t_0 operands span [0, 255]: int8 can't hold them, but
+        # bf16 represents both operands exactly and MXU products are full
+        # precision, so the bf16 path stays integer-exact.
+        mma = jnp.bfloat16
+        acc_dtype = jnp.float32
     out_dtype = as_jax_dtype(spec.out_dtype)
     f16 = jnp.dtype(jnp.float16)
     if not interpret and hint.mma_dtype == "float16":
@@ -240,8 +255,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         zwords = z_ref[...][:, 0, :].astype(jnp.int32) if quantized_zeros else None
         lut_vals = lut_ref[0, :] if is_nf_take else None
 
+        use_tele_pre = (hint.decode_mode == "telescope" and spec.bits < 8
+                        and spec.family in ("uint", "int"))
         need_epilogue = spec.with_scaling or spec.with_zeros
-        if spec.with_zeros:
+        need_rowsums = spec.with_zeros or (use_tele_pre
+                                           and spec.family == "int")
+        if need_rowsums:
             rowsums = [
                 jnp.sum(a[:, gi * glen:(gi + 1) * glen].astype(jnp.float32),
                         axis=1, keepdims=True)
@@ -253,44 +272,81 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                 x, y, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype, precision=precision)
 
-        for (col0, width, slot, w0) in segments:
-            cols = slice(col0, col0 + width)
-            wslice = words[:, w0:w0 + width]
-            if spec.bits < 8:
-                field = (wslice >> (slot * spec.bits)) & mask_v
-                w = _decode_field(spec, hint, field, lut_vals)
+        def epilogue(d, gi, cols, w0, width, slot, extra_sub=0.0):
+            """Apply int-bias / scale / zeros to a raw-field dot result.
+            `extra_sub` subtracts a constant-per-element (times rowsum) in
+            the same pass (telescope int bias)."""
+            s_row = None
+            if spec.with_scaling:
+                s_row = s_ref[...][gi, :, cols].astype(jnp.float32)
+            if spec.with_zeros:
+                if quantized_zeros:
+                    z_row = ((zwords[gi:gi + 1, w0:w0 + width]
+                              >> (slot * spec.bits)) & mask_v
+                             ).astype(jnp.float32)
+                else:
+                    z_row = z_ref[...][gi, :, cols].astype(jnp.float32)
+                ra = rowsums[gi]
+                if quantized_zeros or spec.zeros_mode == "original":
+                    d = d - ra * (z_row + extra_sub)
+                    if s_row is not None:
+                        d = d * s_row
+                else:  # rescale: w*s - z
+                    if extra_sub:
+                        d = d - ra * extra_sub
+                    d = d * s_row - ra * z_row
             else:
-                w = _decode_byte(spec, hint, wslice)
-
-            if not need_epilogue:
-                acc_ref[:, cols] += dot(a, w)
-                continue
-
-            contrib = jnp.zeros((a.shape[0], width), dtype=acc_dtype)
-            for gi in range(gpt):
-                rows = slice(gi * glen, (gi + 1) * glen)
-                d = dot(a[:, rows], w[rows])
-                s_row = None
-                if spec.with_scaling:
-                    s_row = s_ref[...][gi, :, cols].astype(jnp.float32)
-                if spec.with_zeros:
-                    if quantized_zeros:
-                        z_row = ((zwords[gi:gi + 1, w0:w0 + width]
-                                  >> (slot * spec.bits)) & mask_v
-                                 ).astype(jnp.float32)
-                    else:
-                        z_row = z_ref[...][gi, :, cols].astype(jnp.float32)
-                    ra = rowsums[gi]
-                    if quantized_zeros or spec.zeros_mode == "original":
-                        d = d - ra * z_row
-                        if s_row is not None:
-                            d = d * s_row
-                    else:  # rescale: w*s - z
-                        d = d * s_row - ra * z_row
-                elif s_row is not None:
+                if extra_sub:
+                    d = d - rowsums[gi] * extra_sub
+                if s_row is not None:
                     d = d * s_row
-                contrib = contrib + d
-            acc_ref[:, cols] += contrib
+            return d
+
+        use_telescope = (hint.decode_mode == "telescope" and spec.bits < 8
+                         and spec.family in ("uint", "int"))
+        ibias = float(1 << (spec.bits - 1)) if spec.family == "int" else 0.0
+
+        if use_telescope:
+            # Per pack tile: dot the masked byte shifted by j*bits for every
+            # j, recover slot j as t_j - 2^bits * t_{j+1} in the epilogue.
+            # VPU cost: 1 mask + (e-1) shifts + e casts per word.
+            base = float(1 << spec.bits)
+            sub_w = wp_width // max(1, (BN // pack_n))  # words per tile
+            for t in range(BN // pack_n):
+                wt = words[:, t * sub_w:(t + 1) * sub_w] & 0xFF
+                shifted = [_cast(wt if j == 0 else (wt >> (j * spec.bits)),
+                                 mma) for j in range(e)]
+                for gi in range(gpt):
+                    rows = slice(gi * glen, (gi + 1) * glen)
+                    tj = [dot(a[:, rows], sh[rows]) for sh in shifted]
+                    for j in range(e):
+                        d = tj[j] - base * tj[j + 1] if j < e - 1 else tj[j]
+                        col0 = t * pack_n + j * (pack_n // e)
+                        width = pack_n // e
+                        cols = slice(col0, col0 + width)
+                        d = epilogue(d, gi, cols, t * sub_w, width, j,
+                                     extra_sub=ibias)
+                        acc_ref[:, cols] += d
+        else:
+            for (col0, width, slot, w0) in segments:
+                cols = slice(col0, col0 + width)
+                wslice = words[:, w0:w0 + width]
+                if spec.bits < 8:
+                    field = (wslice >> (slot * spec.bits)) & mask_v
+                    w = _decode_field(spec, hint, field, lut_vals)
+                else:
+                    w = _decode_byte(spec, hint, wslice)
+
+                if not need_epilogue:
+                    acc_ref[:, cols] += dot(a, w)
+                    continue
+
+                contrib = jnp.zeros((a.shape[0], width), dtype=acc_dtype)
+                for gi in range(gpt):
+                    rows = slice(gi * glen, (gi + 1) * glen)
+                    d = dot(a[:, rows], w[rows])
+                    contrib = contrib + epilogue(d, gi, cols, w0, width, slot)
+                acc_ref[:, cols] += contrib
 
         @pl.when(k == nk - 1)
         def _finish():

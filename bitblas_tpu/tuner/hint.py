@@ -28,6 +28,13 @@ class TileHint:
     precision: str = "default"
     # NF4 LUT strategy: "take" (dynamic gather) or "select" (branchless mux).
     lut_mode: str = "take"
+    # Sub-byte decode strategy for int/uint weights:
+    #   "mask"      — per-slot shift+mask+cast (classic)
+    #   "telescope" — dot the raw/shifted bytes and recover each slot as a
+    #                 linear combination in the f32 epilogue (fewer VPU ops;
+    #                 exact because byte values are bf16-exact and MXU
+    #                 products round only at f32 accumulation)
+    decode_mode: str = "mask"
     # Cap Mosaic VMEM usage; None = compiler default.
     vmem_limit_bytes: Optional[int] = None
 

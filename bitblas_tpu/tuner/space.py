@@ -91,6 +91,10 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
         dec_ops = 1.0
     if spec.fast_decoding:
         dec_ops = max(dec_ops - 1.0, 2.0)
+    if (hint.decode_mode == "telescope" and spec.bits < 8
+            and spec.family in ("uint", "int")):
+        # 1 mask + (e-1) shifts + e casts per e-element word
+        dec_ops = 2.0 + 1.0 / e
     t_vpu = (K * N * m_tiles * dec_ops) / arch.vpu_ops
 
     return max(t_mem, t_mxu, t_vpu)
@@ -126,16 +130,23 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
     else:
         mma_opts = ("bfloat16", "float32")
 
+    decode_opts = ("mask",)
+    if spec.family in ("uint", "int") and spec.bits < 8:
+        decode_opts = ("telescope", "mask")
+
     hints = []
     for bm in bm_opts:
         for bn in bn_opts:
             for bk in bk_opts:
                 for mma in mma_opts:
-                    h = TileHint(block_m=bm, block_n=bn, block_k=bk,
-                                 mma_dtype=mma)
-                    if vmem_usage(spec, h) > arch.vmem_bytes:
-                        continue
-                    hints.append(h)
+                    for dm in decode_opts:
+                        if dm == "telescope" and mma == "int8":
+                            continue  # kernel legalizes to bf16 (duplicate)
+                        h = TileHint(block_m=bm, block_n=bn, block_k=bk,
+                                     mma_dtype=mma, decode_mode=dm)
+                        if vmem_usage(spec, h) > arch.vmem_bytes:
+                            continue
+                        hints.append(h)
 
     hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
     return hints[:max_candidates]

@@ -1,0 +1,71 @@
+"""Standalone operator benchmark over LLM shape sets.
+
+TPU port of /root/reference/benchmark/operators/benchmark_ops_matmul.py: the
+same (N, K) shape table drawn from BLOOM/OPT/LLAMA/LLAMA-2 (reference
+benchmark/README.md:44-77), swept at GEMV (M=1) and GEMM (M=4096) regimes
+for FP16xFP16, INT8xINT8, FP16xUINT4, FP16xUINT2 and INT8xUINT2.
+
+Usage: PYTHONPATH=. python scripts/benchmark_ops_matmul.py [--tune] [--json out.json]
+"""
+
+import argparse
+import sys
+
+from bitblas_tpu import Matmul, MatmulConfig
+from bitblas_tpu.benchmark import OperatorBenchmarkBase
+
+# (N, K) pairs — llama/bloom/opt projection shapes (benchmark/README.md).
+LLM_SHAPES = [
+    (4096, 4096), (11008, 4096), (4096, 11008),       # llama-2-7b
+    (8192, 8192), (28672, 8192), (8192, 28672),       # llama-2-70b
+    (14336, 14336), (57344, 14336), (14336, 57344),   # bloom-176b
+]
+
+DTYPE_SETS = [
+    ("fp16xfp16", dict(A_dtype="float16", W_dtype="float16")),
+    ("int8xint8", dict(A_dtype="int8", W_dtype="int8", accum_dtype="int32",
+                       out_dtype="int32")),
+    ("fp16xuint4", dict(A_dtype="float16", W_dtype="uint4",
+                        with_scaling=True, group_size=128)),
+    ("fp16xuint2", dict(A_dtype="float16", W_dtype="uint2",
+                        with_scaling=True, group_size=128)),
+    ("int8xint2", dict(A_dtype="int8", W_dtype="int2", accum_dtype="int32",
+                       out_dtype="float32")),
+]
+
+
+class MatmulBenchmark(OperatorBenchmarkBase):
+    pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tune", action="store_true")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--m", type=int, nargs="*", default=[1, 4096])
+    ap.add_argument("--sets", nargs="*",
+                    default=[n for n, _ in DTYPE_SETS])
+    args = ap.parse_args()
+
+    bench = MatmulBenchmark()
+    for set_name, kw in DTYPE_SETS:
+        if set_name not in args.sets:
+            continue
+        entries = []
+        for m in args.m:
+            for n, k in LLM_SHAPES:
+                cfg = MatmulConfig(M=m, N=n, K=k, **kw)
+                entries.append((
+                    f"{set_name}_m{m}_n{n}_k{k}", cfg,
+                    lambda c: Matmul(c, enable_tuning=False)))
+        bench.add_benchmark_set(set_name, entries)
+
+    bench.run(enable_tuning=args.tune)
+    print(bench.report())
+    if args.json:
+        bench.save_results(args.json)
+        print(f"saved {args.json}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -171,3 +171,37 @@ class TestShapes:
         hint = TileHint(block_m=8, block_n=512, block_k=512,
                         mma_dtype="float16", precision="highest")
         run_case(cfg, 1, hint=hint)
+
+
+class TestTelescopeDecode:
+    """decode_mode=telescope: slot recovery via linear combination of raw
+    byte dots; must match the oracle for every int/uint format + modes."""
+
+    @pytest.mark.parametrize("wdtype", ["uint4", "uint2", "uint1", "int4",
+                                        "int2", "int1"])
+    def test_plain(self, wdtype):
+        cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="float16", W_dtype=wdtype,
+                           fast_decoding=False)
+        hint = TileHint(block_m=64, block_n=512, block_k=128,
+                        mma_dtype="float32", precision="highest",
+                        decode_mode="telescope")
+        run_case(cfg, 16, hint=hint)
+
+    @pytest.mark.parametrize("zeros_mode", ["original", "rescale", "quantized"])
+    def test_scaling_zeros(self, zeros_mode):
+        cfg = MatmulConfig(M=32, N=N, K=K, A_dtype="float16", W_dtype="uint4",
+                           with_scaling=True, with_zeros=True,
+                           zeros_mode=zeros_mode, group_size=128,
+                           fast_decoding=False)
+        hint = TileHint(block_m=64, block_n=512, block_k=256,
+                        mma_dtype="float32", precision="highest",
+                        decode_mode="telescope")
+        run_case(cfg, 32, hint=hint)
+
+    def test_int2_int8_bitnet_exact(self):
+        cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="int8", W_dtype="int2",
+                           accum_dtype="int32", out_dtype="float32")
+        hint = TileHint(block_m=64, block_n=512, block_k=128,
+                        mma_dtype="float32", precision="highest",
+                        decode_mode="telescope")
+        run_case(cfg, 16, hint=hint, rtol=0, atol=0)
