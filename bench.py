@@ -43,13 +43,16 @@ def main():
     N = K = 4096
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
 
-    # Curated hints (from on-chip sweeps; see scripts/tpu_perf.py).
+    # Curated hints (from on-chip sweeps; see scripts/tpu_perf*.py).
     def curated(m, w_dtype):
         if m <= 16:
-            return TileHint(block_m=256, block_n=512, block_k=1024,
-                            mma_dtype="bfloat16")
+            if w_dtype == "int2":
+                return TileHint(block_m=256, block_n=1024, block_k=2048,
+                                mma_dtype="bfloat16", decode_mode="telescope")
+            return TileHint(block_m=256, block_n=512, block_k=4096,
+                            mma_dtype="bfloat16", decode_mode="telescope")
         return TileHint(block_m=512, block_n=1024, block_k=256,
-                        mma_dtype="bfloat16")
+                        mma_dtype="bfloat16", decode_mode="telescope")
 
     configs = []
     for m in (1, 16, 256, 4096):

@@ -92,16 +92,18 @@ def measure_chained(chained: Callable, *, est_iters: int = 32,
 
     n1 = 4
     n2 = n1 + max(16, int(target_sec / per_iter))
-    best = float("inf")
-    for _ in range(repeats):
+    slopes = []
+    for _ in range(max(repeats, 3)):
         t0 = time.perf_counter()
         np.asarray(chained(n1))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         np.asarray(chained(n2))
         t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return max(best, 1e-9)
+        slopes.append((t2 - t1) / (n2 - n1))
+    # median: individual slopes can be wildly off (launch-overhead noise in
+    # the short run), min would keep those outliers.
+    return max(float(np.median(slopes)), 1e-9)
 
 
 def measure_kernel(fn: Callable, args: Sequence, *, inject: Optional[int] = None,
