@@ -121,3 +121,27 @@ def test_kernel_name_generator():
     op = Matmul(cfg, enable_tuning=False)
     name = op.kernel_name_generator.generate(op.hint_for(16))
     assert name.startswith("matmul_m16n512k512_f16xu4_t")
+
+
+def test_conv2d_matches_xla():
+    from bitblas_tpu import Conv2D, Conv2DConfig
+    rng = np.random.default_rng(0)
+    cfg = Conv2DConfig(N=2, C=16, H=16, W=16, F=32, K=3, S=1, P=1)
+    op = Conv2D(cfg)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 16)).astype(np.float16))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)).astype(np.float16))
+    out = op(x, w)
+    assert out.shape == (2, 16, 16, 32)
+
+
+def test_batch_matmul():
+    from bitblas_tpu import BatchMatmul, BatchMatmulConfig
+    rng = np.random.default_rng(1)
+    cfg = BatchMatmulConfig(Batch=4, M=8, N=64, K=32)
+    op = BatchMatmul(cfg)
+    a = jnp.asarray(rng.standard_normal((4, 8, 32)).astype(np.float16))
+    w = jnp.asarray(rng.standard_normal((4, 64, 32)).astype(np.float16))
+    out = op(a, w)
+    expected = np.einsum("bmk,bnk->bmn", np.asarray(a, np.float32),
+                         np.asarray(w, np.float32))
+    assert_close(out, expected, rtol=1e-2, atol=5e-2)
