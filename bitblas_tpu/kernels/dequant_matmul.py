@@ -167,10 +167,20 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                           or (hint.decode_mode == "telescope"
                               and spec.bits < 8
                               and spec.family in ("uint", "int")))
+    # int8-MXU telescope: xor the stored byte with 0x80 in-kernel, making
+    # every shifted operand an int8-representable linear function of the
+    # slots; the xor corrections cancel telescopically (c_j = 2^bits *
+    # c_{j+1}), leaving only a rowsum term on the top slot. Arithmetic stays
+    # int32-exact end to end.
+    tele_i8 = (hint.decode_mode == "telescope" and spec.bits < 8
+               and spec.family in ("uint", "int") and mma == jnp.int8
+               and int_path and spec.storage_bits == 8)
     acc_dtype = jnp.int32 if (int_path and hint.mma_dtype == "int8"
-                              and not has_float_epilogue) else jnp.float32
+                              and not (spec.with_scaling or spec.with_zeros))\
+        else jnp.float32
     if (hint.decode_mode == "telescope" and spec.bits < 8
-            and spec.family in ("uint", "int") and mma == jnp.int8):
+            and spec.family in ("uint", "int") and mma == jnp.int8
+            and not tele_i8):
         # Telescope t_0 operands span [0, 255]: int8 can't hold them, but
         # bf16 represents both operands exactly and MXU products are full
         # precision, so the bf16 path stays integer-exact.
@@ -259,18 +269,21 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                         and spec.family in ("uint", "int"))
         need_epilogue = spec.with_scaling or spec.with_zeros
         need_rowsums = spec.with_zeros or (use_tele_pre
-                                           and spec.family == "int")
+                                           and spec.family == "int") or tele_i8
         if need_rowsums:
+            rs_dtype = jnp.int32 if tele_i8 else jnp.float32
             rowsums = [
-                jnp.sum(a[:, gi * glen:(gi + 1) * glen].astype(jnp.float32),
+                jnp.sum(a[:, gi * glen:(gi + 1) * glen].astype(rs_dtype),
                         axis=1, keepdims=True)
                 for gi in range(gpt)
             ]
 
+        dot_pref = jnp.int32 if tele_i8 else acc_dtype
+
         def dot(x, y):
             return jax.lax.dot_general(
                 x, y, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype, precision=precision)
+                preferred_element_type=dot_pref, precision=precision)
 
         def epilogue(d, gi, cols, w0, width, slot, extra_sub=0.0):
             """Apply int-bias / scale / zeros to a raw-field dot result.
@@ -303,10 +316,45 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             return d
 
         use_telescope = (hint.decode_mode == "telescope" and spec.bits < 8
-                         and spec.family in ("uint", "int"))
+                         and spec.family in ("uint", "int") and not tele_i8)
         ibias = float(1 << (spec.bits - 1)) if spec.family == "int" else 0.0
 
-        if use_telescope:
+        if tele_i8:
+            # Integer-exact int8-MXU telescope (see header note). stored^0x80
+            # = u - 128; shifted operands (u-128)>>bits*j = u>>bits*j -
+            # 128>>bits*j, all within int8. Corrections cancel between
+            # adjacent levels; only the top slot carries +2^(bits-1)*rowsum,
+            # and the signed-int bias contributes -2^(bits-1)*rowsum per slot
+            # (so the top slot of the int family needs none at all).
+            base_i = 1 << spec.bits
+            half = 1 << (spec.bits - 1)
+            sub_w = wp_width // max(1, (BN // pack_n))
+            for t in range(BN // pack_n):
+                wx = raw[:, t * sub_w:(t + 1) * sub_w] ^ jnp.int8(-128)
+                wx32 = wx.astype(jnp.int32)
+                shifted = [wx] + [
+                    (wx32 >> (j * spec.bits)).astype(jnp.int8)
+                    for j in range(1, e)]
+                for gi in range(gpt):
+                    rows = slice(gi * glen, (gi + 1) * glen)
+                    tj = [dot(a[:, rows], sh[rows]) for sh in shifted]
+                    ra = rowsums[gi]
+                    for j in range(e):
+                        d = tj[j] - base_i * tj[j + 1] if j < e - 1 else tj[j]
+                        if spec.family == "int":
+                            if j < e - 1:
+                                d = d - half * ra
+                        else:  # uint
+                            if j == e - 1:
+                                d = d + half * ra
+                        col0 = t * pack_n + j * (pack_n // e)
+                        width = pack_n // e
+                        cols = slice(col0, col0 + width)
+                        if need_epilogue:
+                            d = epilogue(d.astype(jnp.float32), gi, cols,
+                                         t * sub_w, width, j)
+                        acc_ref[:, cols] += _cast(d, acc_dtype)
+        elif use_telescope:
             # Per pack tile: dot the masked byte shifted by j*bits for every
             # j, recover slot j as t_j - 2^bits * t_{j+1} in the epilogue.
             # VPU cost: 1 mask + (e-1) shifts + e casts per word.

@@ -1,0 +1,101 @@
+"""KV cache for decode serving.
+
+The reference has no serving layer (it delegates to vLLM); the north star
+(BASELINE.json) asks for KV-cache tensor sharding + continuous batching.
+This is a slot-based (static-shape, jit-friendly) cache:
+
+  k/v : [num_slots, max_seq_len, kv_heads, head_dim]
+
+sharded over the mesh on the kv_heads axis for TP (same axis the attention
+heads shard on). All updates are functional `.at[]` scatters with static
+shapes — no retracing as requests come and go.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class KVCacheConfig:
+    num_slots: int
+    max_seq_len: int
+    num_kv_heads: int
+    head_dim: int
+    num_layers: int
+    dtype: str = "bfloat16"
+
+
+def init_kv_cache(cfg: KVCacheConfig) -> Dict[str, jnp.ndarray]:
+    dt = jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, cfg.num_slots, cfg.max_seq_len,
+             cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dt),
+        "v": jnp.zeros(shape, dt),
+        "lengths": jnp.zeros((cfg.num_slots,), jnp.int32),
+    }
+
+
+def shard_kv_cache(cache: Dict[str, jnp.ndarray], mesh, axis: str = "tp"):
+    """Shard k/v on the kv_heads dim; lengths replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    kv_spec = NamedSharding(mesh, P(None, None, None, axis, None))
+    return {
+        "k": jax.device_put(cache["k"], kv_spec),
+        "v": jax.device_put(cache["v"], kv_spec),
+        "lengths": jax.device_put(cache["lengths"],
+                                  NamedSharding(mesh, P(None))),
+    }
+
+
+def write_prompt(cache: Dict[str, jnp.ndarray], layer: int, slot: jnp.ndarray,
+                 k: jnp.ndarray, v: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Write a full prompt's K/V for one slot: k/v [S, H, D] (static S)."""
+    S = k.shape[0]
+    cache = dict(cache)
+    cache["k"] = jax.lax.dynamic_update_slice(
+        cache["k"], k[None, None], (layer, slot, 0, 0, 0))
+    cache["v"] = jax.lax.dynamic_update_slice(
+        cache["v"], v[None, None], (layer, slot, 0, 0, 0))
+    return cache
+
+
+def append_token(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                 slots: jnp.ndarray, positions: jnp.ndarray,
+                 k_new: jnp.ndarray, v_new: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-layer decode append: cache_k/v [slots, L, H, D]; slots [B];
+    positions [B]; k/v_new [B, H, D]."""
+    cache_k = cache_k.at[slots, positions].set(k_new.astype(cache_k.dtype))
+    cache_v = cache_v.at[slots, positions].set(v_new.astype(cache_v.dtype))
+    return cache_k, cache_v
+
+
+def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
+                     cache_v: jnp.ndarray, slots: jnp.ndarray,
+                     lengths: jnp.ndarray, *, num_heads: int) -> jnp.ndarray:
+    """Single-token attention against the cache.
+
+    q [B, H, D]; cache_k/v [slots, L, Hkv, D]; lengths [B] = valid tokens
+    (including the one just appended). Returns [B, H, D].
+    """
+    B, H, D = q.shape
+    k = cache_k[slots]  # [B, L, Hkv, D]
+    v = cache_v[slots]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    kf = k.astype(jnp.float32)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, kf) / jnp.sqrt(jnp.float32(D))
+    L = k.shape[1]
+    mask = jnp.arange(L)[None, :] < lengths[:, None]          # [B, L]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgl,blhd->bhgd", p, v.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)

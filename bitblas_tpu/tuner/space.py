@@ -109,7 +109,7 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
 
     m_pad = max(M, 8)
     bm_opts = sorted({min(b, 1 << (m_pad - 1).bit_length())
-                      for b in (8, 16, 32, 64, 128, 256, 512)
+                      for b in (8, 16, 32, 64, 128, 256, 512, 1024)
                       if b <= 2 * m_pad})
 
     lane_base = 128 * e if (N % (128 * e) == 0 and 128 * e <= N) else e * 128
@@ -140,8 +140,6 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
             for bk in bk_opts:
                 for mma in mma_opts:
                     for dm in decode_opts:
-                        if dm == "telescope" and mma == "int8":
-                            continue  # kernel legalizes to bf16 (duplicate)
                         h = TileHint(block_m=bm, block_n=bn, block_k=bk,
                                      mma_dtype=mma, decode_mode=dm)
                         if vmem_usage(spec, h) > arch.vmem_bytes:

@@ -205,3 +205,37 @@ class TestTelescopeDecode:
                         mma_dtype="float32", precision="highest",
                         decode_mode="telescope")
         run_case(cfg, 16, hint=hint, rtol=0, atol=0)
+
+
+class TestInt8MXUTelescope:
+    """tele_i8: xor-offset int8-MXU telescope must be integer-exact."""
+
+    @pytest.mark.parametrize("wdtype", ["int2", "int4", "int1", "uint2",
+                                        "uint4"])
+    def test_exact(self, wdtype):
+        cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="int8", W_dtype=wdtype,
+                           accum_dtype="int32", out_dtype="float32")
+        hint = TileHint(block_m=64, block_n=512, block_k=128,
+                        mma_dtype="int8", decode_mode="telescope")
+        run_case(cfg, 16, hint=hint, rtol=0, atol=0)
+
+    def test_uint4_int8_with_scaling_exact(self):
+        # tele_i8 with scaling is MORE exact than the oracle (the oracle
+        # rounds each dequantized weight to f16; the kernel applies the
+        # group scale to an exact integer dot) — compare against f64 truth.
+        from bitblas_tpu.quantization import packing
+        cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="int8", W_dtype="uint4",
+                           with_scaling=True, group_size=128,
+                           accum_dtype="int32", out_dtype="float32")
+        ops = random_reference_operands(cfg, 16, 0)
+        codes = packing.general_decompress(ops.qweight, 4).astype(np.float64)
+        s_full = np.repeat(np.asarray(ops.scales, np.float64), 128, axis=1)
+        truth = ops.A.astype(np.float64) @ (codes * s_full).T
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        spec = KernelSpec.from_config(cfg, 16)
+        hint = TileHint(block_m=64, block_n=512, block_k=128,
+                        mma_dtype="int8", decode_mode="telescope")
+        fn = make_dequant_matmul(spec, hint, interpret=True)
+        got = fn(jnp.asarray(ops.A), jnp.asarray(dw.qweight),
+                 scales=jnp.asarray(dw.scales))
+        assert_close(got, truth, rtol=1e-6, atol=1e-4)
