@@ -45,13 +45,17 @@ def main():
 
     # Curated hints (from on-chip sweeps; see scripts/tpu_perf*.py).
     def curated(m, w_dtype):
-        if m <= 16:
-            if w_dtype == "int2":
-                return TileHint(block_m=256, block_n=1024, block_k=2048,
+        if w_dtype == "int2":
+            if m <= 16:
+                return TileHint(block_m=256, block_n=1024, block_k=1024,
                                 mma_dtype="bfloat16", decode_mode="telescope")
+            # compute-bound W2A8 wants the int8 MXU (2x bf16 rate)
+            return TileHint(block_m=512, block_n=1024, block_k=1024,
+                            mma_dtype="int8", decode_mode="mask")
+        if m <= 16:
             return TileHint(block_m=256, block_n=512, block_k=4096,
                             mma_dtype="bfloat16", decode_mode="telescope")
-        return TileHint(block_m=512, block_n=1024, block_k=256,
+        return TileHint(block_m=1024, block_n=1024, block_k=256,
                         mma_dtype="bfloat16", decode_mode="telescope")
 
     configs = []

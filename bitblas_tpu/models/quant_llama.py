@@ -107,8 +107,10 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
                   positions: jnp.ndarray, *, causal: bool = True,
-                  flash: Optional[callable] = None) -> jnp.ndarray:
-    """x [B, S, hidden] -> [B, S, hidden]."""
+                  flash: Optional[callable] = None,
+                  return_kv: bool = False):
+    """x [B, S, hidden] -> [B, S, hidden] (optionally also rope-applied K/V
+    [B, S, Hkv, D] for KV-cache prefill)."""
     cfg = layer.cfg
     B, S, _ = x.shape
     h = rmsnorm(x, layer.attn_norm)
@@ -117,6 +119,7 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     v = layer.proj("v", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
+    kv_out = (k, v) if return_kv else None
     if flash is not None:
         attn = flash(q, k, v)
     else:
@@ -140,6 +143,8 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     act = (jax.nn.silu(gate.astype(jnp.float32))
            * up.astype(jnp.float32)).astype(x.dtype)
     x = x + layer.proj("down", act)
+    if return_kv:
+        return x, kv_out[0], kv_out[1]
     return x
 
 
@@ -157,3 +162,62 @@ class QuantLlama:
         for layer in self.layers:
             x = layer_forward(layer, x, positions)
         return x
+
+    # -- serving hooks (see serving/engine.py) --------------------------------
+    def make_prefill(self, seq_len: int):
+        """Returns fn(x [1, S, H], positions) -> (hidden, ks, vs) where
+        ks/vs are per-layer rope-applied K/V [S, Hkv, D] for the KV cache."""
+        del seq_len  # shape comes from the traced input
+
+        def prefill(x, positions):
+            ks, vs = [], []
+            for layer in self.layers:
+                x, k, v = layer_forward(layer, x, positions, return_kv=True)
+                ks.append(k[0])
+                vs.append(v[0])
+            return x, ks, vs
+
+        return prefill
+
+    def decode_step(self, x: jnp.ndarray, caches_k: jnp.ndarray,
+                    caches_v: jnp.ndarray, slots: jnp.ndarray,
+                    lengths: jnp.ndarray):
+        """One-token decode across B slots.
+
+        x [B, 1, H]; caches_k/v [L, slots, Lmax, Hkv, D]; lengths [B] =
+        tokens already in each slot's cache. Returns (hidden [B, 1, H],
+        caches_k, caches_v) with the new token appended at position
+        lengths[b].
+        """
+        from ..serving.kv_cache import append_token, decode_attention
+
+        cfg = self.cfg
+        B = x.shape[0]
+        positions = lengths[:, None]  # [B, 1] — new token index
+        for li, layer in enumerate(self.layers):
+            h = rmsnorm(x, layer.attn_norm)
+            h2 = h.reshape(B, cfg.hidden_size)
+            q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
+            k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)[:, 0]      # [B, H, D]
+            k = rope(k, positions, cfg.rope_theta)[:, 0]      # [B, Hkv, D]
+            v = v[:, 0]
+            ck, cv = append_token(caches_k[li], caches_v[li], slots,
+                                  lengths, k, v)
+            caches_k = caches_k.at[li].set(ck)
+            caches_v = caches_v.at[li].set(cv)
+            attn = decode_attention(q, ck, cv, slots, lengths + 1,
+                                    num_heads=cfg.num_heads)
+            attn = attn.reshape(B, cfg.hidden_size)
+            x = x + layer.proj("o", attn)[:, None, :]
+            h = rmsnorm(x, layer.mlp_norm)
+            h2 = h.reshape(B, cfg.hidden_size)
+            gate = layer.proj("gate", h2)
+            up = layer.proj("up", h2)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.proj("down", act)[:, None, :]
+        return x, caches_k, caches_v

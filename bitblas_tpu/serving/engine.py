@@ -1,0 +1,160 @@
+"""Continuous-batching decode engine.
+
+Minimal-but-real serving loop for quantized models (BASELINE.json config #5
+asks for continuous batching; the reference delegates this to vLLM):
+
+* a fixed pool of `num_slots` sequence slots backed by the static-shape KV
+  cache (serving/kv_cache.py) — requests join/leave the batch between steps
+  without retracing;
+* `step()` runs one jitted decode step for every active slot (inactive slots
+  are masked by their cache length and cost nothing semantically);
+* prefill writes the prompt's K/V with bucketed-length jits.
+
+The model plugs in via two callables (see models/quant_llama.decode_fns):
+  prefill_fn(x [1, S, H], positions) -> (hidden, k_list, v_list)
+  decode_fn(x [B, 1, H], caches, slots, lengths) -> (hidden, new_k, new_v)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray          # [S, hidden] prompt hidden states (or tokens)
+    max_new: int = 16
+    generated: int = 0
+    slot: int = -1
+    done: bool = False
+
+
+class SlotAllocator:
+    def __init__(self, num_slots: int):
+        self.free = list(range(num_slots))[::-1]
+
+    def alloc(self) -> Optional[int]:
+        return self.free.pop() if self.free else None
+
+    def release(self, slot: int):
+        self.free.append(slot)
+
+
+class ContinuousBatchingEngine:
+    """Drives decode steps over a slot pool; host-side scheduling, jitted
+    device steps. Works on CPU-interpret and real TPUs alike."""
+
+    def __init__(self, model, num_slots: int, max_seq_len: int):
+        self.model = model
+        self.cfg = model.cfg
+        self.num_slots = num_slots
+        self.max_seq_len = max_seq_len
+        self.alloc = SlotAllocator(num_slots)
+        self.active: Dict[int, Request] = {}
+        self.pending: List[Request] = []
+        self.finished: List[Request] = []
+
+        c = self.cfg
+        self.caches_k = jnp.zeros(
+            (c.num_layers, num_slots, max_seq_len, c.num_kv_heads, c.head_dim),
+            jnp.bfloat16)
+        self.caches_v = jnp.zeros_like(self.caches_k)
+        self.lengths = np.zeros((num_slots,), np.int32)
+        self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
+
+        self._decode_step = jax.jit(self._make_decode_step())
+        self._prefills = {}
+
+    # -- request lifecycle -----------------------------------------------------
+    def submit(self, req: Request):
+        self.pending.append(req)
+
+    def _admit(self):
+        while self.pending:
+            slot = self.alloc.alloc()
+            if slot is None:
+                return
+            req = self.pending.pop(0)
+            req.slot = slot
+            self._prefill(req)
+            self.active[slot] = req
+
+    def _prefill_fn_for(self, s_bucket: int):
+        if s_bucket not in self._prefills:
+            self._prefills[s_bucket] = jax.jit(
+                self.model.make_prefill(s_bucket))
+        return self._prefills[s_bucket]
+
+    def _prefill(self, req: Request):
+        S = req.prompt.shape[0]
+        bucket = 1 << (max(S - 1, 0)).bit_length() if S > 1 else 1
+        bucket = min(bucket, self.max_seq_len)
+        x = np.zeros((1, bucket, self.cfg.hidden_size), np.float16)
+        x[0, :S] = req.prompt
+        positions = np.arange(bucket)[None, :]
+        hidden, ks, vs = self._prefill_fn_for(bucket)(
+            jnp.asarray(x), jnp.asarray(positions))
+        # write prompt K/V into the slot (only the first S rows are valid)
+        for layer in range(self.cfg.num_layers):
+            self.caches_k = jax.lax.dynamic_update_slice(
+                self.caches_k,
+                ks[layer].astype(self.caches_k.dtype)[None, None],
+                (layer, req.slot, 0, 0, 0))
+            self.caches_v = jax.lax.dynamic_update_slice(
+                self.caches_v,
+                vs[layer].astype(self.caches_v.dtype)[None, None],
+                (layer, req.slot, 0, 0, 0))
+        self.lengths[req.slot] = S
+        self.last_hidden = self.last_hidden.at[req.slot].set(
+            hidden[0, S - 1].astype(self.last_hidden.dtype))
+
+    def _make_decode_step(self):
+        model = self.model
+
+        def step(x, caches_k, caches_v, slots, lengths):
+            # x [num_slots, hidden] -> one token step for every slot.
+            return model.decode_step(x[:, None, :], caches_k, caches_v,
+                                     slots, lengths)
+
+        return step
+
+    # -- main loop ---------------------------------------------------------------
+    def step(self) -> int:
+        """One decode step across all active slots; returns #active."""
+        self._admit()
+        if not self.active:
+            return 0
+        slots = jnp.arange(self.num_slots, dtype=jnp.int32)
+        lengths = jnp.asarray(self.lengths)
+        hidden, self.caches_k, self.caches_v = self._decode_step(
+            self.last_hidden, self.caches_k, self.caches_v, slots, lengths)
+        self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
+
+        finished_slots = []
+        for slot, req in list(self.active.items()):
+            self.lengths[slot] += 1
+            req.generated += 1
+            if (req.generated >= req.max_new
+                    or self.lengths[slot] >= self.max_seq_len):
+                req.done = True
+                self.finished.append(req)
+                finished_slots.append(slot)
+        for slot in finished_slots:
+            del self.active[slot]
+            self.lengths[slot] = 0
+            self.alloc.release(slot)
+        return len(self.active)
+
+    def run_to_completion(self, max_steps: int = 10_000) -> List[Request]:
+        for _ in range(max_steps):
+            self._admit()
+            if not self.active and not self.pending:
+                break
+            self.step()
+        return self.finished
