@@ -65,3 +65,21 @@ def test_tune_all_fills_cache(tmp_path):
     import os
     target_dirs = os.listdir(tmp_path)
     assert len(target_dirs) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from bitblas_tpu.module.checkpoint import load_quant_state, save_quant_state
+    rng = np.random.default_rng(0)
+    layers = {
+        "l0.q": {"qweight": rng.integers(-128, 127, (64, 32)).astype(np.int8),
+                 "scales": rng.standard_normal((4, 1, 64)).astype(np.float32)},
+        "l0.k": {"qweight": rng.integers(-128, 127, (64, 32)).astype(np.int8)},
+    }
+    path = str(tmp_path / "state.npz")
+    save_quant_state(path, layers, meta={"model": "test"})
+    loaded = load_quant_state(path)
+    assert set(loaded) == {"l0.q", "l0.k"}
+    np.testing.assert_array_equal(np.asarray(loaded["l0.q"]["qweight"]),
+                                  layers["l0.q"]["qweight"])
+    np.testing.assert_array_equal(np.asarray(loaded["l0.q"]["scales"]),
+                                  layers["l0.q"]["scales"])
