@@ -2,6 +2,8 @@
 
 from .bitnet import (  # noqa: F401
     BitLinearInference,
+    BitNetLlama,
+    BitNetLlamaLayer,
     activation_quant,
     activation_quant_int8,
     bitlinear_train_forward,

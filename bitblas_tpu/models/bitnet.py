@@ -86,11 +86,16 @@ class BitLinearInference:
     opt_m: tuple = (1, 16, 32, 64, 128, 256)
 
     def __post_init__(self):
+        from ..cache import global_operator_cache
         self.config = MatmulConfig(
             M=list(self.opt_m), N=self.out_features, K=self.in_features,
             A_dtype="int8", W_dtype="int2", accum_dtype="int32",
             out_dtype="float32")
-        self.matmul = Matmul(self.config, enable_tuning=False)
+        op = global_operator_cache.get(self.config)
+        if op is None:
+            op = Matmul(self.config, enable_tuning=False)
+            global_operator_cache.add(self.config, op)
+        self.matmul = op
         self.qweight = None
         self.sw = None
 
@@ -108,3 +113,40 @@ class BitLinearInference:
         acc = self.matmul.forward(q, self.qweight)  # int-exact in f32
         out = acc / (self.sw * s_a)
         return out.astype(x.dtype)
+
+
+class BitNetLlamaLayer:
+    """One BitNet b1.58 decoder layer: llama topology, every projection a
+    ternarized W_INT2 x A_INT8 fused matmul (reference integration/BitNet:
+    BitLinear replaces nn.Linear inside a llama block)."""
+
+    def __init__(self, cfg, opt_m=(1, 16, 256), seed: int = 0):
+        import numpy as _np
+        from .quant_llama import _PROJS, _dim
+        self.cfg = cfg
+        rng = _np.random.default_rng(seed)
+        self.projs = {}
+        for name, kin, kout in _PROJS:
+            K, N = _dim(cfg, kin), _dim(cfg, kout)
+            w = (rng.standard_normal((N, K)) * 0.02).astype(_np.float32)
+            self.projs[name] = BitLinearInference.from_weight(w, opt_m=opt_m)
+        self.attn_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
+        self.mlp_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
+
+    def proj(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        return self.projs[name](x)
+
+
+class BitNetLlama:
+    """Stack of BitNet decoder layers (hidden-state in/out, like QuantLlama)."""
+
+    def __init__(self, cfg, opt_m=(1, 16, 256)):
+        self.cfg = cfg
+        self.layers = [BitNetLlamaLayer(cfg, opt_m, seed=i)
+                       for i in range(cfg.num_layers)]
+
+    def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+        from .quant_llama import layer_forward
+        for layer in self.layers:
+            x = layer_forward(layer, x, positions)
+        return x

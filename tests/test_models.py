@@ -71,3 +71,16 @@ def test_quant_llama_layer_forward():
     out = model(x, pos)
     assert out.shape == (2, 8, 256)
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_bitnet_llama_forward():
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=512, num_heads=4,
+                      num_kv_heads=4, num_layers=1)
+    from bitblas_tpu.models import BitNetLlama
+    model = BitNetLlama(cfg, opt_m=(8, 16))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 8, 256)).astype(np.float16))
+    pos = jnp.broadcast_to(jnp.arange(8)[None, :], (2, 8))
+    out = model(x, pos)
+    assert out.shape == (2, 8, 256)
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
