@@ -69,6 +69,11 @@ def main():
             M=m, N=N, K=K, A_dtype="int8", W_dtype="int2",
             accum_dtype="int32", out_dtype="float32")))
 
+    # Prefer tuned hints from the operator database (populated by
+    # scripts/tune_bench_db.py or any prior hardware_aware_finetune).
+    from bitblas_tpu.cache import global_operator_cache
+    global_operator_cache.load_from_database()
+
     pcts = []
     for m, cfg in configs:
         spec = KernelSpec.from_config(cfg, m)
@@ -79,6 +84,9 @@ def main():
             args.append(jnp.asarray(dw.scales))
 
         hints = [curated(m, cfg.W_dtype)]
+        cached_op = global_operator_cache.get(cfg)
+        if cached_op is not None:
+            hints.insert(0, cached_op.hint_for(m))
         if tune:
             hints = enumerate_hints(spec, arch)[:6]
 

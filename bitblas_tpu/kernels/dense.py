@@ -39,6 +39,12 @@ def make_dense_matmul(spec: KernelSpec, hint: TileHint, *,
 
     def fn(A, W, scales=None, zeros=None, bias=None):
         del scales, zeros
+        # sub-byte int activations (int4/uint4 native compute) run on the
+        # int8 MXU path — XLA backends reject direct int4 dots.
+        if A.dtype in (jnp.int4, jnp.uint4):
+            A = A.astype(jnp.int8)
+        if W.dtype in (jnp.int4, jnp.uint4):
+            W = W.astype(jnp.int8)
         out = lax.dot_general(
             A, W,
             dimension_numbers=(((1,), (wdim,)), ((), ())),

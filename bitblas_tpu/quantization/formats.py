@@ -38,8 +38,8 @@ _FORMATS = {
     "uint16": ("uint", 16, jnp.uint16),
     "int8": ("int", 8, jnp.int8),
     "uint8": ("uint", 8, jnp.uint8),
-    "int4": ("int", 4, None),
-    "uint4": ("uint", 4, None),
+    "int4": ("int", 4, jnp.int4),
+    "uint4": ("uint", 4, jnp.uint4),
     "int2": ("int", 2, None),
     "uint2": ("uint", 2, None),
     "int1": ("int", 1, None),

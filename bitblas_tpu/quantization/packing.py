@@ -181,13 +181,22 @@ def unpack_qzeros_v2(qzeros: np.ndarray, bits: int) -> np.ndarray:
 # TPU device layout: slot-strided N packing
 # ---------------------------------------------------------------------------
 
+import os
+
+# Output columns per slot segment. Wider segments mean fewer (but wider) MXU
+# dot issues and fewer per-group scale-row extractions per kernel step; 128
+# is the lane-minimum. Overridable for experiments via BITBLAS_TPU_PACK_SUB.
+PACK_SUB = int(os.environ.get("BITBLAS_TPU_PACK_SUB", "128"))
+
+
 def pack_tile_n(n: int, elems: int) -> int:
-    """Canonical N-packing tile: 128 output columns per slot (lane-perfect),
-    independent of kernel block sizes so the device layout never depends on
-    tuning. Falls back to one whole-row tile for small N."""
-    t = 128 * elems
-    if n % t == 0:
-        return t
+    """Canonical N-packing tile (PACK_SUB output columns per slot,
+    lane-aligned), independent of kernel block sizes so the device layout
+    never depends on tuning. Falls back to narrower tiles for small N."""
+    for sub in (PACK_SUB, 128):
+        t = sub * elems
+        if n % t == 0:
+            return t
     if n % elems:
         raise ValueError(f"N={n} not divisible by elems={elems}")
     return n

@@ -76,6 +76,11 @@ def random_reference_operands(config: MatmulConfig, m: int,
             A = A.astype(ml_dtypes.bfloat16)
     elif config.A_dtype == "int8":
         A = rng.integers(-8, 8, (m, K), dtype=np.int64).astype(np.int8)
+    elif config.A_dtype in ("int4", "uint4"):
+        import ml_dtypes
+        lo, hi = (-8, 8) if config.A_dtype == "int4" else (0, 16)
+        dt = ml_dtypes.int4 if config.A_dtype == "int4" else ml_dtypes.uint4
+        A = rng.integers(lo, hi, (m, K), dtype=np.int64).astype(dt)
     else:
         raise NotImplementedError(config.A_dtype)
 
@@ -83,6 +88,10 @@ def random_reference_operands(config: MatmulConfig, m: int,
     if config.is_native_compute():
         if config.A_dtype == "int8":
             W = rng.integers(-8, 8, (N, K), dtype=np.int64).astype(np.int8)
+        elif config.A_dtype in ("int4", "uint4"):
+            W = rng.integers(0 if config.A_dtype == "uint4" else -8,
+                             8 if config.A_dtype == "int4" else 16,
+                             (N, K), dtype=np.int64).astype(A.dtype)
         else:
             W = rng.standard_normal((N, K)).astype(A.dtype)
         qweight = W if config.layout == "nt" else np.ascontiguousarray(W.T)

@@ -49,3 +49,33 @@ def test_cache_clear_and_size(tmp_path):
     assert cache.size() == 1
     cache.clear()
     assert cache.size() == 0
+
+
+def test_cache_thread_safety(tmp_path):
+    """Concurrent add/get/save must not corrupt the registry (reference
+    test_operator_cache_spin_lock analog)."""
+    import threading
+    cache = OperatorCache()
+    cfgs = [MatmulConfig(M=16, N=256, K=256, A_dtype="float16",
+                         W_dtype=w) for w in ("uint4", "uint2", "int4")]
+    ops = [Matmul(c, enable_tuning=False) for c in cfgs]
+    errors = []
+
+    def worker(i):
+        try:
+            for _ in range(50):
+                cache.add(cfgs[i % 3], ops[i % 3])
+                got = cache.get(cfgs[(i + 1) % 3])
+                assert got is None or isinstance(got, Matmul)
+                cache.size()
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert cache.size() == 3
+    cache.save_into_database(str(tmp_path), target="cpu_interpret")

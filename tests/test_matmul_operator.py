@@ -145,3 +145,17 @@ def test_batch_matmul():
     expected = np.einsum("bmk,bnk->bmn", np.asarray(a, np.float32),
                          np.asarray(w, np.float32))
     assert_close(out, expected, rtol=1e-2, atol=5e-2)
+
+
+def test_native_int4():
+    # native int4 x int4 compute (reference NATIVE_COMPUTE_PATTERNS)
+    cfg = MatmulConfig(M=16, N=256, K=256, A_dtype="int4", W_dtype="int4",
+                       accum_dtype="int32", out_dtype="int32")
+    op = Matmul(cfg, enable_tuning=False)
+    from bitblas_tpu.testing import random_reference_operands
+    ops = random_reference_operands(cfg, 16, 0)
+    W = op.transform_weight(ops.qweight)
+    out = op.forward(jnp.asarray(ops.A), W)
+    expected = (np.asarray(ops.A).astype(np.int32)
+                @ np.asarray(ops.qweight).astype(np.int32).T)
+    np.testing.assert_array_equal(np.asarray(out), expected)

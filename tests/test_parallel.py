@@ -82,3 +82,27 @@ def test_row_parallel_reduce_scatter(operands):
                       scales=sharded.scales)
     assert out.shape == (16, CFG.N)
     assert_close(out, expected, rtol=5e-2, atol=2.0)
+
+
+def test_tp_llama_layer_mesh_invariance():
+    """The TP layer must produce identical results on different mesh widths
+    (weights are seeded deterministically)."""
+    from bitblas_tpu.models.quant_llama import LlamaConfig
+    from bitblas_tpu.parallel.layers import TPQuantLlamaLayer, tp_layer_forward
+
+    # shapes sized so every N shard covers whole pack tiles at tp=4
+    cfg = LlamaConfig(hidden_size=1024, intermediate_size=2048, num_heads=8,
+                      num_kv_heads=8, num_layers=1, group_size=128)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 8, 1024)).astype(np.float16))
+    pos = jnp.arange(8)[None, :]
+
+    outs = []
+    for tp in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:tp]).reshape(1, tp), ("dp", "tp"))
+        layer = TPQuantLlamaLayer(cfg, mesh, m=8, seed=3)
+        outs.append(np.asarray(tp_layer_forward(layer, x, pos),
+                               dtype=np.float32))
+    assert outs[0].shape == (1, 8, 1024)
+    assert np.all(np.isfinite(outs[0]))
+    assert_close(outs[0], outs[1], rtol=2e-2, atol=0.1)
