@@ -376,6 +376,8 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                                      extra_sub=ibias)
                         acc_ref[:, cols] += d
         else:
+            batched_groups = (hint.group_mode == "batched" and gpt > 1
+                              and spec.with_scaling and not spec.with_zeros)
             for (col0, width, slot, w0) in segments:
                 cols = slice(col0, col0 + width)
                 wslice = words[:, w0:w0 + width]
@@ -387,6 +389,20 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
 
                 if not need_epilogue:
                     acc_ref[:, cols] += dot(a, w)
+                    continue
+
+                if batched_groups:
+                    # One 3D dot over all groups: the reshapes are row-major
+                    # views (free); scales stay a [gpt, 1, width] tensor.
+                    a3 = a.reshape(a.shape[0], gpt, glen)
+                    w3 = w.reshape(gpt, glen, width)
+                    d3 = jax.lax.dot_general(
+                        a3, w3,
+                        dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+                        preferred_element_type=acc_dtype,
+                        precision=precision)          # [gpt, BM, width]
+                    s3 = s_ref[...][:, :, cols].astype(jnp.float32)
+                    acc_ref[:, cols] += jnp.sum(d3 * s3, axis=0)
                     continue
 
                 contrib = jnp.zeros((a.shape[0], width), dtype=acc_dtype)

@@ -35,6 +35,12 @@ class TileHint:
     #                 exact because byte values are bf16-exact and MXU
     #                 products round only at f32 accumulation)
     decode_mode: str = "mask"
+    # Group handling when scales make the k-tile span multiple groups:
+    #   "loop"    — one dot + scalar-row epilogue per group
+    #   "batched" — a single batched (3D) dot per segment; scales applied as
+    #               a [groups, 1, sub] tensor and reduced (no per-group row
+    #               extraction). Scaling-only configs.
+    group_mode: str = "loop"
     # Cap Mosaic VMEM usage; None = compiler default.
     vmem_limit_bytes: Optional[int] = None
 

@@ -239,3 +239,12 @@ class TestInt8MXUTelescope:
         got = fn(jnp.asarray(ops.A), jnp.asarray(dw.qweight),
                  scales=jnp.asarray(dw.scales))
         assert_close(got, truth, rtol=1e-6, atol=1e-4)
+
+
+def test_batched_group_mode():
+    cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="float16", W_dtype="uint4",
+                       with_scaling=True, group_size=128, fast_decoding=False)
+    hint = TileHint(block_m=64, block_n=512, block_k=512,
+                    mma_dtype="float16", precision="highest",
+                    group_mode="batched")
+    run_case(cfg, 16, hint=hint)

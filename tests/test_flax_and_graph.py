@@ -83,3 +83,22 @@ def test_checkpoint_roundtrip(tmp_path):
                                   layers["l0.q"]["qweight"])
     np.testing.assert_array_equal(np.asarray(loaded["l0.q"]["scales"]),
                                   layers["l0.q"]["scales"])
+
+
+def test_benchmark_harness():
+    from bitblas_tpu import Matmul, MatmulConfig
+    from bitblas_tpu.benchmark import OperatorBenchmarkBase
+
+    bench = OperatorBenchmarkBase()
+    cfg = MatmulConfig(M=16, N=256, K=256, A_dtype="float16", W_dtype="uint4")
+    bench.add_benchmark_set("smoke", [
+        ("u4_m16", cfg, lambda c: Matmul(c, enable_tuning=False)),
+    ])
+    results = bench.run(enable_tuning=False)
+    assert "smoke" in results and len(results["smoke"]) == 1
+    rec = results["smoke"][0]
+    assert rec.latency_default is not None and rec.latency_default > 0
+    report = bench.report()
+    assert "u4_m16" in report
+    json_str = bench.serialize_results()
+    assert "latency_default" in json_str
