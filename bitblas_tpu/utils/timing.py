@@ -55,7 +55,7 @@ def make_chained(fn: Callable, args: Sequence, inject: Optional[int] = None,
         inject = _default_inject(args)
 
     @jax.jit
-    def chained(iters):
+    def _chained(iters):
         def body(i, carry):
             cur = list(args)
             x = cur[inject]
@@ -72,6 +72,12 @@ def make_chained(fn: Callable, args: Sequence, inject: Optional[int] = None,
                 dep = out[(0,) * out.ndim].astype(jnp.float32)
             return dep * 0 + carry + 1
         return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    # iters must be traced (jnp scalar), or every distinct count triggers a
+    # full recompile — at ~40 s per remote Mosaic compile that dominated the
+    # tuner's runtime.
+    def chained(iters):
+        return _chained(jnp.int32(iters))
 
     return chained
 
