@@ -115,3 +115,31 @@ class TestLinear:
         W_deq = (intweight.astype(np.float32) - z_full) * s_full
         expected = A.astype(np.float32) @ W_deq.T
         assert_close(out, expected, rtol=2e-2, atol=0.5)
+
+
+def test_repack_accepts_torch_tensors():
+    """Integration path: GPTQ modules hold torch tensors (reference
+    integration/pytorch); _to_numpy must consume them directly."""
+    torch = pytest.importorskip("torch")
+    K, N, g, bits = 256, 256, 128, 4
+    rng = np.random.default_rng(5)
+    intweight = rng.integers(0, 16, (N, K)).astype(np.int8)
+    intzeros = rng.integers(1, 15, (K // g, N)).astype(np.int32)
+    scales = (rng.standard_normal((K // g, N)) * 0.05 + 0.4).astype(np.float16)
+    qweight, qzeros = _pack_gptq_v1(intweight, intzeros, bits)
+    gptq = types.SimpleNamespace(
+        qweight=torch.from_numpy(qweight),
+        qzeros=torch.from_numpy(qzeros),
+        scales=torch.from_numpy(scales.astype(np.float32)).half(),
+        bias=None)
+    lin = Linear(K, N, A_dtype="float16", W_dtype="uint4",
+                 with_scaling=True, with_zeros=True, zeros_mode="original",
+                 group_size=g, opt_M=[16], enable_tuning=False)
+    lin.repack_from_gptq(gptq)
+    A = rng.standard_normal((4, K)).astype(np.float16)
+    out = lin(jnp.asarray(A))
+    s_full = np.repeat(scales.T, g, axis=1).astype(np.float32)
+    z_full = np.repeat(intzeros.T, g, axis=1).astype(np.float32)
+    W_deq = (intweight.astype(np.float32) - z_full) * s_full
+    expected = A.astype(np.float32) @ W_deq.T
+    assert_close(out, expected, rtol=2e-2, atol=0.5)
