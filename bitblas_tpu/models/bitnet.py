@@ -136,6 +136,22 @@ class BitNetLlamaLayer:
     def proj(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
         return self.projs[name](x)
 
+    def state_dict(self):
+        out = {}
+        for name, lin in self.projs.items():
+            out[f"{name}.qweight"] = lin.qweight
+            out[f"{name}.sw"] = lin.sw
+        out["attn_norm"] = self.attn_norm
+        out["mlp_norm"] = self.mlp_norm
+        return out
+
+    def load_state_dict(self, state) -> None:
+        for name, lin in self.projs.items():
+            lin.qweight = jnp.asarray(state[f"{name}.qweight"])
+            lin.sw = jnp.asarray(state[f"{name}.sw"])
+        self.attn_norm = jnp.asarray(state["attn_norm"])
+        self.mlp_norm = jnp.asarray(state["mlp_norm"])
+
 
 class BitNetLlama:
     """Stack of BitNet decoder layers (hidden-state in/out, like QuantLlama)."""
@@ -150,3 +166,11 @@ class BitNetLlama:
         for layer in self.layers:
             x = layer_forward(layer, x, positions)
         return x
+
+    def state_dict(self):
+        return {f"layer_{i}": l.state_dict()
+                for i, l in enumerate(self.layers)}
+
+    def load_state_dict(self, state) -> None:
+        for i, layer in enumerate(self.layers):
+            layer.load_state_dict(state[f"layer_{i}"])

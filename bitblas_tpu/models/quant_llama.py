@@ -85,6 +85,22 @@ class QuantLlamaLayer:
         W, S = self.weights[name]
         return self.ops[name].forward(x, W, scale=S)
 
+    def state_dict(self) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for name, (W, S) in self.weights.items():
+            out[f"{name}.qweight"] = W
+            out[f"{name}.scales"] = S
+        out["attn_norm"] = self.attn_norm
+        out["mlp_norm"] = self.mlp_norm
+        return out
+
+    def load_state_dict(self, state: Dict[str, jnp.ndarray]) -> None:
+        for name in self.weights:
+            self.weights[name] = (jnp.asarray(state[f"{name}.qweight"]),
+                                  jnp.asarray(state[f"{name}.scales"]))
+        self.attn_norm = jnp.asarray(state["attn_norm"])
+        self.mlp_norm = jnp.asarray(state["mlp_norm"])
+
 
 def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
@@ -162,6 +178,16 @@ class QuantLlama:
         for layer in self.layers:
             x = layer_forward(layer, x, positions)
         return x
+
+    def state_dict(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Checkpoint tree: {"layer_<i>": {tensor: array}} — feeds
+        module.checkpoint.save_quant_state{,_orbax}."""
+        return {f"layer_{i}": l.state_dict()
+                for i, l in enumerate(self.layers)}
+
+    def load_state_dict(self, state) -> None:
+        for i, layer in enumerate(self.layers):
+            layer.load_state_dict(state[f"layer_{i}"])
 
     # -- serving hooks (see serving/engine.py) --------------------------------
     def make_prefill(self, seq_len: int):

@@ -48,7 +48,70 @@ def save_quant_state_orbax(path: str, layers) -> None:
     ckptr.wait_until_finished()
 
 
-def load_quant_state_orbax(path: str):
+def load_quant_state_orbax(path: str, shardings=None):
+    """Restore an orbax quant-state checkpoint.
+
+    shardings: optional pytree (matching the saved tree's structure, may be
+    partial — missing leaves restore unsharded) of `jax.sharding.Sharding`;
+    each array is restored *directly onto the mesh* with that sharding, so
+    multi-host restores never materialize full arrays on one host.
+    """
+    import jax
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    path = os.path.abspath(path)
+    if shardings is None:
+        return ckptr.restore(path)
+    meta = ckptr.metadata(path).item_metadata.tree
+
+    def _abstract(m, s):
+        if s is None:
+            return jax.ShapeDtypeStruct(m.shape, m.dtype)
+        return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=s)
+
+    target = jax.tree.map(_abstract, meta, shardings,
+                          is_leaf=lambda x: x is None)
+    return ckptr.restore(path, target)
+
+
+# -- NNX module integration ---------------------------------------------------
+
+def _nnx_pure_state(module):
+    from flax import nnx
+    _, state = nnx.split(module)
+    return nnx.to_pure_dict(state)
+
+
+def save_nnx_orbax(path: str, module) -> None:
+    """Persist an NNX module's state (e.g. QuantLinear packed buffers) with
+    orbax. Only array state is written — compiled operators stay out."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), _nnx_pure_state(module))
+    ckptr.wait_until_finished()
+
+
+def restore_nnx_orbax(path: str, module, shardings=None):
+    """Restore orbax state into an already-constructed NNX module in place.
+
+    The module provides the target structure (shapes/dtypes); pass
+    `shardings` (pytree of Sharding, matching the state tree) to land
+    buffers sharded on a mesh.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+    from flax import nnx
+    graphdef, state = nnx.split(module)
+    pure = nnx.to_pure_dict(state)
+    if shardings is not None:
+        target = jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s)
+            if s is not None else a,
+            pure, shardings, is_leaf=lambda x: x is None)
+    else:
+        target = pure
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), target)
+    nnx.replace_by_pure_dict(state, restored)
+    nnx.update(module, state)
+    return module
