@@ -97,7 +97,13 @@ def main():
             (N * K // cfg.effective_group_size * 4 if cfg.with_scaling else 0)
         total = wbytes + m * K * abytes + m * N * obytes
         mxu = arch.flops_int8 if cfg.A_dtype == "int8" else arch.flops_bf16
-        roof = max(total / arch.hbm_bandwidth, 2 * m * N * K / mxu)
+        ingest = (arch.mxu_ingest_int8 if cfg.A_dtype == "int8"
+                  else arch.mxu_ingest_bf16)
+        t_bw = total / arch.hbm_bandwidth
+        # Hardware envelope = max(HBM stream, MXU compute, MXU weight
+        # ingestion at small M) — see BASELINE.md "roofline model" note and
+        # scripts/tpu_ingest_probe.py for the measured ingestion rates.
+        roof = max(t_bw, 2 * m * N * K / mxu, N * K / ingest)
 
         best = None
         for hint in hints:
@@ -110,8 +116,7 @@ def main():
                 if interpret:
                     sec = roofline_seconds(spec, hint, arch)
                 else:
-                    sec = measure_kernel(fn, args,
-                                         inject=len(args) - 1)
+                    sec = measure_kernel(fn, args)
                 if best is None or sec < best[0]:
                     best = (sec, hint)
             except Exception as ex:  # noqa: BLE001
@@ -124,7 +129,8 @@ def main():
         pct = 100.0 * roof / sec
         pcts.append(pct)
         log(f"{cfg.W_dtype}x{cfg.A_dtype} m={m:5d}: {sec*1e6:8.1f}us "
-            f"roof={roof*1e6:7.1f}us pct={pct:5.1f}% ({hint.short_name()})")
+            f"roof={roof*1e6:7.1f}us (bw {t_bw*1e6:6.1f}us) "
+            f"pct={pct:5.1f}% ({hint.short_name()})")
 
     mean_pct = float(np.mean(pcts)) if pcts else 0.0
     print(json.dumps({

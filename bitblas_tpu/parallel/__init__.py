@@ -42,17 +42,42 @@ def _local(config: MatmulConfig, n: Optional[int] = None,
     return dataclasses.replace(config, N=n or config.N, K=k or config.K)
 
 
+def retile_packed_for_column_shards(qweight, config: MatmulConfig,
+                                    tp: int) -> "np.ndarray":
+    """Re-tile a slot-strided N-pack so each of `tp` column shards is a
+    valid standalone pack for N/tp.
+
+    The canonical pack interleaves output columns within a 128*e-wide tile
+    (quantization/packing.pack_nslot), so slicing the packed array is only
+    column-aligned when N/tp is a multiple of the pack tile. When it is not
+    (e.g. small K/V projections), unpack to natural [K, N] fields, split,
+    and repack per shard — a pure offline data transform.
+    """
+    from ..quantization.packing import pack_nslot, unpack_nslot
+    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
+    if config.bit >= 8 or e <= 1:
+        return qweight
+    N = config.N
+    tile_full = pack_tile_n(N, e)
+    if (N // tp) % tile_full == 0:
+        return qweight  # shard boundaries align with whole pack tiles
+    tile_local = pack_tile_n(N // tp, e)
+    w = np.asarray(qweight)
+    fields = unpack_nslot(w, config.bit, tile_full)        # [K, N]
+    parts = [pack_nslot(fields[:, i * (N // tp):(i + 1) * (N // tp)],
+                        config.bit, tile_local) for i in range(tp)]
+    return np.concatenate(parts, axis=1).astype(w.dtype)
+
+
 def shard_weights_column(dw: DeviceWeights, mesh: Mesh, axis: str,
                          config: MatmulConfig) -> DeviceWeights:
-    """Place device-layout weights column-parallel (N sharded) on the mesh."""
+    """Place device-layout weights column-parallel (N sharded) on the mesh.
+    Re-tiles the pack when N/tp does not align with whole pack tiles."""
     tp = mesh.shape[axis]
-    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
-    pack_n = pack_tile_n(config.N, e) if config.bit < 8 else 1
-    assert (config.N // tp) % max(pack_n, 1) == 0, \
-        f"N/tp={config.N//tp} must be a multiple of pack tile {pack_n}"
+    qw = retile_packed_for_column_shards(dw.qweight, config, tp)
     out = DeviceWeights(
         qweight=jax.device_put(
-            dw.qweight, NamedSharding(mesh, P(None, axis))))
+            jnp.asarray(qw), NamedSharding(mesh, P(None, axis))))
     if dw.scales is not None:
         out.scales = jax.device_put(
             dw.scales, NamedSharding(mesh, P(None, None, axis)))

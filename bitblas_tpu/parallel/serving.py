@@ -1,0 +1,268 @@
+"""Tensor-parallel serving: head-local decode with a sharded KV cache.
+
+BASELINE.json config #5 (the reference delegates multi-GPU serving to vLLM;
+here it is first-class). Layout per decoder layer, Megatron-style but with
+attention kept device-local between the projections:
+
+  q/k/v   column-parallel (heads shard with N)      -> no collective
+  attn    local heads against the kv_heads-sharded KV cache
+  o       row-parallel over the local head dim      -> 1 psum
+  gate/up column-parallel                           -> no collective
+  down    row-parallel                              -> 1 psum
+
+Exactly two psums per layer ride ICI; activations are replicated between
+layers. The KV cache shards on its kv_heads axis (same axis the heads shard
+on), so decode attention never moves cache data between chips.
+
+`TPQuantLlama` implements the same protocol as models.quant_llama.QuantLlama
+(`make_prefill`, `decode_step`, `cfg`) so serving.engine's
+ContinuousBatchingEngine drives it unchanged — pass
+`cache_sharding=model.kv_cache_sharding()` to keep the engine's cache
+sharded.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..kernels.dequant_matmul import make_dequant_matmul
+from ..kernels.spec import KernelSpec
+from ..models.quant_llama import (LlamaConfig, QuantLlama, _PROJS, _dim,
+                                  rmsnorm, rope)
+from ..ops.matmul_config import MatmulConfig
+from ..tuner import default_hint, get_arch
+
+_COLUMN = {"q", "k", "v", "gate", "up"}
+_ROW = {"o", "down"}
+
+
+def _local_cfg(cfg_m: MatmulConfig, name: str, tp: int) -> MatmulConfig:
+    import dataclasses
+    if name in _COLUMN:
+        return dataclasses.replace(cfg_m, N=cfg_m.N // tp)
+    return dataclasses.replace(cfg_m, K=cfg_m.K // tp)
+
+
+class TPQuantLlama:
+    """TP-sharded quantized Llama decoder (engine-compatible protocol).
+
+    Built from a single-device QuantLlama's weights so numerics can be
+    checked shard-for-shard against the unsharded model.
+    """
+
+    def __init__(self, src: QuantLlama, mesh: Mesh, axis: str = "tp",
+                 interpret: Optional[bool] = None):
+        cfg = src.cfg
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        tp = mesh.shape[axis]
+        self.tp = tp
+        assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0, \
+            "heads and kv_heads must divide tp"
+        arch = get_arch()
+        self.interpret = arch.is_cpu if interpret is None else interpret
+
+        # Shard the source model's device-layout weights.
+        self.weights = []          # [layer][name] -> (qweight, scales)
+        self.norms = []            # [layer] -> (attn_norm, mlp_norm)
+        self.mcfg: Dict[str, MatmulConfig] = {}
+        for name, kin, kout in _PROJS:
+            K, N = _dim(cfg, kin), _dim(cfg, kout)
+            self.mcfg[name] = MatmulConfig(
+                M=1, N=N, K=K, A_dtype=cfg.act_dtype, W_dtype="uint4",
+                with_scaling=True, group_size=cfg.group_size,
+                out_dtype=cfg.act_dtype)
+        from . import retile_packed_for_column_shards
+        for layer in src.layers:
+            shards = {}
+            for name, _, _ in _PROJS:
+                W, S = layer.weights[name]
+                if name in _COLUMN:
+                    W = jnp.asarray(retile_packed_for_column_shards(
+                        W, self.mcfg[name], tp))
+                    wsh = NamedSharding(mesh, P(None, axis))
+                    ssh = NamedSharding(mesh, P(None, None, axis))
+                else:
+                    wsh = NamedSharding(mesh, P(axis, None))
+                    ssh = NamedSharding(mesh, P(axis, None, None))
+                shards[name] = (jax.device_put(W, wsh),
+                                jax.device_put(S, ssh))
+            self.weights.append(shards)
+            self.norms.append((layer.attn_norm, layer.mlp_norm))
+
+        self._decode_kernels: Dict[tuple, callable] = {}
+        self._prefill_cache: Dict[int, callable] = {}
+
+    # -- sharding handles ------------------------------------------------------
+    def kv_cache_sharding(self) -> NamedSharding:
+        """[L, slots, S, Hkv, D] sharded on the kv_heads axis."""
+        return NamedSharding(self.mesh, P(None, None, None, self.axis, None))
+
+    # -- local kernels ---------------------------------------------------------
+    def _kernel(self, name: str, m: int):
+        key = (name, m)
+        if key not in self._decode_kernels:
+            lcfg = _local_cfg(self.mcfg[name], name, self.tp)
+            spec = KernelSpec.from_config(lcfg, m)
+            hint = default_hint(spec, get_arch())
+            self._decode_kernels[key] = make_dequant_matmul(
+                spec, hint, interpret=self.interpret)
+        return self._decode_kernels[key]
+
+    # -- decode (the hot path) -------------------------------------------------
+    def decode_step(self, x, caches_k, caches_v, slots, lengths):
+        """x [B, 1, H]; caches [L, slots, S, Hkv, D] kv_heads-sharded."""
+        cfg = self.cfg
+        B = x.shape[0]
+        axis = self.axis
+        tp = self.tp
+        hl = cfg.num_heads // tp          # local attention heads
+        kvl = cfg.num_kv_heads // tp      # local kv heads
+        D = cfg.head_dim
+
+        kern = {name: self._kernel(name, B) for name, _, _ in _PROJS}
+
+        def device_step(x, ck, cv, slots, lengths, *flat):
+            from ..serving.kv_cache import append_token, decode_attention
+            it = iter(flat)
+            weights = [{name: (next(it), next(it)) for name, _, _ in _PROJS}
+                       for _ in range(cfg.num_layers)]
+            positions = lengths[:, None]
+            for li in range(cfg.num_layers):
+                attn_norm, mlp_norm = self.norms[li]
+                w = weights[li]
+                h = rmsnorm(x, attn_norm)
+                h2 = h.reshape(B, cfg.hidden_size)
+                q = kern["q"](h2, w["q"][0], scales=w["q"][1])
+                k = kern["k"](h2, w["k"][0], scales=w["k"][1])
+                v = kern["v"](h2, w["v"][0], scales=w["v"][1])
+                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
+                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
+                v = v.reshape(B, kvl, D)
+                ckl, cvl = append_token(ck[li], cv[li], slots, lengths, k, v)
+                ck = ck.at[li].set(ckl)
+                cv = cv.at[li].set(cvl)
+                attn = decode_attention(q, ckl, cvl, slots, lengths + 1,
+                                        num_heads=hl)
+                o_part = kern["o"](attn.reshape(B, hl * D),
+                                   w["o"][0], scales=w["o"][1])
+                o = jax.lax.psum(o_part.astype(jnp.float32), axis)
+                x = x + o.astype(x.dtype)[:, None, :]
+                h = rmsnorm(x, mlp_norm)
+                h2 = h.reshape(B, cfg.hidden_size)
+                gate = kern["gate"](h2, w["gate"][0], scales=w["gate"][1])
+                up = kern["up"](h2, w["up"][0], scales=w["up"][1])
+                act = (jax.nn.silu(gate.astype(jnp.float32))
+                       * up.astype(jnp.float32)).astype(x.dtype)
+                d_part = kern["down"](act, w["down"][0], scales=w["down"][1])
+                d = jax.lax.psum(d_part.astype(jnp.float32), axis)
+                x = x + d.astype(x.dtype)[:, None, :]
+            return x, ck, cv
+
+        flat, w_specs = [], []
+        for li in range(cfg.num_layers):
+            for name, _, _ in _PROJS:
+                W, S = self.weights[li][name]
+                flat += [W, S]
+                if name in _COLUMN:
+                    w_specs += [P(None, axis), P(None, None, axis)]
+                else:
+                    w_specs += [P(axis, None), P(axis, None, None)]
+        kv_spec = P(None, None, None, axis, None)
+        sm = shard_map(
+            device_step, mesh=self.mesh,
+            in_specs=(P(), kv_spec, kv_spec, P(), P(), *w_specs),
+            out_specs=(P(), kv_spec, kv_spec), check_vma=False)
+        return sm(x, caches_k, caches_v, slots, lengths, *flat)
+
+    # -- prefill ----------------------------------------------------------------
+    def make_prefill(self, seq_len: int):
+        """Replicated-activation prefill through the TP projections; returns
+        full (unsharded) per-layer K/V — the engine's sharded cache write
+        re-shards them once."""
+        cfg = self.cfg
+        axis = self.axis
+
+        def prefill(x, positions):
+            B, S, _ = x.shape
+            kern = {name: self._kernel(name, B * S)
+                    for name, _, _ in _PROJS}
+
+            def device_prefill(x, positions, *flat):
+                it = iter(flat)
+                weights = [{name: (next(it), next(it))
+                            for name, _, _ in _PROJS}
+                           for _ in range(cfg.num_layers)]
+                hl = cfg.num_heads // self.tp
+                kvl = cfg.num_kv_heads // self.tp
+                D = cfg.head_dim
+                ks, vs = [], []
+                for li in range(cfg.num_layers):
+                    attn_norm, mlp_norm = self.norms[li]
+                    w = weights[li]
+                    h = rmsnorm(x, attn_norm).reshape(B * S, cfg.hidden_size)
+                    q = kern["q"](h, w["q"][0], scales=w["q"][1])
+                    k = kern["k"](h, w["k"][0], scales=w["k"][1])
+                    v = kern["v"](h, w["v"][0], scales=w["v"][1])
+                    q = rope(q.reshape(B, S, hl, D), positions, cfg.rope_theta)
+                    k = rope(k.reshape(B, S, kvl, D), positions, cfg.rope_theta)
+                    v = v.reshape(B, S, kvl, D)
+                    ks.append(k[0])
+                    vs.append(v[0])
+                    # local-head causal attention
+                    import math as _math
+                    group = hl // kvl
+                    k_ = jnp.repeat(k, group, axis=2)
+                    v_ = jnp.repeat(v, group, axis=2)
+                    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                                   k_.astype(jnp.float32)) / _math.sqrt(D)
+                    qi = jnp.arange(S)[:, None]
+                    kj = jnp.arange(S)[None, :]
+                    s = jnp.where(qi >= kj, s, -1e30)
+                    p = jax.nn.softmax(s, axis=-1)
+                    attn = jnp.einsum("bhqk,bkhd->bqhd", p,
+                                      v_.astype(jnp.float32)).astype(x.dtype)
+                    o_part = kern["o"](attn.reshape(B * S, hl * D),
+                                       w["o"][0], scales=w["o"][1])
+                    o = jax.lax.psum(o_part.astype(jnp.float32), axis)
+                    x = x + o.astype(x.dtype).reshape(B, S, cfg.hidden_size)
+                    h = rmsnorm(x, mlp_norm).reshape(B * S, cfg.hidden_size)
+                    gate = kern["gate"](h, w["gate"][0], scales=w["gate"][1])
+                    up = kern["up"](h, w["up"][0], scales=w["up"][1])
+                    act = (jax.nn.silu(gate.astype(jnp.float32))
+                           * up.astype(jnp.float32)).astype(x.dtype)
+                    d_part = kern["down"](act, w["down"][0],
+                                          scales=w["down"][1])
+                    d = jax.lax.psum(d_part.astype(jnp.float32), axis)
+                    x = x + d.astype(x.dtype).reshape(B, S, cfg.hidden_size)
+                # gather local-head K/V to full heads for the cache write
+                ks = [jax.lax.all_gather(k, axis, axis=1, tiled=True)
+                      for k in ks]
+                vs = [jax.lax.all_gather(v, axis, axis=1, tiled=True)
+                      for v in vs]
+                return x, ks, vs
+
+            flat, w_specs = [], []
+            for li in range(cfg.num_layers):
+                for name, _, _ in _PROJS:
+                    W, Ssc = self.weights[li][name]
+                    flat += [W, Ssc]
+                    if name in _COLUMN:
+                        w_specs += [P(None, axis), P(None, None, axis)]
+                    else:
+                        w_specs += [P(axis, None), P(axis, None, None)]
+            nl = cfg.num_layers
+            sm = shard_map(
+                device_prefill, mesh=self.mesh,
+                in_specs=(P(), P(), *w_specs),
+                out_specs=(P(), [P()] * nl, [P()] * nl), check_vma=False)
+            return sm(x, positions, *flat)
+
+        return prefill

@@ -50,7 +50,11 @@ class ContinuousBatchingEngine:
     """Drives decode steps over a slot pool; host-side scheduling, jitted
     device steps. Works on CPU-interpret and real TPUs alike."""
 
-    def __init__(self, model, num_slots: int, max_seq_len: int):
+    def __init__(self, model, num_slots: int, max_seq_len: int,
+                 cache_sharding=None):
+        """cache_sharding: optional jax Sharding for the [L, slots, S, Hkv,
+        D] KV tensors (e.g. TPQuantLlama.kv_cache_sharding() to shard on
+        kv_heads over a TP mesh)."""
         self.model = model
         self.cfg = model.cfg
         self.num_slots = num_slots
@@ -64,6 +68,8 @@ class ContinuousBatchingEngine:
         self.caches_k = jnp.zeros(
             (c.num_layers, num_slots, max_seq_len, c.num_kv_heads, c.head_dim),
             jnp.bfloat16)
+        if cache_sharding is not None:
+            self.caches_k = jax.device_put(self.caches_k, cache_sharding)
         self.caches_v = jnp.zeros_like(self.caches_k)
         self.lengths = np.zeros((num_slots,), np.int32)
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
@@ -148,6 +154,10 @@ class ContinuousBatchingEngine:
         for slot in finished_slots:
             del self.active[slot]
             self.lengths[slot] = 0
+            # Zero the slot's hidden state: released slots still flow
+            # through the (masked) batched decode step, and stale values
+            # would keep accumulating through residuals until f16 overflow.
+            self.last_hidden = self.last_hidden.at[slot].set(0.0)
             self.alloc.release(slot)
         return len(self.active)
 

@@ -86,6 +86,13 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
            "float32": arch.flops_f32, "int8": arch.flops_int8}[hint.mma_dtype]
     t_mxu = flops / mxu
 
+    # MXU weight-ingestion floor: every decoded operand element must stream
+    # through the systolic array once per m-tile, at a rate independent of M
+    # (see TileDevice.mxu_ingest_*). Binds in the GEMV/small-M regime.
+    ingest_rate = (arch.mxu_ingest_int8 if hint.mma_dtype == "int8"
+                   else arch.mxu_ingest_bf16)
+    t_mxu = max(t_mxu, (K * N * m_tiles) / ingest_rate)
+
     dec_ops = _DECODE_OPS.get(spec.family, 4.0)
     if spec.bits >= 8 and spec.family in ("int", "uint"):
         dec_ops = 1.0

@@ -56,22 +56,31 @@ def make_chained(fn: Callable, args: Sequence, inject: Optional[int] = None,
 
     @jax.jit
     def _chained(iters):
+        # The injected array rides in the loop carry so XLA aliases its
+        # buffer across iterations and the perturbation is a true in-place
+        # single-element store. (Perturbing a closure constant instead
+        # forces a full copy of the array every iteration — for a 4 MB
+        # packed-weight arg that silently added ~10 us/iter on v5e and
+        # inflated every GEMV "measurement" by ~2x.)
         def body(i, carry):
-            cur = list(args)
-            x = cur[inject]
+            x, dep = carry
             idx = (0,) * x.ndim
-            eps = (carry * 0).astype(jnp.float32)
-            cur[inject] = x.at[idx].set((x[idx].astype(jnp.float32) + eps)
-                                        .astype(x.dtype))
+            eps = (dep * 0).astype(jnp.float32)
+            x = x.at[idx].set((x[idx].astype(jnp.float32) + eps)
+                              .astype(x.dtype))
+            cur = list(args)
+            cur[inject] = x
             out = fn(*cur)
             if isinstance(out, (tuple, list)):
                 out = out[0]
             if full_output_dep:
-                dep = jnp.sum(out.astype(jnp.float32))
+                dep2 = jnp.sum(out.astype(jnp.float32))
             else:
-                dep = out[(0,) * out.ndim].astype(jnp.float32)
-            return dep * 0 + carry + 1
-        return lax.fori_loop(0, iters, body, jnp.float32(0))
+                dep2 = out[(0,) * out.ndim].astype(jnp.float32)
+            return (x, dep2 * 0 + dep + 1)
+        _, d = lax.fori_loop(0, iters, body,
+                             (args[inject], jnp.float32(0)))
+        return d
 
     # iters must be traced (jnp scalar), or every distinct count triggers a
     # full recompile — at ~40 s per remote Mosaic compile that dominated the

@@ -1,0 +1,97 @@
+"""TP serving: head-local decode + sharded KV cache vs the single-device
+model, and the continuous-batching engine running over a mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from bitblas_tpu.models.quant_llama import LlamaConfig, QuantLlama
+from bitblas_tpu.parallel.serving import TPQuantLlama
+from bitblas_tpu.serving.engine import ContinuousBatchingEngine, Request
+
+CFG = LlamaConfig(hidden_size=256, intermediate_size=512, num_heads=8,
+                  num_kv_heads=4, num_layers=2, group_size=64)
+
+
+def _mesh(tp):
+    devs = jax.devices()
+    if len(devs) < tp:
+        pytest.skip(f"needs {tp} devices")
+    return Mesh(np.array(devs[:tp]).reshape(tp), ("tp",))
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_decode_matches_single_device(tp):
+    mesh = _mesh(tp)
+    src = QuantLlama(CFG, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh)
+
+    B, S = 4, 16
+    rng = np.random.default_rng(0)
+    ck = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 5, 0, 7], jnp.int32)
+
+    y_ref, ck_ref, cv_ref = src.decode_step(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_tp, ck_out, cv_out = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ck_out, np.float32),
+                               np.asarray(ck_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_tp_prefill_matches_single_device():
+    mesh = _mesh(4)
+    src = QuantLlama(CFG, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh)
+    rng = np.random.default_rng(1)
+    S = 8
+    x = jnp.asarray(rng.standard_normal((1, S, CFG.hidden_size))
+                    .astype(np.float16))
+    pos = jnp.arange(S)[None, :]
+    h_ref, ks_ref, vs_ref = src.make_prefill(S)(x, pos)
+    h_tp, ks_tp, vs_tp = tpm.make_prefill(S)(x, pos)
+    np.testing.assert_allclose(np.asarray(h_tp, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    for a, b in zip(ks_tp, ks_ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_engine_over_mesh_matches_single_device():
+    mesh = _mesh(4)
+    src = QuantLlama(CFG, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh)
+    rng = np.random.default_rng(2)
+    prompts = [rng.standard_normal((s, CFG.hidden_size)).astype(np.float16)
+               for s in (3, 5)]
+
+    def run(model, cache_sharding=None):
+        eng = ContinuousBatchingEngine(model, num_slots=4, max_seq_len=32,
+                                       cache_sharding=cache_sharding)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(uid=i, prompt=p, max_new=3))
+        done = eng.run_to_completion()
+        assert len(done) == len(prompts)
+        return np.asarray(eng.last_hidden, np.float32)
+
+    h_ref = run(src)
+    h_tp = run(tpm, cache_sharding=tpm.kv_cache_sharding())
+    np.testing.assert_allclose(h_tp, h_ref, rtol=5e-2, atol=5e-2)
