@@ -43,18 +43,24 @@ def main():
     N = K = 4096
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
 
-    # Curated hints (from on-chip sweeps; see scripts/tpu_perf*.py).
+    # Curated hints (from on-chip sweeps; see scripts/tpu_gemv_sweep2.py,
+    # scripts/tpu_gemv_bisect.py — measured with the min-slope timer).
     def curated(m, w_dtype):
         if w_dtype == "int2":
             if m <= 16:
-                return TileHint(block_m=256, block_n=1024, block_k=1024,
-                                mma_dtype="bfloat16", decode_mode="telescope")
+                # int8-MXU telescope: ingestion floor ~9us beats bf16's ~11us
+                return TileHint(block_m=256, block_n=2048, block_k=1024,
+                                mma_dtype="int8", decode_mode="telescope")
             # compute-bound W2A8 wants the int8 MXU (2x bf16 rate)
             return TileHint(block_m=512, block_n=1024, block_k=1024,
                             mma_dtype="int8", decode_mode="mask")
         if m <= 16:
+            # f32 operands: int32->f32 casts are cheaper than ->bf16 and the
+            # MXU ingests f32 at the bf16 element rate at small M. (The
+            # batched-group dot would shave the per-group dot overhead but
+            # crashes this libtpu's Mosaic — see tuner/space.py.)
             return TileHint(block_m=256, block_n=512, block_k=4096,
-                            mma_dtype="bfloat16", decode_mode="telescope")
+                            mma_dtype="float32", decode_mode="telescope")
         return TileHint(block_m=1024, block_n=1024, block_k=256,
                         mma_dtype="bfloat16", decode_mode="telescope")
 
@@ -83,12 +89,16 @@ def main():
         if cfg.with_scaling:
             args.append(jnp.asarray(dw.scales))
 
-        hints = [curated(m, cfg.W_dtype)]
+        # Safe fallback so a compile regression in a curated hint degrades
+        # the number instead of silently dropping the config from the mean.
+        safe = TileHint(block_m=256, block_n=1024, block_k=1024,
+                        mma_dtype="bfloat16", decode_mode="telescope")
+        hints = [curated(m, cfg.W_dtype), safe]
         cached_op = global_operator_cache.get(cfg)
         if cached_op is not None:
             hints.insert(0, cached_op.hint_for(m))
         if tune:
-            hints = enumerate_hints(spec, arch)[:6]
+            hints = enumerate_hints(spec, arch)[:6] + [safe]
 
         wbits = cfg.bit
         abytes = 2 if cfg.A_dtype == "float16" else 1
@@ -123,7 +133,8 @@ def main():
                 log(f"bench candidate failed: {hint.short_name()}: "
                     f"{str(ex)[:120]}")
         if best is None:
-            log(f"SKIP m={m} {cfg.W_dtype}x{cfg.A_dtype}")
+            log(f"FAIL m={m} {cfg.W_dtype}x{cfg.A_dtype} — counted as 0%")
+            pcts.append(0.0)
             continue
         sec, hint = best
         pct = 100.0 * roof / sec

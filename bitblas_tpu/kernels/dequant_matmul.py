@@ -360,10 +360,38 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             # VPU cost: 1 mask + (e-1) shifts + e casts per word.
             base = float(1 << spec.bits)
             sub_w = wp_width // max(1, (BN // pack_n))  # words per tile
+            tele_batched = (hint.group_mode == "batched" and gpt > 1
+                            and spec.with_scaling and not spec.with_zeros)
             for t in range(BN // pack_n):
                 wt = words[:, t * sub_w:(t + 1) * sub_w] & 0xFF
                 shifted = [_cast(wt if j == 0 else (wt >> (j * spec.bits)),
                                  mma) for j in range(e)]
+                if tele_batched:
+                    # One 3D dot per shifted operand covers every k-group
+                    # (row-major reshapes are free); scale + int-bias fold
+                    # into a [gpt, BM, width] epilogue summed over groups.
+                    # Mosaic requires the batch dim at position 0 of BOTH
+                    # operands ("batch dims must be equal"), so the lhs
+                    # takes one small [BM, gpt, glen] -> [gpt, BM, glen]
+                    # transpose.
+                    a3 = a.reshape(a.shape[0], gpt, glen).swapaxes(0, 1)
+                    t3 = [jax.lax.dot_general(
+                        a3, sh.reshape(gpt, glen, sh.shape[1]),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=acc_dtype,
+                        precision=precision) for sh in shifted]
+                    if spec.family == "int":
+                        rs3 = jnp.stack(rowsums, axis=0)   # [gpt, BM, 1]
+                    for j in range(e):
+                        d3 = t3[j] - base * t3[j + 1] if j < e - 1 else t3[j]
+                        col0 = t * pack_n + j * (pack_n // e)
+                        width = pack_n // e
+                        cols = slice(col0, col0 + width)
+                        if spec.family == "int":
+                            d3 = d3 - rs3 * ibias
+                        s3 = s_ref[...][:, :, cols].astype(jnp.float32)
+                        acc_ref[:, cols] += jnp.sum(d3 * s3, axis=0)
+                    continue
                 for gi in range(gpt):
                     rows = slice(gi * glen, (gi + 1) * glen)
                     tj = [dot(a[:, rows], sh[rows]) for sh in shifted]
@@ -394,11 +422,13 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                 if batched_groups:
                     # One 3D dot over all groups: the reshapes are row-major
                     # views (free); scales stay a [gpt, 1, width] tensor.
-                    a3 = a.reshape(a.shape[0], gpt, glen)
+                    # Batch dim at position 0 of both operands (Mosaic
+                    # rejects mismatched batch-dim positions).
+                    a3 = a.reshape(a.shape[0], gpt, glen).swapaxes(0, 1)
                     w3 = w.reshape(gpt, glen, width)
                     d3 = jax.lax.dot_general(
                         a3, w3,
-                        dimension_numbers=(((2,), (1,)), ((1,), (0,))),
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=acc_dtype,
                         precision=precision)          # [gpt, BM, width]
                     s3 = s_ref[...][:, :, cols].astype(jnp.float32)

@@ -29,25 +29,23 @@ class TileDevice:
     hbm_bytes: int
     # MXU weight-ingestion rate at small M (operand elements/s): a skinny
     # dot cannot go faster than the array can load weights, independent of
-    # how few A rows stream. Lower bounds from the best observed v5e GEMV
-    # kernels (16.7M bf16 elements in 8.5 us, scripts/tpu_gemv_probe4.py);
-    # the resident-dot probe (tpu_ingest_probe.py) reads ~25% slower due to
-    # its accumulator dependency chain, so these are conservative-honest.
-    # int8 scaled by the measured resident-dot ratio (0.69/0.57). Other
-    # generations scaled by their flops ratio.
-    mxu_ingest_bf16: float = 2.0e12
-    mxu_ingest_int8: float = 2.4e12
+    # how few A rows stream. Measured on v5e with VMEM-resident repeated
+    # dots (scripts/tpu_ingest_probe.py: [1024,1024] dot at m<=32 — bf16
+    # 0.69us, f32 0.68us, int8 0.57us; element-count-bound ~1024
+    # elem/cycle). Other generations scaled by their flops ratio.
+    mxu_ingest_bf16: float = 1.52e12
+    mxu_ingest_int8: float = 1.85e12
     is_cpu: bool = False
 
 
 TPU_V4 = TileDevice("tpu_v4", 1.23e12, 275e12, 275e12, 275e12 / 4, 4.3e12,
-                    96 * 2**20, 32 * 2**30, 2.8e12, 3.4e12)
+                    96 * 2**20, 32 * 2**30, 2.1e12, 2.6e12)
 TPU_V5E = TileDevice("tpu_v5e", 819e9, 197e12, 394e12, 197e12 / 4, 3.2e12,
-                     96 * 2**20, 16 * 2**30, 2.0e12, 2.4e12)
+                     96 * 2**20, 16 * 2**30, 1.52e12, 1.85e12)
 TPU_V5P = TileDevice("tpu_v5p", 2.77e12, 459e12, 918e12, 459e12 / 4, 7.4e12,
-                     96 * 2**20, 95 * 2**30, 4.7e12, 5.6e12)
+                     96 * 2**20, 95 * 2**30, 3.5e12, 4.3e12)
 TPU_V6E = TileDevice("tpu_v6e", 1.64e12, 918e12, 1836e12, 918e12 / 4, 7.4e12,
-                     96 * 2**20, 32 * 2**30, 9.3e12, 11e12)
+                     96 * 2**20, 32 * 2**30, 7.1e12, 8.6e12)
 CPU_INTERPRET = TileDevice("cpu_interpret", 50e9, 1e12, 1e12, 5e11, 1e11,
                            96 * 2**20, 8 * 2**30, 1e12, 1e12, is_cpu=True)
 

@@ -141,17 +141,28 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
     if spec.family in ("uint", "int") and spec.bits < 8:
         decode_opts = ("telescope", "mask")
 
+    # Batched-group (3D dot over k-groups) pays off once a k-tile spans
+    # several groups; emit it alongside the loop mode there. Interpret-only
+    # for now: every batched tpu.matmul variant crashes this libtpu's Mosaic
+    # compiler (tpu_compile_helper exit 1, 2026-08; scripts/ probe logs).
+    batched_ok = (spec.with_scaling and not spec.with_zeros and arch.is_cpu)
+
     hints = []
     for bm in bm_opts:
         for bn in bn_opts:
             for bk in bk_opts:
                 for mma in mma_opts:
                     for dm in decode_opts:
-                        h = TileHint(block_m=bm, block_n=bn, block_k=bk,
-                                     mma_dtype=mma, decode_mode=dm)
-                        if vmem_usage(spec, h) > arch.vmem_bytes:
-                            continue
-                        hints.append(h)
+                        gms = ("loop",)
+                        if batched_ok and bk >= 4 * g:
+                            gms = ("loop", "batched")
+                        for gm in gms:
+                            h = TileHint(block_m=bm, block_n=bn, block_k=bk,
+                                         mma_dtype=mma, decode_mode=dm,
+                                         group_mode=gm)
+                            if vmem_usage(spec, h) > arch.vmem_bytes:
+                                continue
+                            hints.append(h)
 
     hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
     return hints[:max_candidates]

@@ -1,0 +1,98 @@
+"""Llama-3-70B GPTQ-INT4 tensor-parallel decode: measured per-chip kernels
+at TP-local shapes + an ICI cost model => projected tok/s and host scaling
+(BASELINE.json config #5).
+
+Only one chip is attached, so per-projection fused-kernel latencies are
+measured for real at each TP degree's local shapes, and the two psums per
+layer are costed analytically with the v5e ICI envelope (ring all-reduce:
+2*(n-1)/n * bytes / link_bw). Numbers print per tp in {4, 8, 16} with the
+compute/comm split so the scaling-efficiency claim is auditable.
+
+Llama-3-70B: hidden 8192, 64 heads / 8 kv heads (GQA), inter 28672,
+80 layers, W_UINT4 grouped g=128 + scales (GPTQ).
+"""
+import json
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from bitblas_tpu.kernels.dequant_matmul import make_dequant_matmul
+from bitblas_tpu.kernels.spec import KernelSpec
+from bitblas_tpu.ops.matmul_config import MatmulConfig
+from bitblas_tpu.ops.weight_transform import transform_reference_operands
+from bitblas_tpu.testing import random_reference_operands
+from bitblas_tpu.tuner import enumerate_hints, get_arch
+from bitblas_tpu.utils.timing import measure_kernel
+
+HIDDEN, HEADS, KV_HEADS, INTER, LAYERS = 8192, 64, 8, 28672, 80
+HEAD_DIM = HIDDEN // HEADS
+# v5e ICI: 2D torus, ~45 GB/s usable per link per direction (scaling-book
+# envelope). A tp-ring all-reduce of b bytes costs 2*(n-1)/n * b / bw.
+ICI_BW = 45e9
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_proj(n, k, m, topk=3):
+    cfg = MatmulConfig(M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
+                       with_scaling=True, group_size=128,
+                       fast_decoding=False, out_dtype="float16")
+    spec = KernelSpec.from_config(cfg, m)
+    arch = get_arch()
+    ops = random_reference_operands(cfg, m, 0)
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+    args = [jnp.asarray(ops.A), jnp.asarray(dw.qweight),
+            jnp.asarray(dw.scales)]
+    best = None
+    for hint in enumerate_hints(spec, arch)[:topk]:
+        try:
+            kf = make_dequant_matmul(spec, hint)
+            sec = measure_kernel(lambda a, w, s, _kf=kf: _kf(a, w, scales=s),
+                                 args)
+            if best is None or sec < best:
+                best = sec
+        except Exception as ex:  # noqa: BLE001
+            log(f"  cand fail {hint.short_name()}: {str(ex)[:60]}")
+    return best
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 16   # decode batch
+    results = {}
+    for tp in (4, 8, 16):
+        projs = {
+            "qkv": (HIDDEN, (HIDDEN + 2 * KV_HEADS * HEAD_DIM) // tp),
+            "o": (HIDDEN // tp, HIDDEN),
+            "gateup": (HIDDEN, 2 * INTER // tp),
+            "down": (INTER // tp, HIDDEN),
+        }
+        t_compute = 0.0
+        for name, (k, n) in projs.items():
+            sec = measure_proj(n, k, m)
+            log(f"tp={tp} {name:6s} [{k}x{n}] m={m}: {sec*1e6:7.1f}us")
+            t_compute += sec
+        # 2 ring all-reduces per layer of [m, hidden] f16
+        b = m * HIDDEN * 2
+        t_comm = 2 * (2 * (tp - 1) / tp) * b / ICI_BW
+        t_layer = t_compute + t_comm
+        tok_s = m / (t_layer * LAYERS)
+        results[tp] = dict(t_compute_us=t_compute * 1e6,
+                           t_comm_us=t_comm * 1e6,
+                           tok_s=tok_s, chips=tp)
+        log(f"tp={tp}: layer compute {t_compute*1e6:.1f}us + comm "
+            f"{t_comm*1e6:.1f}us -> {tok_s:.1f} tok/s (batch {m})")
+
+    # scaling efficiency tp=4 -> tp=16: ideal = 4x per-chip-count throughput
+    if 4 in results and 16 in results:
+        base = results[4]["tok_s"] / 4
+        eff = (results[16]["tok_s"] / 16) / base
+        log(f"scaling efficiency 4->16 chips: {100*eff:.1f}%")
+        results["scaling_efficiency_4_to_16"] = eff
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

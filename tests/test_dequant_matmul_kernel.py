@@ -248,3 +248,15 @@ def test_batched_group_mode():
                     mma_dtype="float16", precision="highest",
                     group_mode="batched")
     run_case(cfg, 16, hint=hint)
+
+
+@pytest.mark.parametrize("w_dtype", ["uint4", "int4", "int2"])
+def test_batched_group_telescope(w_dtype):
+    """Telescope decode with the 3D batched-group dot epilogue (one dot per
+    shifted operand covering all k-groups) matches the per-group loop."""
+    cfg = MatmulConfig(M=8, N=N, K=K, A_dtype="float16", W_dtype=w_dtype,
+                       with_scaling=True, group_size=128, fast_decoding=False)
+    hint = TileHint(block_m=8, block_n=512, block_k=512,
+                    mma_dtype="float32", decode_mode="telescope",
+                    group_mode="batched")
+    run_case(cfg, 8, hint=hint)
