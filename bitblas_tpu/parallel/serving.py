@@ -49,6 +49,26 @@ def _local_cfg(cfg_m: MatmulConfig, name: str, tp: int) -> MatmulConfig:
     return dataclasses.replace(cfg_m, K=cfg_m.K // tp)
 
 
+def _replicate_kv_heads(qweight, scales, src_cfg: LlamaConfig, rep: int):
+    """Duplicate each kv head's packed columns `rep` times (eff head j =
+    source head j // rep) — offline data transform for GQA TP with
+    tp > num_kv_heads."""
+    from ..quantization.packing import pack_nslot, pack_tile_n, unpack_nslot
+    D = src_cfg.head_dim
+    n_src = src_cfg.num_kv_heads * D
+    bits, e = 4, 2  # uint4 packing
+    w = np.asarray(qweight)
+    fields = unpack_nslot(w, bits, pack_tile_n(n_src, e))     # [K, N_src]
+    fields = fields.reshape(fields.shape[0], src_cfg.num_kv_heads, D)
+    fields = np.repeat(fields, rep, axis=1).reshape(fields.shape[0], -1)
+    n_eff = n_src * rep
+    wq = pack_nslot(fields, bits, pack_tile_n(n_eff, e)).astype(w.dtype)
+    s = np.asarray(scales)                                    # [G, 1, N_src]
+    s = s.reshape(s.shape[0], 1, src_cfg.num_kv_heads, D)
+    s = np.repeat(s, rep, axis=2).reshape(s.shape[0], 1, n_eff)
+    return jnp.asarray(wq), jnp.asarray(s)
+
+
 class TPQuantLlama:
     """TP-sharded quantized Llama decoder (engine-compatible protocol).
 
@@ -58,14 +78,28 @@ class TPQuantLlama:
 
     def __init__(self, src: QuantLlama, mesh: Mesh, axis: str = "tp",
                  interpret: Optional[bool] = None):
+        import dataclasses as _dc
         cfg = src.cfg
-        self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
         tp = mesh.shape[axis]
         self.tp = tp
-        assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0, \
-            "heads and kv_heads must divide tp"
+        assert cfg.num_heads % tp == 0, "heads must divide tp"
+        # GQA with fewer kv heads than tp: replicate each source kv head
+        # tp/num_kv_heads times so cache and k/v projections still shard
+        # evenly (eff kv head j = source head j // kv_rep; device d's q
+        # heads [d*hl, (d+1)*hl) all map to eff head d). The cache grows
+        # kv_rep-fold but stays fully sharded — the standard GQA-TP layout.
+        if cfg.num_kv_heads % tp == 0:
+            self.kv_rep = 1
+        else:
+            assert tp % cfg.num_kv_heads == 0, \
+                "need num_kv_heads % tp == 0 or tp % num_kv_heads == 0"
+            self.kv_rep = tp // cfg.num_kv_heads
+        eff_kv = cfg.num_kv_heads * self.kv_rep
+        # The engine reads .cfg for cache shapes -> publish effective counts.
+        self.cfg = _dc.replace(cfg, num_kv_heads=eff_kv)
+        cfg = self.cfg
         arch = get_arch()
         self.interpret = arch.is_cpu if interpret is None else interpret
 
@@ -74,7 +108,7 @@ class TPQuantLlama:
         self.norms = []            # [layer] -> (attn_norm, mlp_norm)
         self.mcfg: Dict[str, MatmulConfig] = {}
         for name, kin, kout in _PROJS:
-            K, N = _dim(cfg, kin), _dim(cfg, kout)
+            K, N = _dim(cfg, kin), _dim(cfg, kout)  # kv_size uses eff_kv
             self.mcfg[name] = MatmulConfig(
                 M=1, N=N, K=K, A_dtype=cfg.act_dtype, W_dtype="uint4",
                 with_scaling=True, group_size=cfg.group_size,
@@ -84,6 +118,8 @@ class TPQuantLlama:
             shards = {}
             for name, _, _ in _PROJS:
                 W, S = layer.weights[name]
+                if name in ("k", "v") and self.kv_rep > 1:
+                    W, S = _replicate_kv_heads(W, S, src.cfg, self.kv_rep)
                 if name in _COLUMN:
                     W = jnp.asarray(retile_packed_for_column_shards(
                         W, self.mcfg[name], tp))

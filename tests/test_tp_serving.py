@@ -55,6 +55,47 @@ def test_tp_decode_matches_single_device(tp):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_tp_kv_head_replication():
+    """tp=8 > num_kv_heads=4: each kv head replicates 2x; decode matches
+    the single-device model (the Llama-3-70B GQA serving layout)."""
+    mesh = _mesh(8)
+    import dataclasses
+    cfg8 = dataclasses.replace(CFG, group_size=32)  # K/tp must stay group-aligned
+    src = QuantLlama(cfg8, opt_m=(4,))  # 8 q heads, 4 kv heads
+    tpm = TPQuantLlama(src, mesh)
+    assert tpm.kv_rep == 2 and tpm.cfg.num_kv_heads == 8
+
+    B, S = 4, 16
+    rng = np.random.default_rng(3)
+    ck = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 5, 0, 7], jnp.int32)
+
+    y_ref, ck_ref, _ = src.decode_step(x, ck, cv, slots, lengths)
+
+    rep = tpm.kv_rep
+    ck_eff = jnp.repeat(ck, rep, axis=3)
+    cv_eff = jnp.repeat(cv, rep, axis=3)
+    ck_tp = jax.device_put(ck_eff, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv_eff, tpm.kv_cache_sharding())
+    y_tp, ck_out, _ = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(ck_out, np.float32),
+        np.asarray(jnp.repeat(ck_ref, rep, axis=3), np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
 def test_tp_prefill_matches_single_device():
     mesh = _mesh(4)
     src = QuantLlama(CFG, opt_m=(4,))
