@@ -67,29 +67,42 @@ class QuantLlamaLayer:
         rng = np.random.default_rng(seed)
         for name, kin, kout in _PROJS:
             K, N = _dim(cfg, kin), _dim(cfg, kout)
+            # Real GPTQ layout: uint4 codes with zero point 8 (uncentered
+            # codes would bias every output and blow up the residual stream
+            # within a few decode steps).
             mcfg = MatmulConfig(M=list(opt_m), N=N, K=K,
                                 A_dtype=cfg.act_dtype, W_dtype="uint4",
-                                with_scaling=True, group_size=cfg.group_size,
+                                with_scaling=True, with_zeros=True,
+                                zeros_mode="original",
+                                group_size=cfg.group_size,
                                 out_dtype=cfg.act_dtype)
             op = Matmul(mcfg, enable_tuning=enable_tuning)
             codes = rng.integers(0, 16, (N, K)).astype(np.int8)
-            scales = (rng.standard_normal((N, K // cfg.group_size)) * 0.002
-                      + 0.01).astype(np.float16)
-            W, S = op.transform_weight(codes, scale=scales)
+            # Scale chosen so the random-weight residual dynamics stay
+            # CONTRACTIVE: XLA:CPU multithreaded reductions are not
+            # bit-deterministic run-to-run, and with expanding dynamics a
+            # 1-ulp difference amplifies ~30%/step through decode loops,
+            # flaking any engine-equivalence test. (Real checkpoints are
+            # trained to be stable; this fixture must be too.)
+            scales = (rng.standard_normal((N, K // cfg.group_size)) * 0.0002
+                      + 0.001).astype(np.float16)
+            zeros = np.full((N, K // cfg.group_size), 8.0, np.float16)
+            W, S, Z = op.transform_weight(codes, scale=scales, zeros=zeros)
             self.ops[name] = op
-            self.weights[name] = (W, S)
+            self.weights[name] = (W, S, Z)
         self.attn_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
         self.mlp_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
 
     def proj(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
-        W, S = self.weights[name]
-        return self.ops[name].forward(x, W, scale=S)
+        W, S, Z = self.weights[name]
+        return self.ops[name].forward(x, W, scale=S, zeros=Z)
 
     def state_dict(self) -> Dict[str, jnp.ndarray]:
         out = {}
-        for name, (W, S) in self.weights.items():
+        for name, (W, S, Z) in self.weights.items():
             out[f"{name}.qweight"] = W
             out[f"{name}.scales"] = S
+            out[f"{name}.zeros"] = Z
         out["attn_norm"] = self.attn_norm
         out["mlp_norm"] = self.mlp_norm
         return out
@@ -97,7 +110,8 @@ class QuantLlamaLayer:
     def load_state_dict(self, state: Dict[str, jnp.ndarray]) -> None:
         for name in self.weights:
             self.weights[name] = (jnp.asarray(state[f"{name}.qweight"]),
-                                  jnp.asarray(state[f"{name}.scales"]))
+                                  jnp.asarray(state[f"{name}.scales"]),
+                                  jnp.asarray(state[f"{name}.zeros"]))
         self.attn_norm = jnp.asarray(state["attn_norm"])
         self.mlp_norm = jnp.asarray(state["mlp_norm"])
 
@@ -237,6 +251,50 @@ class QuantLlama:
             caches_v = caches_v.at[li].set(cv)
             attn = decode_attention(q, ck, cv, slots, lengths + 1,
                                     num_heads=cfg.num_heads)
+            attn = attn.reshape(B, cfg.hidden_size)
+            x = x + layer.proj("o", attn)[:, None, :]
+            h = rmsnorm(x, layer.mlp_norm)
+            h2 = h.reshape(B, cfg.hidden_size)
+            gate = layer.proj("gate", h2)
+            up = layer.proj("up", h2)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.proj("down", act)[:, None, :]
+        return x, caches_k, caches_v
+
+    def decode_step_paged(self, x: jnp.ndarray, caches_k: jnp.ndarray,
+                          caches_v: jnp.ndarray, tables: jnp.ndarray,
+                          block_rows: jnp.ndarray, offsets: jnp.ndarray,
+                          lengths: jnp.ndarray):
+        """One-token decode against the paged KV cache.
+
+        x [B, 1, H]; caches_k/v [L, blocks, bs, Hkv, D]; tables [B, MB]
+        physical blocks per request; block_rows/offsets [B] = where the new
+        token's K/V lands; lengths [B] = tokens already cached.
+        """
+        from ..serving.kv_cache import (append_token_paged,
+                                        decode_attention_paged)
+
+        cfg = self.cfg
+        B = x.shape[0]
+        positions = lengths[:, None]
+        for li, layer in enumerate(self.layers):
+            h = rmsnorm(x, layer.attn_norm)
+            h2 = h.reshape(B, cfg.hidden_size)
+            q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
+            k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)[:, 0]
+            k = rope(k, positions, cfg.rope_theta)[:, 0]
+            v = v[:, 0]
+            ck, cv = append_token_paged(caches_k[li], caches_v[li],
+                                        block_rows, offsets, k, v)
+            caches_k = caches_k.at[li].set(ck)
+            caches_v = caches_v.at[li].set(cv)
+            attn = decode_attention_paged(q, ck, cv, tables, lengths + 1,
+                                          num_heads=cfg.num_heads)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)

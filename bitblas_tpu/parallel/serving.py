@@ -49,7 +49,8 @@ def _local_cfg(cfg_m: MatmulConfig, name: str, tp: int) -> MatmulConfig:
     return dataclasses.replace(cfg_m, K=cfg_m.K // tp)
 
 
-def _replicate_kv_heads(qweight, scales, src_cfg: LlamaConfig, rep: int):
+def _replicate_kv_heads(qweight, scales, zeros, src_cfg: LlamaConfig,
+                        rep: int):
     """Duplicate each kv head's packed columns `rep` times (eff head j =
     source head j // rep) — offline data transform for GQA TP with
     tp > num_kv_heads."""
@@ -63,10 +64,14 @@ def _replicate_kv_heads(qweight, scales, src_cfg: LlamaConfig, rep: int):
     fields = np.repeat(fields, rep, axis=1).reshape(fields.shape[0], -1)
     n_eff = n_src * rep
     wq = pack_nslot(fields, bits, pack_tile_n(n_eff, e)).astype(w.dtype)
-    s = np.asarray(scales)                                    # [G, 1, N_src]
-    s = s.reshape(s.shape[0], 1, src_cfg.num_kv_heads, D)
-    s = np.repeat(s, rep, axis=2).reshape(s.shape[0], 1, n_eff)
-    return jnp.asarray(wq), jnp.asarray(s)
+
+    def _rep_rows(t):
+        t = np.asarray(t)                                     # [G, 1, N_src]
+        t = t.reshape(t.shape[0], 1, src_cfg.num_kv_heads, D)
+        return jnp.asarray(
+            np.repeat(t, rep, axis=2).reshape(t.shape[0], 1, n_eff))
+
+    return jnp.asarray(wq), _rep_rows(scales), _rep_rows(zeros)
 
 
 class TPQuantLlama:
@@ -111,15 +116,16 @@ class TPQuantLlama:
             K, N = _dim(cfg, kin), _dim(cfg, kout)  # kv_size uses eff_kv
             self.mcfg[name] = MatmulConfig(
                 M=1, N=N, K=K, A_dtype=cfg.act_dtype, W_dtype="uint4",
-                with_scaling=True, group_size=cfg.group_size,
-                out_dtype=cfg.act_dtype)
+                with_scaling=True, with_zeros=True, zeros_mode="original",
+                group_size=cfg.group_size, out_dtype=cfg.act_dtype)
         from . import retile_packed_for_column_shards
         for layer in src.layers:
             shards = {}
             for name, _, _ in _PROJS:
-                W, S = layer.weights[name]
+                W, S, Z = layer.weights[name]
                 if name in ("k", "v") and self.kv_rep > 1:
-                    W, S = _replicate_kv_heads(W, S, src.cfg, self.kv_rep)
+                    W, S, Z = _replicate_kv_heads(W, S, Z, src.cfg,
+                                                  self.kv_rep)
                 if name in _COLUMN:
                     W = jnp.asarray(retile_packed_for_column_shards(
                         W, self.mcfg[name], tp))
@@ -129,7 +135,8 @@ class TPQuantLlama:
                     wsh = NamedSharding(mesh, P(axis, None))
                     ssh = NamedSharding(mesh, P(axis, None, None))
                 shards[name] = (jax.device_put(W, wsh),
-                                jax.device_put(S, ssh))
+                                jax.device_put(S, ssh),
+                                jax.device_put(Z, ssh))
             self.weights.append(shards)
             self.norms.append((layer.attn_norm, layer.mlp_norm))
 
@@ -168,7 +175,8 @@ class TPQuantLlama:
         def device_step(x, ck, cv, slots, lengths, *flat):
             from ..serving.kv_cache import append_token, decode_attention
             it = iter(flat)
-            weights = [{name: (next(it), next(it)) for name, _, _ in _PROJS}
+            weights = [{name: (next(it), next(it), next(it))
+                        for name, _, _ in _PROJS}
                        for _ in range(cfg.num_layers)]
             positions = lengths[:, None]
             for li in range(cfg.num_layers):
@@ -176,9 +184,9 @@ class TPQuantLlama:
                 w = weights[li]
                 h = rmsnorm(x, attn_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
-                q = kern["q"](h2, w["q"][0], scales=w["q"][1])
-                k = kern["k"](h2, w["k"][0], scales=w["k"][1])
-                v = kern["v"](h2, w["v"][0], scales=w["v"][1])
+                q = kern["q"](h2, w["q"][0], scales=w["q"][1], zeros=w["q"][2])
+                k = kern["k"](h2, w["k"][0], scales=w["k"][1], zeros=w["k"][2])
+                v = kern["v"](h2, w["v"][0], scales=w["v"][1], zeros=w["v"][2])
                 q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
                 k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
                 v = v.reshape(B, kvl, D)
@@ -187,17 +195,20 @@ class TPQuantLlama:
                 cv = cv.at[li].set(cvl)
                 attn = decode_attention(q, ckl, cvl, slots, lengths + 1,
                                         num_heads=hl)
-                o_part = kern["o"](attn.reshape(B, hl * D),
-                                   w["o"][0], scales=w["o"][1])
+                o_part = kern["o"](attn.reshape(B, hl * D), w["o"][0],
+                                   scales=w["o"][1], zeros=w["o"][2])
                 o = jax.lax.psum(o_part.astype(jnp.float32), axis)
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
-                gate = kern["gate"](h2, w["gate"][0], scales=w["gate"][1])
-                up = kern["up"](h2, w["up"][0], scales=w["up"][1])
+                gate = kern["gate"](h2, w["gate"][0], scales=w["gate"][1],
+                                    zeros=w["gate"][2])
+                up = kern["up"](h2, w["up"][0], scales=w["up"][1],
+                                zeros=w["up"][2])
                 act = (jax.nn.silu(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
-                d_part = kern["down"](act, w["down"][0], scales=w["down"][1])
+                d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
+                                      zeros=w["down"][2])
                 d = jax.lax.psum(d_part.astype(jnp.float32), axis)
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
@@ -205,12 +216,14 @@ class TPQuantLlama:
         flat, w_specs = [], []
         for li in range(cfg.num_layers):
             for name, _, _ in _PROJS:
-                W, S = self.weights[li][name]
-                flat += [W, S]
+                W, S, Z = self.weights[li][name]
+                flat += [W, S, Z]
                 if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis)]
+                    w_specs += [P(None, axis), P(None, None, axis),
+                                P(None, None, axis)]
                 else:
-                    w_specs += [P(axis, None), P(axis, None, None)]
+                    w_specs += [P(axis, None), P(axis, None, None),
+                                P(axis, None, None)]
         kv_spec = P(None, None, None, axis, None)
         sm = shard_map(
             device_step, mesh=self.mesh,
@@ -233,7 +246,7 @@ class TPQuantLlama:
 
             def device_prefill(x, positions, *flat):
                 it = iter(flat)
-                weights = [{name: (next(it), next(it))
+                weights = [{name: (next(it), next(it), next(it))
                             for name, _, _ in _PROJS}
                            for _ in range(cfg.num_layers)]
                 hl = cfg.num_heads // self.tp
@@ -244,9 +257,9 @@ class TPQuantLlama:
                     attn_norm, mlp_norm = self.norms[li]
                     w = weights[li]
                     h = rmsnorm(x, attn_norm).reshape(B * S, cfg.hidden_size)
-                    q = kern["q"](h, w["q"][0], scales=w["q"][1])
-                    k = kern["k"](h, w["k"][0], scales=w["k"][1])
-                    v = kern["v"](h, w["v"][0], scales=w["v"][1])
+                    q = kern["q"](h, w["q"][0], scales=w["q"][1], zeros=w["q"][2])
+                    k = kern["k"](h, w["k"][0], scales=w["k"][1], zeros=w["k"][2])
+                    v = kern["v"](h, w["v"][0], scales=w["v"][1], zeros=w["v"][2])
                     q = rope(q.reshape(B, S, hl, D), positions, cfg.rope_theta)
                     k = rope(k.reshape(B, S, kvl, D), positions, cfg.rope_theta)
                     v = v.reshape(B, S, kvl, D)
@@ -265,17 +278,19 @@ class TPQuantLlama:
                     p = jax.nn.softmax(s, axis=-1)
                     attn = jnp.einsum("bhqk,bkhd->bqhd", p,
                                       v_.astype(jnp.float32)).astype(x.dtype)
-                    o_part = kern["o"](attn.reshape(B * S, hl * D),
-                                       w["o"][0], scales=w["o"][1])
+                    o_part = kern["o"](attn.reshape(B * S, hl * D), w["o"][0],
+                                       scales=w["o"][1], zeros=w["o"][2])
                     o = jax.lax.psum(o_part.astype(jnp.float32), axis)
                     x = x + o.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                     h = rmsnorm(x, mlp_norm).reshape(B * S, cfg.hidden_size)
-                    gate = kern["gate"](h, w["gate"][0], scales=w["gate"][1])
-                    up = kern["up"](h, w["up"][0], scales=w["up"][1])
+                    gate = kern["gate"](h, w["gate"][0], scales=w["gate"][1],
+                                        zeros=w["gate"][2])
+                    up = kern["up"](h, w["up"][0], scales=w["up"][1],
+                                    zeros=w["up"][2])
                     act = (jax.nn.silu(gate.astype(jnp.float32))
                            * up.astype(jnp.float32)).astype(x.dtype)
-                    d_part = kern["down"](act, w["down"][0],
-                                          scales=w["down"][1])
+                    d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
+                                          zeros=w["down"][2])
                     d = jax.lax.psum(d_part.astype(jnp.float32), axis)
                     x = x + d.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                 # gather local-head K/V to full heads for the cache write
@@ -288,12 +303,14 @@ class TPQuantLlama:
             flat, w_specs = [], []
             for li in range(cfg.num_layers):
                 for name, _, _ in _PROJS:
-                    W, Ssc = self.weights[li][name]
-                    flat += [W, Ssc]
+                    W, Ssc, Zz = self.weights[li][name]
+                    flat += [W, Ssc, Zz]
                     if name in _COLUMN:
-                        w_specs += [P(None, axis), P(None, None, axis)]
+                        w_specs += [P(None, axis), P(None, None, axis),
+                                    P(None, None, axis)]
                     else:
-                        w_specs += [P(axis, None), P(axis, None, None)]
+                        w_specs += [P(axis, None), P(axis, None, None),
+                                    P(axis, None, None)]
             nl = cfg.num_layers
             sm = shard_map(
                 device_prefill, mesh=self.mesh,

@@ -33,6 +33,7 @@ class Request:
     generated: int = 0
     slot: int = -1
     done: bool = False
+    final_hidden: "np.ndarray" = None   # snapshot at completion
 
 
 class SlotAllocator:
@@ -149,6 +150,8 @@ class ContinuousBatchingEngine:
             if (req.generated >= req.max_new
                     or self.lengths[slot] >= self.max_seq_len):
                 req.done = True
+                req.final_hidden = np.asarray(self.last_hidden[slot],
+                                              np.float32)
                 self.finished.append(req)
                 finished_slots.append(slot)
         for slot in finished_slots:
@@ -159,6 +162,178 @@ class ContinuousBatchingEngine:
             # would keep accumulating through residuals until f16 overflow.
             self.last_hidden = self.last_hidden.at[slot].set(0.0)
             self.alloc.release(slot)
+        return len(self.active)
+
+    def run_to_completion(self, max_steps: int = 10_000) -> List[Request]:
+        for _ in range(max_steps):
+            self._admit()
+            if not self.active and not self.pending:
+                break
+            self.step()
+        return self.finished
+
+
+class PagedContinuousBatchingEngine:
+    """Continuous batching over a paged (block-pooled) KV cache.
+
+    Memory scales with live tokens instead of num_slots * max_seq_len: the
+    host-side BlockAllocator hands fixed-size blocks to requests as their
+    sequences grow and reclaims them on completion. Admission waits when the
+    pool is exhausted. Device shapes stay static (block tables are
+    [num_slots, max_blocks] arrays), so steps never retrace.
+    """
+
+    def __init__(self, model, num_slots: int, num_blocks: int,
+                 block_size: int = 16, max_blocks_per_slot: int = 64,
+                 cache_sharding=None):
+        from .kv_cache import BlockAllocator
+        self.model = model
+        self.cfg = model.cfg
+        self.num_slots = num_slots
+        self.block_size = block_size
+        self.max_blocks = max_blocks_per_slot
+        self.slot_alloc = SlotAllocator(num_slots)
+        # Physical block 0 is reserved: it is the filler id in masked table
+        # entries AND the write target for inactive slots' appends (their
+        # block_rows resolve to table[slot, 0] = 0), so it must never hold
+        # live data.
+        self.block_alloc = BlockAllocator(num_blocks)
+        self.block_alloc.free.remove(0)
+        self.active: Dict[int, Request] = {}
+        self.pending: List[Request] = []
+        self.finished: List[Request] = []
+
+        c = self.cfg
+        self.caches_k = jnp.zeros(
+            (c.num_layers, num_blocks, block_size, c.num_kv_heads,
+             c.head_dim), jnp.bfloat16)
+        if cache_sharding is not None:
+            self.caches_k = jax.device_put(self.caches_k, cache_sharding)
+        self.caches_v = jnp.zeros_like(self.caches_k)
+        self.lengths = np.zeros((num_slots,), np.int32)
+        # block 0 stays a valid physical id for masked/unused table slots
+        self.tables = np.zeros((num_slots, max_blocks_per_slot), np.int32)
+        self.slot_blocks: Dict[int, List[int]] = {}
+        self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
+        self._decode_step = jax.jit(model.decode_step_paged)
+        self._prefills = {}
+
+    # -- block bookkeeping ------------------------------------------------------
+    def _blocks_needed(self, tokens: int) -> int:
+        return -(-tokens // self.block_size)
+
+    def _grow_slot(self, slot: int, new_len: int) -> bool:
+        """Ensure the slot owns enough blocks for new_len tokens."""
+        have = self.slot_blocks.get(slot, [])
+        need = self._blocks_needed(new_len)
+        if need > self.max_blocks:
+            return False
+        while len(have) < need:
+            b = self.block_alloc.alloc()
+            if b is None:
+                return False
+            self.tables[slot, len(have)] = b
+            have.append(b)
+        self.slot_blocks[slot] = have
+        return True
+
+    def _release_slot(self, slot: int):
+        self.block_alloc.release(self.slot_blocks.pop(slot, []))
+        self.tables[slot, :] = 0
+        self.lengths[slot] = 0
+        self.last_hidden = self.last_hidden.at[slot].set(0.0)
+        self.slot_alloc.release(slot)
+
+    # -- request lifecycle -------------------------------------------------------
+    def submit(self, req: Request):
+        self.pending.append(req)
+
+    def _admit(self):
+        while self.pending:
+            req = self.pending[0]
+            S = req.prompt.shape[0]
+            if (self.block_alloc.available
+                    < self._blocks_needed(S + req.max_new)):
+                return  # pool exhausted: wait for completions
+            slot = self.slot_alloc.alloc()
+            if slot is None:
+                return
+            self.pending.pop(0)
+            req.slot = slot
+            ok = self._grow_slot(slot, S)
+            assert ok, "admission check guaranteed blocks"
+            self._prefill(req)
+            self.active[slot] = req
+
+    def _prefill(self, req: Request):
+        S = req.prompt.shape[0]
+        bucket = 1 << (max(S - 1, 0)).bit_length() if S > 1 else 1
+        x = np.zeros((1, bucket, self.cfg.hidden_size), np.float16)
+        x[0, :S] = req.prompt
+        positions = np.arange(bucket)[None, :]
+        if bucket not in self._prefills:
+            self._prefills[bucket] = jax.jit(self.model.make_prefill(bucket))
+        hidden, ks, vs = self._prefills[bucket](jnp.asarray(x),
+                                                jnp.asarray(positions))
+        # scatter the prompt K/V into the slot's blocks
+        blocks = self.slot_blocks[req.slot]
+        bs = self.block_size
+        for layer in range(self.cfg.num_layers):
+            k = ks[layer][:S]
+            v = vs[layer][:S]
+            for i, b in enumerate(blocks):
+                lo = i * bs
+                if lo >= S:
+                    break
+                hi = min(lo + bs, S)
+                self.caches_k = self.caches_k.at[
+                    layer, b, :hi - lo].set(
+                        k[lo:hi].astype(self.caches_k.dtype))
+                self.caches_v = self.caches_v.at[
+                    layer, b, :hi - lo].set(
+                        v[lo:hi].astype(self.caches_v.dtype))
+        self.lengths[req.slot] = S
+        self.last_hidden = self.last_hidden.at[req.slot].set(
+            hidden[0, S - 1].astype(self.last_hidden.dtype))
+
+    # -- main loop ----------------------------------------------------------------
+    def step(self) -> int:
+        self._admit()
+        if not self.active:
+            return 0
+        # grow blocks for this step's appends
+        for slot in list(self.active):
+            if not self._grow_slot(slot, int(self.lengths[slot]) + 1):
+                # out of pool mid-flight: finish the request early
+                req = self.active.pop(slot)
+                req.done = True
+                req.final_hidden = np.asarray(self.last_hidden[slot],
+                                              np.float32)
+                self.finished.append(req)
+                self._release_slot(slot)
+        if not self.active:
+            return 0
+        lengths = self.lengths
+        bs = self.block_size
+        block_idx = lengths // bs
+        block_rows = self.tables[np.arange(self.num_slots), block_idx]
+        offsets = lengths % bs
+        hidden, self.caches_k, self.caches_v = self._decode_step(
+            self.last_hidden[:, None, :], self.caches_k, self.caches_v,
+            jnp.asarray(self.tables), jnp.asarray(block_rows),
+            jnp.asarray(offsets), jnp.asarray(lengths))
+        self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
+
+        for slot, req in list(self.active.items()):
+            self.lengths[slot] += 1
+            req.generated += 1
+            if req.generated >= req.max_new:
+                req.done = True
+                req.final_hidden = np.asarray(self.last_hidden[slot],
+                                              np.float32)
+                self.finished.append(req)
+                del self.active[slot]
+                self._release_slot(slot)
         return len(self.active)
 
     def run_to_completion(self, max_steps: int = 10_000) -> List[Request]:

@@ -77,6 +77,102 @@ def append_token(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
     return cache_k, cache_v
 
 
+# -- paged cache (vLLM-style block paging) ------------------------------------
+#
+# The slot cache above reserves max_seq_len per slot; the paged cache pools
+# fixed-size blocks so memory scales with live tokens, not worst case:
+#
+#   k/v          [num_layers, num_blocks, block_size, kv_heads, head_dim]
+#   block_table  [num_slots, max_blocks_per_slot] int32 (host-managed)
+#
+# All device shapes stay static (jit-friendly); the engine's host-side
+# allocator hands blocks to slots as their sequences grow and reclaims them
+# on completion.
+
+
+@dataclass(frozen=True)
+class PagedKVConfig:
+    num_blocks: int
+    block_size: int
+    num_kv_heads: int
+    head_dim: int
+    num_layers: int
+    max_blocks_per_slot: int
+    dtype: str = "bfloat16"
+
+
+def init_paged_kv_cache(cfg: PagedKVConfig) -> Dict[str, jnp.ndarray]:
+    dt = jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, cfg.num_blocks, cfg.block_size,
+             cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+def append_token_paged(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                       block_rows: jnp.ndarray, offsets: jnp.ndarray,
+                       k_new: jnp.ndarray, v_new: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-layer decode append into the block pool.
+
+    cache_k/v [blocks, bs, H, D]; block_rows [B] = physical block per
+    request's current position; offsets [B] = position within the block.
+    """
+    cache_k = cache_k.at[block_rows, offsets].set(k_new.astype(cache_k.dtype))
+    cache_v = cache_v.at[block_rows, offsets].set(v_new.astype(cache_v.dtype))
+    return cache_k, cache_v
+
+
+def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
+                           cache_v: jnp.ndarray, tables: jnp.ndarray,
+                           lengths: jnp.ndarray, *,
+                           num_heads: int) -> jnp.ndarray:
+    """Single-token attention against the paged cache.
+
+    q [B, H, D]; cache_k/v [blocks, bs, Hkv, D]; tables [B, MB] physical
+    block ids per request (unused entries may be any valid id — masked);
+    lengths [B] = valid tokens. Returns [B, H, D].
+    """
+    B, H, D = q.shape
+    bs = cache_k.shape[1]
+    k = cache_k[tables]            # [B, MB, bs, Hkv, D]
+    v = cache_v[tables]
+    MB = tables.shape[1]
+    Hkv = k.shape[3]
+    k = k.reshape(B, MB * bs, Hkv, D)
+    v = v.reshape(B, MB * bs, Hkv, D)
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32)) \
+        / jnp.sqrt(jnp.float32(D))
+    mask = jnp.arange(MB * bs)[None, :] < lengths[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgl,blhd->bhgd", p, v.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
+class BlockAllocator:
+    """Host-side free-list over the physical block pool."""
+
+    def __init__(self, num_blocks: int):
+        self.free = list(range(num_blocks))[::-1]
+
+    def alloc(self) -> Optional[int]:
+        return self.free.pop() if self.free else None
+
+    def alloc_many(self, n: int) -> Optional[list]:
+        if len(self.free) < n:
+            return None
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, blocks) -> None:
+        self.free.extend(int(b) for b in blocks)
+
+    @property
+    def available(self) -> int:
+        return len(self.free)
+
+
 def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
                      cache_v: jnp.ndarray, slots: jnp.ndarray,
                      lengths: jnp.ndarray, *, num_heads: int) -> jnp.ndarray:

@@ -107,19 +107,27 @@ def measure_chained(chained: Callable, *, est_iters: int = 32,
 
     n1 = 4
     n2 = n1 + max(16, int(target_sec / per_iter))
-    t1s, t2s = [], []
-    for _ in range(max(repeats, 3)):
-        t0 = time.perf_counter()
-        np.asarray(chained(n1))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(chained(n2))
-        t2s.append(time.perf_counter() - t0)
     # Timing noise (tunnel hiccups, host GC) is strictly one-sided, so the
     # min of each point is the clean run; the slope of paired raw runs can
     # deflate badly (a +5 ms hiccup in the short run reads as -1.3 us/iter
-    # and produced "measurements" beating the HBM bound).
-    slope = (min(t2s) - min(t1s)) / (n2 - n1)
+    # and produced "measurements" beating the HBM bound). The rough per_iter
+    # sizing can also be stall-inflated, leaving n2 far too small — grow n2
+    # until the measured span dwarfs the dispatch-overhead noise floor.
+    min_span = min(0.02, target_sec)
+    for _ in range(6):
+        t1s, t2s = [], []
+        for _ in range(max(repeats, 3)):
+            t0 = time.perf_counter()
+            np.asarray(chained(n1))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            np.asarray(chained(n2))
+            t2s.append(time.perf_counter() - t0)
+        span = min(t2s) - min(t1s)
+        if span >= min_span or n2 >= 1_000_000:
+            break
+        n2 = n1 + (n2 - n1) * 4
+    slope = span / (n2 - n1)
     return max(float(slope), 1e-9)
 
 

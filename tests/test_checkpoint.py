@@ -27,8 +27,8 @@ def _models():
     # m2 starts with different (seeded-differently is not true here: same
     # seeds) — perturb to prove load actually changes state.
     for layer in m2.layers:
-        for name, (W, S) in layer.weights.items():
-            layer.weights[name] = (W, S * 2.0)
+        for name, (W, S, Z) in layer.weights.items():
+            layer.weights[name] = (W, S * 2.0, Z)
     return m1, m2
 
 
