@@ -185,13 +185,14 @@ class PagedContinuousBatchingEngine:
 
     def __init__(self, model, num_slots: int, num_blocks: int,
                  block_size: int = 16, max_blocks_per_slot: int = 64,
-                 cache_sharding=None):
+                 cache_sharding=None, prefix_caching: bool = True):
         from .kv_cache import BlockAllocator
         self.model = model
         self.cfg = model.cfg
         self.num_slots = num_slots
         self.block_size = block_size
         self.max_blocks = max_blocks_per_slot
+        self.prefix_caching = prefix_caching
         self.slot_alloc = SlotAllocator(num_slots)
         # Physical block 0 is reserved: it is the filler id in masked table
         # entries AND the write target for inactive slots' appends (their
@@ -217,6 +218,14 @@ class PagedContinuousBatchingEngine:
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
         self._decode_step = jax.jit(model.decode_step_paged)
         self._prefills = {}
+        # Prefix caching: full prompt-prefix blocks are content-addressed
+        # (hash chain over the prompt) and shared between requests via
+        # refcounts. Shared blocks are never written: appends only touch the
+        # partial tail block or freshly grown ones.
+        self.block_ref: Dict[int, int] = {}
+        self.prefix_index: Dict[bytes, int] = {}
+        self.block_key: Dict[int, bytes] = {}
+        self.prefix_hits = 0
 
     # -- block bookkeeping ------------------------------------------------------
     def _blocks_needed(self, tokens: int) -> int:
@@ -232,13 +241,24 @@ class PagedContinuousBatchingEngine:
             b = self.block_alloc.alloc()
             if b is None:
                 return False
+            self.block_ref[b] = 1
             self.tables[slot, len(have)] = b
             have.append(b)
         self.slot_blocks[slot] = have
         return True
 
+    def _unref(self, b: int):
+        self.block_ref[b] -= 1
+        if self.block_ref[b] == 0:
+            del self.block_ref[b]
+            key = self.block_key.pop(b, None)
+            if key is not None:
+                self.prefix_index.pop(key, None)
+            self.block_alloc.release([b])
+
     def _release_slot(self, slot: int):
-        self.block_alloc.release(self.slot_blocks.pop(slot, []))
+        for b in self.slot_blocks.pop(slot, []):
+            self._unref(b)
         self.tables[slot, :] = 0
         self.lengths[slot] = 0
         self.last_hidden = self.last_hidden.at[slot].set(0.0)
@@ -265,8 +285,44 @@ class PagedContinuousBatchingEngine:
             self._prefill(req)
             self.active[slot] = req
 
+    def _prefix_keys(self, prompt: np.ndarray):
+        """Hash-chain keys for each FULL block of the prompt: key_i covers
+        tokens [0, (i+1)*bs) — identical prefixes map to identical keys."""
+        import hashlib
+        bs = self.block_size
+        keys = []
+        h = hashlib.sha1()
+        for i in range(prompt.shape[0] // bs):
+            h.update(np.ascontiguousarray(prompt[i * bs:(i + 1) * bs])
+                     .tobytes())
+            keys.append(h.digest())
+        return keys
+
     def _prefill(self, req: Request):
         S = req.prompt.shape[0]
+        bs = self.block_size
+        slot = req.slot
+        # Swap shared prefix blocks in for the private ones _grow_slot
+        # handed us (shared full blocks are never written, so reuse is safe).
+        blocks = self.slot_blocks[slot]
+        write_mask = [True] * len(blocks)
+        keys = self._prefix_keys(req.prompt) if self.prefix_caching else []
+        for i, key in enumerate(keys):
+            shared = self.prefix_index.get(key)
+            if shared is not None and shared != blocks[i]:
+                self._unref(blocks[i])
+                self.block_ref[shared] += 1
+                blocks[i] = shared
+                self.tables[slot, i] = shared
+                write_mask[i] = False
+                self.prefix_hits += 1
+            else:
+                # register this (private) block as the prefix owner
+                if self.prefix_caching and blocks[i] not in self.block_key:
+                    self.prefix_index[key] = blocks[i]
+                    self.block_key[blocks[i]] = key
+        self.slot_blocks[slot] = blocks
+
         bucket = 1 << (max(S - 1, 0)).bit_length() if S > 1 else 1
         x = np.zeros((1, bucket, self.cfg.hidden_size), np.float16)
         x[0, :S] = req.prompt
@@ -275,9 +331,7 @@ class PagedContinuousBatchingEngine:
             self._prefills[bucket] = jax.jit(self.model.make_prefill(bucket))
         hidden, ks, vs = self._prefills[bucket](jnp.asarray(x),
                                                 jnp.asarray(positions))
-        # scatter the prompt K/V into the slot's blocks
-        blocks = self.slot_blocks[req.slot]
-        bs = self.block_size
+        # scatter the prompt K/V into the slot's (private) blocks
         for layer in range(self.cfg.num_layers):
             k = ks[layer][:S]
             v = vs[layer][:S]
@@ -285,6 +339,8 @@ class PagedContinuousBatchingEngine:
                 lo = i * bs
                 if lo >= S:
                     break
+                if not write_mask[i]:
+                    continue  # shared prefix block already holds this K/V
                 hi = min(lo + bs, S)
                 self.caches_k = self.caches_k.at[
                     layer, b, :hi - lo].set(

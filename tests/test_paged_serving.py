@@ -71,6 +71,51 @@ def test_paged_generates_under_memory_pressure():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_prefix_caching_shares_blocks():
+    """Identical prompts share full prefix blocks (refcounted); results
+    match a prefix-caching-disabled engine."""
+    model = QuantLlama(CFG, opt_m=(4,))
+    rng = np.random.default_rng(3)
+    shared_prompt = rng.standard_normal((8, CFG.hidden_size)).astype(np.float16)
+
+    def run(prefix_caching):
+        eng = PagedContinuousBatchingEngine(
+            model, num_slots=4, num_blocks=32, block_size=4,
+            prefix_caching=prefix_caching)
+        for i in range(3):
+            eng.submit(Request(uid=i, prompt=shared_prompt.copy(), max_new=3))
+        done = eng.run_to_completion()
+        return eng, _finals(done)
+
+    eng_on, f_on = run(True)
+    eng_off, f_off = run(False)
+    # 8-token prompt = 2 full blocks; requests 2 and 3 share both
+    assert eng_on.prefix_hits == 4
+    assert eng_off.prefix_hits == 0
+    for uid in range(3):
+        np.testing.assert_allclose(f_on[uid], f_off[uid],
+                                   rtol=2e-2, atol=2e-2)
+    # all blocks reclaimed either way
+    assert eng_on.block_alloc.available == 31
+    assert not eng_on.block_ref and not eng_on.prefix_index
+
+
+def test_prefix_caching_distinct_prompts_no_false_sharing():
+    """Prompts differing only in later tokens share only the common prefix."""
+    model = QuantLlama(CFG, opt_m=(4,))
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((8, CFG.hidden_size)).astype(np.float16)
+    variant = base.copy()
+    variant[6] += 1.0   # differs in the second block only
+    eng = PagedContinuousBatchingEngine(model, num_slots=4, num_blocks=32,
+                                        block_size=4)
+    eng.submit(Request(uid=0, prompt=base.copy(), max_new=2))
+    eng.submit(Request(uid=1, prompt=variant.copy(), max_new=2))
+    done = eng.run_to_completion()
+    assert len(done) == 2
+    assert eng.prefix_hits == 1  # only the first block is shared
+
+
 def test_paged_block_reuse_is_clean():
     """A request that reuses blocks released by an earlier one must not see
     stale K/V: same prompt gives the same final hidden either way."""
