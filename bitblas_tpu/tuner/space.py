@@ -104,7 +104,13 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
         dec_ops = 2.0 + 1.0 / e
     t_vpu = (K * N * m_tiles * dec_ops) / arch.vpu_ops
 
-    return max(t_mem, t_mxu, t_vpu)
+    # Per-grid-step overhead (program re-entry + DMA descriptor setup):
+    # ~0.2us/step measured on v5e. Additive — it is what separates
+    # equal-roofline GEMV tilings (small tiles lose).
+    steps = m_tiles * n_tiles * (K // hint.block_k)
+    t_grid = 2e-7 * steps
+
+    return max(t_mem, t_mxu, t_vpu) + t_grid
 
 
 def enumerate_hints(spec: KernelSpec, arch: TileDevice,
