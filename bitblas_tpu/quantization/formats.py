@@ -127,10 +127,14 @@ def nf4_lut(dtype=jnp.float16) -> jnp.ndarray:
 
 
 def storage_bits(storage_dtype: str) -> int:
-    digits = "".join(c for c in storage_dtype if c.isdigit())
-    if not digits:
+    """Bit width of the storage container: the TRAILING digit group
+    ("int8" -> 8, "uint16" -> 16, "e4m3_float8" -> 8 — naive digit
+    concatenation read the latter as 438)."""
+    import re
+    m = re.search(r"(\d+)$", storage_dtype)
+    if not m:
         raise ValueError(f"Bad storage dtype: {storage_dtype}")
-    return int(digits)
+    return int(m.group(1))
 
 
 def storage_jax_dtype(storage_dtype: str):

@@ -81,6 +81,11 @@ def random_reference_operands(config: MatmulConfig, m: int,
         lo, hi = (-8, 8) if config.A_dtype == "int4" else (0, 16)
         dt = ml_dtypes.int4 if config.A_dtype == "int4" else ml_dtypes.uint4
         A = rng.integers(lo, hi, (m, K), dtype=np.int64).astype(dt)
+    elif config.A_dtype in ("e4m3_float8", "e5m2_float8"):
+        import ml_dtypes
+        dt = (ml_dtypes.float8_e4m3fn if config.A_dtype == "e4m3_float8"
+              else ml_dtypes.float8_e5m2)
+        A = rng.standard_normal((m, K)).astype(dt)
     else:
         raise NotImplementedError(config.A_dtype)
 

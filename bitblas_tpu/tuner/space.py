@@ -140,6 +140,12 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
 
     if spec.is_int_activation:
         mma_opts = ("int8", "bfloat16")
+    elif spec.family in ("fp_e4m3", "fp_e5m2"):
+        # fp8 weights span +-448/57344: bf16's 8-bit mantissa loses ~0.2%
+        # per product, amplified by cancellation (the reference computes on
+        # 10-bit-mantissa fp16 tensor cores). f32 MXU operands by default;
+        # the tuner may still measure bf16 in.
+        mma_opts = ("float32", "bfloat16")
     else:
         mma_opts = ("bfloat16", "float32")
 
@@ -179,4 +185,10 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
     hints = enumerate_hints(spec, arch)
     if not hints:
         raise ValueError(f"no legal tile config for {spec}")
+    if spec.family in ("fp_e4m3", "fp_e5m2"):
+        # Default to f32 MXU operands for fp8 weights (precision; see
+        # mma_opts note). Explicit tuning can still pick bf16.
+        for h in hints:
+            if h.mma_dtype == "float32":
+                return h
     return hints[0]
