@@ -231,6 +231,82 @@ class TPQuantLlama:
             out_specs=(P(), kv_spec, kv_spec), check_vma=False)
         return sm(x, caches_k, caches_v, slots, lengths, *flat)
 
+    def decode_step_paged(self, x, caches_k, caches_v, tables, block_rows,
+                          offsets, lengths):
+        """Paged-cache variant: caches [L, blocks, bs, Hkv, D] sharded on
+        kv_heads; tables/block_rows/offsets replicated (host-managed)."""
+        cfg = self.cfg
+        B = x.shape[0]
+        axis = self.axis
+        tp = self.tp
+        hl = cfg.num_heads // tp
+        kvl = cfg.num_kv_heads // tp
+        D = cfg.head_dim
+        kern = {name: self._kernel(name, B) for name, _, _ in _PROJS}
+
+        def device_step(x, ck, cv, tables, block_rows, offsets, lengths,
+                        *flat):
+            from ..serving.kv_cache import (append_token_paged,
+                                            decode_attention_paged)
+            it = iter(flat)
+            weights = [{name: (next(it), next(it), next(it))
+                        for name, _, _ in _PROJS}
+                       for _ in range(cfg.num_layers)]
+            positions = lengths[:, None]
+            for li in range(cfg.num_layers):
+                attn_norm, mlp_norm = self.norms[li]
+                w = weights[li]
+                h = rmsnorm(x, attn_norm)
+                h2 = h.reshape(B, cfg.hidden_size)
+                q = kern["q"](h2, w["q"][0], scales=w["q"][1], zeros=w["q"][2])
+                k = kern["k"](h2, w["k"][0], scales=w["k"][1], zeros=w["k"][2])
+                v = kern["v"](h2, w["v"][0], scales=w["v"][1], zeros=w["v"][2])
+                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
+                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
+                v = v.reshape(B, kvl, D)
+                ckl, cvl = append_token_paged(ck[li], cv[li], block_rows,
+                                              offsets, k, v)
+                ck = ck.at[li].set(ckl)
+                cv = cv.at[li].set(cvl)
+                attn = decode_attention_paged(q, ckl, cvl, tables,
+                                              lengths + 1, num_heads=hl)
+                o_part = kern["o"](attn.reshape(B, hl * D), w["o"][0],
+                                   scales=w["o"][1], zeros=w["o"][2])
+                o = jax.lax.psum(o_part.astype(jnp.float32), axis)
+                x = x + o.astype(x.dtype)[:, None, :]
+                h = rmsnorm(x, mlp_norm)
+                h2 = h.reshape(B, cfg.hidden_size)
+                gate = kern["gate"](h2, w["gate"][0], scales=w["gate"][1],
+                                    zeros=w["gate"][2])
+                up = kern["up"](h2, w["up"][0], scales=w["up"][1],
+                                zeros=w["up"][2])
+                act = (jax.nn.silu(gate.astype(jnp.float32))
+                       * up.astype(jnp.float32)).astype(x.dtype)
+                d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
+                                      zeros=w["down"][2])
+                d = jax.lax.psum(d_part.astype(jnp.float32), axis)
+                x = x + d.astype(x.dtype)[:, None, :]
+            return x, ck, cv
+
+        flat, w_specs = [], []
+        for li in range(cfg.num_layers):
+            for name, _, _ in _PROJS:
+                W, S, Z = self.weights[li][name]
+                flat += [W, S, Z]
+                if name in _COLUMN:
+                    w_specs += [P(None, axis), P(None, None, axis),
+                                P(None, None, axis)]
+                else:
+                    w_specs += [P(axis, None), P(axis, None, None),
+                                P(axis, None, None)]
+        kv_spec = P(None, None, None, axis, None)
+        sm = shard_map(
+            device_step, mesh=self.mesh,
+            in_specs=(P(), kv_spec, kv_spec, P(), P(), P(), P(), *w_specs),
+            out_specs=(P(), kv_spec, kv_spec), check_vma=False)
+        return sm(x, caches_k, caches_v, tables, block_rows, offsets,
+                  lengths, *flat)
+
     # -- prefill ----------------------------------------------------------------
     def make_prefill(self, seq_len: int):
         """Replicated-activation prefill through the TP projections; returns

@@ -58,7 +58,11 @@ def vmem_usage(spec: KernelSpec, hint: TileHint) -> int:
     out_bytes = BM * BN * _dtype_bytes(spec.out_dtype)
     mma_b = 2 if hint.mma_dtype in ("bfloat16", "float16") else (
         1 if hint.mma_dtype == "int8" else 4)
-    decoded = BK * (BN // e) * mma_b * 2  # slot temp + dot staging
+    # Decoded-operand working set: the int32 word temp plus the decoded
+    # slot operands (telescope materializes all e shifted copies at once).
+    words32 = BK * (BN // e) * 4 if spec.bits < 8 else 0
+    copies = e if hint.decode_mode == "telescope" else 2
+    decoded = words32 + copies * BK * (BN // e) * mma_b
     return 2 * (a_bytes + w_bytes + s_bytes + z_bytes + out_bytes) \
         + acc_bytes + decoded
 

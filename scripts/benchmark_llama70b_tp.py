@@ -36,7 +36,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_proj(n, k, m, topk=3):
+def measure_proj(n, k, m, topk=4):
+    from bitblas_tpu.tuner import TileHint
     cfg = MatmulConfig(M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
                        with_scaling=True, group_size=128,
                        fast_decoding=False, out_dtype="float16")
@@ -46,8 +47,11 @@ def measure_proj(n, k, m, topk=3):
     dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
     args = [jnp.asarray(ops.A), jnp.asarray(dw.qweight),
             jnp.asarray(dw.scales)]
+    safe = TileHint(block_m=256, block_n=min(n, 1024),
+                    block_k=min(k, 1024), mma_dtype="bfloat16",
+                    decode_mode="telescope")
     best = None
-    for hint in enumerate_hints(spec, arch)[:topk]:
+    for hint in enumerate_hints(spec, arch)[:topk] + [safe]:
         try:
             kf = make_dequant_matmul(spec, hint)
             sec = measure_kernel(lambda a, w, s, _kf=kf: _kf(a, w, scales=s),

@@ -116,6 +116,32 @@ def test_tp_prefill_matches_single_device():
                                    rtol=2e-2, atol=2e-2)
 
 
+def test_paged_engine_over_mesh_matches_single_device():
+    from bitblas_tpu.serving.engine import PagedContinuousBatchingEngine
+    mesh = _mesh(4)
+    src = QuantLlama(CFG, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh)
+    rng = np.random.default_rng(5)
+    prompts = [rng.standard_normal((s, CFG.hidden_size)).astype(np.float16)
+               for s in (3, 6)]
+
+    def run(model, cache_sharding=None):
+        eng = PagedContinuousBatchingEngine(
+            model, num_slots=4, num_blocks=32, block_size=4,
+            cache_sharding=cache_sharding)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(uid=i, prompt=p.copy(), max_new=3))
+        done = eng.run_to_completion()
+        assert len(done) == len(prompts)
+        return {r.uid: r.final_hidden for r in done}
+
+    f_ref = run(src)
+    f_tp = run(tpm, cache_sharding=tpm.kv_cache_sharding())
+    for uid in f_ref:
+        np.testing.assert_allclose(f_tp[uid], f_ref[uid],
+                                   rtol=5e-2, atol=5e-2)
+
+
 def test_engine_over_mesh_matches_single_device():
     mesh = _mesh(4)
     src = QuantLlama(CFG, opt_m=(4,))
