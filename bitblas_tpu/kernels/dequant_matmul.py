@@ -267,9 +267,14 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
 
         use_tele_pre = (hint.decode_mode == "telescope" and spec.bits < 8
                         and spec.family in ("uint", "int"))
+        # Sub-byte int/uint packs arrive XOR 0x80 (weight_transform.
+        # storage_is_xored): the sign-extended word IS u-128, so telescope
+        # shifts are plain arithmetic shifts with corrections that cancel
+        # between adjacent slots — only the top slot carries a rowsum term.
+        xored = spec.bits < 8 and spec.family in ("uint", "int")
         need_epilogue = spec.with_scaling or spec.with_zeros
-        need_rowsums = spec.with_zeros or (use_tele_pre
-                                           and spec.family == "int") or tele_i8
+        need_rowsums = (spec.with_zeros or tele_i8
+                        or (use_tele_pre and (spec.family == "int" or xored)))
         if need_rowsums:
             rs_dtype = jnp.int32 if tele_i8 else jnp.float32
             rowsums = [
@@ -320,17 +325,18 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         ibias = float(1 << (spec.bits - 1)) if spec.family == "int" else 0.0
 
         if tele_i8:
-            # Integer-exact int8-MXU telescope (see header note). stored^0x80
-            # = u - 128; shifted operands (u-128)>>bits*j = u>>bits*j -
-            # 128>>bits*j, all within int8. Corrections cancel between
-            # adjacent levels; only the top slot carries +2^(bits-1)*rowsum,
-            # and the signed-int bias contributes -2^(bits-1)*rowsum per slot
-            # (so the top slot of the int family needs none at all).
+            # Integer-exact int8-MXU telescope (see header note). Storage is
+            # pre-XORed: the raw int8 word IS u - 128; shifted operands
+            # (u-128)>>bits*j = u>>bits*j - 128>>bits*j, all within int8.
+            # Corrections cancel between adjacent levels; only the top slot
+            # carries +2^(bits-1)*rowsum, and the signed-int bias contributes
+            # -2^(bits-1)*rowsum per slot (so the top slot of the int family
+            # needs none at all).
             base_i = 1 << spec.bits
             half = 1 << (spec.bits - 1)
             sub_w = wp_width // max(1, (BN // pack_n))
             for t in range(BN // pack_n):
-                wx = raw[:, t * sub_w:(t + 1) * sub_w] ^ jnp.int8(-128)
+                wx = raw[:, t * sub_w:(t + 1) * sub_w]
                 wx32 = wx.astype(jnp.int32)
                 shifted = [wx] + [
                     (wx32 >> (j * spec.bits)).astype(jnp.int8)
@@ -355,15 +361,26 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                                          t * sub_w, width, j)
                         acc_ref[:, cols] += _cast(d, acc_dtype)
         elif use_telescope:
-            # Per pack tile: dot the masked byte shifted by j*bits for every
-            # j, recover slot j as t_j - 2^bits * t_{j+1} in the epilogue.
-            # VPU cost: 1 mask + (e-1) shifts + e casts per word.
+            # Per pack tile: dot the (pre-XORed, sign-extended) word shifted
+            # arithmetically by j*bits for every j; recover slot j as
+            # t_j - 2^bits * t_{j+1} in the epilogue (offset corrections
+            # cancel; the top slot folds into the rowsum term). VPU cost:
+            # (e-1) shifts + e casts per word — no mask op.
             base = float(1 << spec.bits)
+            half_f = float(1 << (spec.bits - 1))
             sub_w = wp_width // max(1, (BN // pack_n))  # words per tile
             tele_batched = (hint.group_mode == "batched" and gpt > 1
                             and spec.with_scaling and not spec.with_zeros)
+
+            def tele_extra_sub(j):
+                """Per-slot constant-offset term (times rowsum) combining
+                the xor-offset correction with the int-family bias."""
+                if spec.family == "int":
+                    return ibias if j < e - 1 else 0.0
+                return 0.0 if j < e - 1 else -half_f
+
             for t in range(BN // pack_n):
-                wt = words[:, t * sub_w:(t + 1) * sub_w] & 0xFF
+                wt = words[:, t * sub_w:(t + 1) * sub_w]
                 shifted = [_cast(wt if j == 0 else (wt >> (j * spec.bits)),
                                  mma) for j in range(e)]
                 if tele_batched:
@@ -380,15 +397,15 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=acc_dtype,
                         precision=precision) for sh in shifted]
-                    if spec.family == "int":
-                        rs3 = jnp.stack(rowsums, axis=0)   # [gpt, BM, 1]
+                    rs3 = jnp.stack(rowsums, axis=0)       # [gpt, BM, 1]
                     for j in range(e):
                         d3 = t3[j] - base * t3[j + 1] if j < e - 1 else t3[j]
                         col0 = t * pack_n + j * (pack_n // e)
                         width = pack_n // e
                         cols = slice(col0, col0 + width)
-                        if spec.family == "int":
-                            d3 = d3 - rs3 * ibias
+                        es = tele_extra_sub(j)
+                        if es:
+                            d3 = d3 - rs3 * es
                         s3 = s_ref[...][:, :, cols].astype(jnp.float32)
                         acc_ref[:, cols] += jnp.sum(d3 * s3, axis=0)
                     continue
@@ -401,7 +418,7 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                         width = pack_n // e
                         cols = slice(col0, col0 + width)
                         d = epilogue(d, gi, cols, t * sub_w, width, j,
-                                     extra_sub=ibias)
+                                     extra_sub=tele_extra_sub(j))
                         acc_ref[:, cols] += d
         else:
             batched_groups = (hint.group_mode == "batched" and gpt > 1
@@ -411,6 +428,10 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                 wslice = words[:, w0:w0 + width]
                 if spec.bits < 8:
                     field = (wslice >> (slot * spec.bits)) & mask_v
+                    if xored and slot == e - 1:
+                        # the storage xor flips only bit 7 = the top slot's
+                        # top bit; lower slots decode unchanged
+                        field = field ^ (1 << (spec.bits - 1))
                     w = _decode_field(spec, hint, field, lut_vals)
                 else:
                     w = _decode_byte(spec, hint, wslice)

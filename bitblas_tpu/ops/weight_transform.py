@@ -40,6 +40,16 @@ class DeviceWeights:
         return out
 
 
+def storage_is_xored(config: MatmulConfig) -> bool:
+    """Sub-byte int/uint packs are stored XOR 0x80 (top bit flipped): the
+    kernel's telescope then uses plain arithmetic shifts on the
+    sign-extended word — no unsigned-mask op per word — with the offset
+    corrections telescoping away into one rowsum term on the top slot.
+    LUT/bit-surgery families (nf4, fp4) keep plain unsigned storage."""
+    fam = config.source_format
+    return config.bit < 8 and fam in ("int", "uint")
+
+
 def unpacked_weight_to_device(config: MatmulConfig,
                               w_fields_nk: np.ndarray) -> np.ndarray:
     """[N, K] unsigned fields (or int8 values for 8-bit formats) -> device.
@@ -51,8 +61,11 @@ def unpacked_weight_to_device(config: MatmulConfig,
     if bits >= 8:
         return w_kn.astype(np.int8)
     e = 8 // bits
-    return packing.pack_nslot(w_kn.astype(np.uint8), bits,
-                              pack_tile_n(config.N, e))
+    packed = packing.pack_nslot(w_kn.astype(np.uint8), bits,
+                                pack_tile_n(config.N, e))
+    if storage_is_xored(config):
+        packed = (packed.view(np.uint8) ^ 0x80).view(packed.dtype)
+    return packed
 
 
 def reference_weight_to_device(config: MatmulConfig,

@@ -62,11 +62,17 @@ def retile_packed_for_column_shards(qweight, config: MatmulConfig,
     if (N // tp) % tile_full == 0:
         return qweight  # shard boundaries align with whole pack tiles
     tile_local = pack_tile_n(N // tp, e)
+    from ..ops.weight_transform import storage_is_xored
+    xored = storage_is_xored(config)
     w = np.asarray(qweight)
-    fields = unpack_nslot(w, config.bit, tile_full)        # [K, N]
+    raw = (w.view(np.uint8) ^ 0x80).view(w.dtype) if xored else w
+    fields = unpack_nslot(raw, config.bit, tile_full)      # [K, N]
     parts = [pack_nslot(fields[:, i * (N // tp):(i + 1) * (N // tp)],
                         config.bit, tile_local) for i in range(tp)]
-    return np.concatenate(parts, axis=1).astype(w.dtype)
+    out = np.concatenate(parts, axis=1).astype(w.dtype)
+    if xored:
+        out = (out.view(np.uint8) ^ 0x80).view(out.dtype)
+    return out
 
 
 def shard_weights_column(dw: DeviceWeights, mesh: Mesh, axis: str,

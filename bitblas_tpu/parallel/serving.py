@@ -57,13 +57,15 @@ def _replicate_kv_heads(qweight, scales, zeros, src_cfg: LlamaConfig,
     from ..quantization.packing import pack_nslot, pack_tile_n, unpack_nslot
     D = src_cfg.head_dim
     n_src = src_cfg.num_kv_heads * D
-    bits, e = 4, 2  # uint4 packing
+    bits, e = 4, 2  # uint4 packing (stored XOR 0x80)
     w = np.asarray(qweight)
-    fields = unpack_nslot(w, bits, pack_tile_n(n_src, e))     # [K, N_src]
+    raw = (w.view(np.uint8) ^ 0x80).view(w.dtype)
+    fields = unpack_nslot(raw, bits, pack_tile_n(n_src, e))   # [K, N_src]
     fields = fields.reshape(fields.shape[0], src_cfg.num_kv_heads, D)
     fields = np.repeat(fields, rep, axis=1).reshape(fields.shape[0], -1)
     n_eff = n_src * rep
     wq = pack_nslot(fields, bits, pack_tile_n(n_eff, e)).astype(w.dtype)
+    wq = (wq.view(np.uint8) ^ 0x80).view(wq.dtype)
 
     def _rep_rows(t):
         t = np.asarray(t)                                     # [G, 1, N_src]
