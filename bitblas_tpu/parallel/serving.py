@@ -33,12 +33,13 @@ from jax import shard_map
 
 from ..kernels.dequant_matmul import make_dequant_matmul
 from ..kernels.spec import KernelSpec
-from ..models.quant_llama import (LlamaConfig, QuantLlama, _PROJS, _dim,
+from ..models.quant_llama import (LlamaConfig, QuantLlama,
                                   rmsnorm, rope)
 from ..ops.matmul_config import MatmulConfig
 from ..tuner import default_hint, get_arch
 
-_COLUMN = {"q", "k", "v", "gate", "up"}
+_FUSED = ("qkv", "o", "gateup", "down")
+_COLUMN = {"qkv", "gateup"}
 _ROW = {"o", "down"}
 
 
@@ -47,6 +48,58 @@ def _local_cfg(cfg_m: MatmulConfig, name: str, tp: int) -> MatmulConfig:
     if name in _COLUMN:
         return dataclasses.replace(cfg_m, N=cfg_m.N // tp)
     return dataclasses.replace(cfg_m, K=cfg_m.K // tp)
+
+
+def _unpack_natural(W, S, Z, n, bits=4):
+    """Device-layout (xored, slot-packed) -> natural-order fields + 3D
+    scale/zero rows."""
+    from ..quantization.packing import pack_tile_n, unpack_nslot
+    w = np.asarray(W)
+    raw = (w.view(np.uint8) ^ 0x80).view(w.dtype)
+    fields = unpack_nslot(raw, bits, pack_tile_n(n, 8 // bits))
+    return fields, np.asarray(S), np.asarray(Z)
+
+
+def _pack_device_grouped(device_blocks, bits=4):
+    """Per-device natural-field blocks [[K, n_local] ...] -> one packed
+    (xored) array whose P(None, axis) shard boundaries land exactly between
+    blocks. Each block is packed as ONE unit with the kernel's local pack
+    tile (pack_tile_n(n_local, e)) — the layout the local kernel expects."""
+    from ..quantization.packing import pack_nslot, pack_tile_n
+    packs = [pack_nslot(b, bits, pack_tile_n(b.shape[1], 8 // bits))
+             for b in device_blocks]
+    out = np.concatenate(packs, axis=1)
+    return (out.view(np.uint8) ^ 0x80).view(out.dtype)
+
+
+def _fuse_column_weights(parts, ns, tp):
+    """Fuse column-parallel projections into one matmul.
+
+    parts: [(W, S, Z)] device-layout tensors with full output sizes `ns`.
+    The combined natural layout is device-grouped — [p0_d | p1_d | ...] for
+    each device d — so sharding the packed result on its last axis hands
+    every device its own slice of every fused projection.
+    """
+    fields, scs, zrs = [], [], []
+    for (W, S, Z), n in zip(parts, ns):
+        f, s, z = _unpack_natural(W, S, Z, n)
+        fields.append(f)
+        scs.append(s)
+        zrs.append(z)
+    blocks, s_chunks, z_chunks = [], [], []
+    for d in range(tp):
+        parts_f = []
+        for f, s, z, n in zip(fields, scs, zrs, ns):
+            loc = n // tp
+            sl = slice(d * loc, (d + 1) * loc)
+            parts_f.append(f[:, sl])
+            s_chunks.append(s[:, :, sl])
+            z_chunks.append(z[:, :, sl])
+        blocks.append(np.concatenate(parts_f, axis=1))
+    W = jnp.asarray(_pack_device_grouped(blocks))
+    S = jnp.asarray(np.concatenate(s_chunks, axis=2))
+    Z = jnp.asarray(np.concatenate(z_chunks, axis=2))
+    return W, S, Z
 
 
 def _replicate_kv_heads(qweight, scales, zeros, src_cfg: LlamaConfig,
@@ -110,35 +163,54 @@ class TPQuantLlama:
         arch = get_arch()
         self.interpret = arch.is_cpu if interpret is None else interpret
 
-        # Shard the source model's device-layout weights.
-        self.weights = []          # [layer][name] -> (qweight, scales)
+        # Shard the source model's device-layout weights. q/k/v fuse into
+        # one column-parallel matmul and gate/up into another (fewer,
+        # wider kernels — small local N is the tp=16 efficiency killer,
+        # docs/Scaling70B.md): weights dict keys are qkv/o/gateup/down.
+        self.weights = []          # [layer][name] -> (qweight, scales, zeros)
         self.norms = []            # [layer] -> (attn_norm, mlp_norm)
+        H = cfg.hidden_size
+        kv_size = cfg.num_kv_heads * cfg.head_dim
+        self.fused_ns = {"qkv": (H, kv_size, kv_size),
+                         "gateup": (cfg.intermediate_size,
+                                    cfg.intermediate_size)}
         self.mcfg: Dict[str, MatmulConfig] = {}
-        for name, kin, kout in _PROJS:
-            K, N = _dim(cfg, kin), _dim(cfg, kout)  # kv_size uses eff_kv
+        for name, K, N in (("qkv", H, H + 2 * kv_size),
+                           ("o", H, H),
+                           ("gateup", H, 2 * cfg.intermediate_size),
+                           ("down", cfg.intermediate_size, H)):
             self.mcfg[name] = MatmulConfig(
                 M=1, N=N, K=K, A_dtype=cfg.act_dtype, W_dtype="uint4",
                 with_scaling=True, with_zeros=True, zeros_mode="original",
                 group_size=cfg.group_size, out_dtype=cfg.act_dtype)
-        from . import retile_packed_for_column_shards
+        col_sh = (NamedSharding(mesh, P(None, axis)),
+                  NamedSharding(mesh, P(None, None, axis)))
+        row_sh = (NamedSharding(mesh, P(axis, None)),
+                  NamedSharding(mesh, P(axis, None, None)))
+
+        def place(w, s, z, sh):
+            return (jax.device_put(w, sh[0]), jax.device_put(s, sh[1]),
+                    jax.device_put(z, sh[1]))
+
         for layer in src.layers:
-            shards = {}
-            for name, _, _ in _PROJS:
-                W, S, Z = layer.weights[name]
-                if name in ("k", "v") and self.kv_rep > 1:
-                    W, S, Z = _replicate_kv_heads(W, S, Z, src.cfg,
-                                                  self.kv_rep)
-                if name in _COLUMN:
-                    W = jnp.asarray(retile_packed_for_column_shards(
-                        W, self.mcfg[name], tp))
-                    wsh = NamedSharding(mesh, P(None, axis))
-                    ssh = NamedSharding(mesh, P(None, None, axis))
-                else:
-                    wsh = NamedSharding(mesh, P(axis, None))
-                    ssh = NamedSharding(mesh, P(axis, None, None))
-                shards[name] = (jax.device_put(W, wsh),
-                                jax.device_put(S, ssh),
-                                jax.device_put(Z, ssh))
+            kparts = {}
+            for name in ("k", "v"):
+                kparts[name] = layer.weights[name]
+                if self.kv_rep > 1:
+                    kparts[name] = _replicate_kv_heads(*kparts[name],
+                                                       src.cfg, self.kv_rep)
+            qkv = _fuse_column_weights(
+                [layer.weights["q"], kparts["k"], kparts["v"]],
+                [H, kv_size, kv_size], tp)
+            gateup = _fuse_column_weights(
+                [layer.weights["gate"], layer.weights["up"]],
+                [cfg.intermediate_size] * 2, tp)
+            shards = {
+                "qkv": place(*qkv, col_sh),
+                "gateup": place(*gateup, col_sh),
+                "o": place(*layer.weights["o"], row_sh),
+                "down": place(*layer.weights["down"], row_sh),
+            }
             self.weights.append(shards)
             self.norms.append((layer.attn_norm, layer.mlp_norm))
 
@@ -172,13 +244,13 @@ class TPQuantLlama:
         kvl = cfg.num_kv_heads // tp      # local kv heads
         D = cfg.head_dim
 
-        kern = {name: self._kernel(name, B) for name, _, _ in _PROJS}
+        kern = {name: self._kernel(name, B) for name in _FUSED}
 
         def device_step(x, ck, cv, slots, lengths, *flat):
             from ..serving.kv_cache import append_token, decode_attention
             it = iter(flat)
             weights = [{name: (next(it), next(it), next(it))
-                        for name, _, _ in _PROJS}
+                        for name in _FUSED}
                        for _ in range(cfg.num_layers)]
             positions = lengths[:, None]
             for li in range(cfg.num_layers):
@@ -186,9 +258,10 @@ class TPQuantLlama:
                 w = weights[li]
                 h = rmsnorm(x, attn_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
-                q = kern["q"](h2, w["q"][0], scales=w["q"][1], zeros=w["q"][2])
-                k = kern["k"](h2, w["k"][0], scales=w["k"][1], zeros=w["k"][2])
-                v = kern["v"](h2, w["v"][0], scales=w["v"][1], zeros=w["v"][2])
+                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
+                                  zeros=w["qkv"][2])
+                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
+                           qkv[:, (hl + kvl) * D:])
                 q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
                 k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
                 v = v.reshape(B, kvl, D)
@@ -203,10 +276,10 @@ class TPQuantLlama:
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
-                gate = kern["gate"](h2, w["gate"][0], scales=w["gate"][1],
-                                    zeros=w["gate"][2])
-                up = kern["up"](h2, w["up"][0], scales=w["up"][1],
-                                zeros=w["up"][2])
+                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
+                                    zeros=w["gateup"][2])
+                il = cfg.intermediate_size // tp
+                gate, up = gu[:, :il], gu[:, il:]
                 act = (jax.nn.silu(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
                 d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
@@ -217,7 +290,7 @@ class TPQuantLlama:
 
         flat, w_specs = [], []
         for li in range(cfg.num_layers):
-            for name, _, _ in _PROJS:
+            for name in _FUSED:
                 W, S, Z = self.weights[li][name]
                 flat += [W, S, Z]
                 if name in _COLUMN:
@@ -244,7 +317,7 @@ class TPQuantLlama:
         hl = cfg.num_heads // tp
         kvl = cfg.num_kv_heads // tp
         D = cfg.head_dim
-        kern = {name: self._kernel(name, B) for name, _, _ in _PROJS}
+        kern = {name: self._kernel(name, B) for name in _FUSED}
 
         def device_step(x, ck, cv, tables, block_rows, offsets, lengths,
                         *flat):
@@ -252,7 +325,7 @@ class TPQuantLlama:
                                             decode_attention_paged)
             it = iter(flat)
             weights = [{name: (next(it), next(it), next(it))
-                        for name, _, _ in _PROJS}
+                        for name in _FUSED}
                        for _ in range(cfg.num_layers)]
             positions = lengths[:, None]
             for li in range(cfg.num_layers):
@@ -260,9 +333,10 @@ class TPQuantLlama:
                 w = weights[li]
                 h = rmsnorm(x, attn_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
-                q = kern["q"](h2, w["q"][0], scales=w["q"][1], zeros=w["q"][2])
-                k = kern["k"](h2, w["k"][0], scales=w["k"][1], zeros=w["k"][2])
-                v = kern["v"](h2, w["v"][0], scales=w["v"][1], zeros=w["v"][2])
+                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
+                                  zeros=w["qkv"][2])
+                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
+                           qkv[:, (hl + kvl) * D:])
                 q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
                 k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
                 v = v.reshape(B, kvl, D)
@@ -278,10 +352,10 @@ class TPQuantLlama:
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
-                gate = kern["gate"](h2, w["gate"][0], scales=w["gate"][1],
-                                    zeros=w["gate"][2])
-                up = kern["up"](h2, w["up"][0], scales=w["up"][1],
-                                zeros=w["up"][2])
+                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
+                                    zeros=w["gateup"][2])
+                il = cfg.intermediate_size // tp
+                gate, up = gu[:, :il], gu[:, il:]
                 act = (jax.nn.silu(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
                 d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
@@ -292,7 +366,7 @@ class TPQuantLlama:
 
         flat, w_specs = [], []
         for li in range(cfg.num_layers):
-            for name, _, _ in _PROJS:
+            for name in _FUSED:
                 W, S, Z = self.weights[li][name]
                 flat += [W, S, Z]
                 if name in _COLUMN:
@@ -320,12 +394,12 @@ class TPQuantLlama:
         def prefill(x, positions):
             B, S, _ = x.shape
             kern = {name: self._kernel(name, B * S)
-                    for name, _, _ in _PROJS}
+                    for name in _FUSED}
 
             def device_prefill(x, positions, *flat):
                 it = iter(flat)
                 weights = [{name: (next(it), next(it), next(it))
-                            for name, _, _ in _PROJS}
+                            for name in _FUSED}
                            for _ in range(cfg.num_layers)]
                 hl = cfg.num_heads // self.tp
                 kvl = cfg.num_kv_heads // self.tp
@@ -335,9 +409,11 @@ class TPQuantLlama:
                     attn_norm, mlp_norm = self.norms[li]
                     w = weights[li]
                     h = rmsnorm(x, attn_norm).reshape(B * S, cfg.hidden_size)
-                    q = kern["q"](h, w["q"][0], scales=w["q"][1], zeros=w["q"][2])
-                    k = kern["k"](h, w["k"][0], scales=w["k"][1], zeros=w["k"][2])
-                    v = kern["v"](h, w["v"][0], scales=w["v"][1], zeros=w["v"][2])
+                    qkv = kern["qkv"](h, w["qkv"][0], scales=w["qkv"][1],
+                                      zeros=w["qkv"][2])
+                    q, k, v = (qkv[:, :hl * D],
+                               qkv[:, hl * D:(hl + kvl) * D],
+                               qkv[:, (hl + kvl) * D:])
                     q = rope(q.reshape(B, S, hl, D), positions, cfg.rope_theta)
                     k = rope(k.reshape(B, S, kvl, D), positions, cfg.rope_theta)
                     v = v.reshape(B, S, kvl, D)
@@ -361,10 +437,11 @@ class TPQuantLlama:
                     o = jax.lax.psum(o_part.astype(jnp.float32), axis)
                     x = x + o.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                     h = rmsnorm(x, mlp_norm).reshape(B * S, cfg.hidden_size)
-                    gate = kern["gate"](h, w["gate"][0], scales=w["gate"][1],
-                                        zeros=w["gate"][2])
-                    up = kern["up"](h, w["up"][0], scales=w["up"][1],
-                                    zeros=w["up"][2])
+                    gu = kern["gateup"](h, w["gateup"][0],
+                                        scales=w["gateup"][1],
+                                        zeros=w["gateup"][2])
+                    il = cfg.intermediate_size // self.tp
+                    gate, up = gu[:, :il], gu[:, il:]
                     act = (jax.nn.silu(gate.astype(jnp.float32))
                            * up.astype(jnp.float32)).astype(x.dtype)
                     d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
@@ -380,7 +457,7 @@ class TPQuantLlama:
 
             flat, w_specs = [], []
             for li in range(cfg.num_layers):
-                for name, _, _ in _PROJS:
+                for name in _FUSED:
                     W, Ssc, Zz = self.weights[li][name]
                     flat += [W, Ssc, Zz]
                     if name in _COLUMN:
