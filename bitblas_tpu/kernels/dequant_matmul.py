@@ -141,9 +141,10 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     Returns fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
     Device layouts are hint-independent (see module docstring).
     """
-    M, N, K = spec.m, spec.n, spec.k
+    M, N_out, K = spec.m, spec.n, spec.k
+    N = spec.n_padded   # device layout N (see KernelSpec.n_padded)
     e = spec.elems_per_word
-    BM, BN, BK = min(hint.block_m, M), hint.block_n, hint.block_k
+    BM, BN, BK = min(hint.block_m, M), min(hint.block_n, N), hint.block_k
     BM = max(BM, 8)
     pack_n = pack_tile_n(N, e) if spec.bits < 8 else BN
     if spec.bits < 8 and BN % pack_n:
@@ -470,10 +471,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                 res = res + b_ref[...].astype(acc_dtype)
             out_ref[...] = _cast(res, kernel_out_dtype)
 
-    compiler_params = None
-    if hint.vmem_limit_bytes is not None:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=hint.vmem_limit_bytes)
+    # Inside a larger jit graph XLA caps a kernel's scoped VMEM at 16 MB by
+    # default — far below what tuned tiles use standalone. Always raise the
+    # limit to the arch working budget (the tile space is already
+    # VMEM-constrained by tuner/space.vmem_usage).
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=hint.vmem_limit_bytes or 64 * 2**20)
 
     wbytes = K * N * spec.bits // 8
     call = pl.pallas_call(
@@ -510,6 +513,8 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             args.append(jnp.asarray(NF4_TABLE, dtype=lut_dtype).reshape(1, 16))
         out = call(*args)
         out = out[:M] if out.shape[0] != M else out
+        if N != N_out:
+            out = out[:, :N_out]
         if out.dtype != out_dtype:
             out = out.astype(out_dtype)
         return out

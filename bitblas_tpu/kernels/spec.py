@@ -59,6 +59,16 @@ class KernelSpec:
         return self.a_dtype in ("int8", "uint8", "int4", "uint4")
 
     @property
+    def n_padded(self) -> int:
+        """Device-layout N: rounded up to a whole 128*e pack tile so slot
+        dots stay lane-aligned (misaligned fallback tiles fault on real
+        hardware). Kernels compute over n_padded and slice to n."""
+        if self.bits >= 8:
+            return self.n
+        t = 128 * self.elems_per_word
+        return -(-self.n // t) * t
+
+    @property
     def packed_k_major_shape(self):
-        """Device weight layout shape: [K, N*bits/storage_bits]."""
-        return (self.k, self.n // self.elems_per_word)
+        """Device weight layout shape: [K, N_padded*bits/storage_bits]."""
+        return (self.k, self.n_padded // self.elems_per_word)

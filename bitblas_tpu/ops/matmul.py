@@ -173,17 +173,21 @@ class Matmul(Operator):
                 codes = weight.astype(np.int8)
             result = [jnp.asarray(wt.unpacked_weight_to_device(cfg, codes))]
 
+        np_ = wt.padded_n(cfg)
         if scale is not None:
-            result.append(jnp.asarray(wt.scales_to_device(_to_numpy(scale))))
+            result.append(jnp.asarray(
+                wt.scales_to_device(_to_numpy(scale), n_pad=np_)))
         if zeros is not None:
             if cfg.zeros_mode == "quantized":
                 result.append(jnp.asarray(
                     wt.qzeros_to_device(cfg, _to_numpy(zeros))))
             else:
                 result.append(jnp.asarray(
-                    wt.scales_to_device(_to_numpy(zeros))))
+                    wt.scales_to_device(_to_numpy(zeros), n_pad=np_,
+                                        fill=0.0)))
         if bias is not None:
-            result.append(jnp.asarray(wt.bias_to_device(_to_numpy(bias))))
+            result.append(jnp.asarray(
+                wt.bias_to_device(_to_numpy(bias), n_pad=np_)))
         return result[0] if len(result) == 1 else result
 
     def transform_input(self, A):

@@ -40,6 +40,20 @@ class DeviceWeights:
         return out
 
 
+def padded_n(config: MatmulConfig) -> int:
+    """Device-layout N, rounded up to a whole 128*e pack tile.
+
+    Odd output sizes (e.g. BitNet-3B's hidden 3200 at int2: 3200 % 512 != 0)
+    otherwise fall back to lane-misaligned pack tiles whose kernels fault on
+    real hardware. Padded columns hold zero fields; operators slice outputs
+    back to the true N."""
+    if config.bit >= 8 or config.is_native_compute():
+        return config.N
+    e = 8 // config.bit
+    t = 128 * e
+    return -(-config.N // t) * t
+
+
 def storage_is_xored(config: MatmulConfig) -> bool:
     """Sub-byte int/uint packs are stored XOR 0x80 (top bit flipped): the
     kernel's telescope then uses plain arithmetic shifts on the
@@ -61,8 +75,11 @@ def unpacked_weight_to_device(config: MatmulConfig,
     if bits >= 8:
         return w_kn.astype(np.int8)
     e = 8 // bits
+    np_ = padded_n(config)
+    if w_kn.shape[1] < np_:
+        w_kn = np.pad(w_kn, ((0, 0), (0, np_ - w_kn.shape[1])))
     packed = packing.pack_nslot(w_kn.astype(np.uint8), bits,
-                                pack_tile_n(config.N, e))
+                                pack_tile_n(np_, e))
     if storage_is_xored(config):
         packed = (packed.view(np.uint8) ^ 0x80).view(packed.dtype)
     return packed
@@ -79,11 +96,18 @@ def reference_weight_to_device(config: MatmulConfig,
     return unpacked_weight_to_device(config, fields)
 
 
-def scales_to_device(scales_ngk: np.ndarray) -> np.ndarray:
-    """[N, K/g] -> [K/g, 1, N] float32 (middle singleton keeps Mosaic's
+def scales_to_device(scales_ngk: np.ndarray,
+                     n_pad: Optional[int] = None,
+                     fill: float = 1.0) -> np.ndarray:
+    """[N, K/g] -> [K/g, 1, N_pad] float32 (middle singleton keeps Mosaic's
     last-two-dims block constraints off the group dimension; f32 because
-    Mosaic kernels cannot consume f16 refs, and the upcast is exact)."""
+    Mosaic kernels cannot consume f16 refs, and the upcast is exact).
+    Padded columns get `fill` (their weight fields are zero, so any finite
+    value is inert; outputs are sliced to the true N anyway)."""
     t = np.ascontiguousarray(scales_ngk.T.astype(np.float32))
+    if n_pad is not None and t.shape[1] < n_pad:
+        t = np.pad(t, ((0, 0), (0, n_pad - t.shape[1])),
+                   constant_values=fill)
     return t.reshape(t.shape[0], 1, t.shape[1])
 
 
@@ -93,13 +117,19 @@ def qzeros_to_device(config: MatmulConfig, qzeros: np.ndarray) -> np.ndarray:
     bits = config.bit
     zfields = packing.general_decompress(qzeros.view(np.int8), bits,
                                          out_elems=config.N)
-    packed = packing.pack_nslot(zfields, bits,
-                                pack_tile_n(config.N, 8 // bits))
+    np_ = padded_n(config)
+    if zfields.shape[1] < np_:
+        zfields = np.pad(zfields, ((0, 0), (0, np_ - zfields.shape[1])))
+    packed = packing.pack_nslot(zfields, bits, pack_tile_n(np_, 8 // bits))
     return packed.reshape(packed.shape[0], 1, packed.shape[1])
 
 
-def bias_to_device(bias: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(bias.reshape(1, -1).astype(np.float32))
+def bias_to_device(bias: np.ndarray,
+                   n_pad: Optional[int] = None) -> np.ndarray:
+    b = np.ascontiguousarray(bias.reshape(1, -1).astype(np.float32))
+    if n_pad is not None and b.shape[1] < n_pad:
+        b = np.pad(b, ((0, 0), (0, n_pad - b.shape[1])))
+    return b
 
 
 def transform_reference_operands(
@@ -112,15 +142,16 @@ def transform_reference_operands(
 ) -> DeviceWeights:
     """Bundle-transform reference-layout operands (see ops/reference.py
     docstring for shapes) into the tuning-independent device layout."""
+    np_ = padded_n(config)
     dw = DeviceWeights(
         qweight=reference_weight_to_device(config, qweight))
     if config.with_scaling:
-        dw.scales = scales_to_device(scales)
+        dw.scales = scales_to_device(scales, n_pad=np_)
     if config.with_zeros:
         if config.zeros_mode == "quantized":
             dw.zeros = qzeros_to_device(config, qzeros)
         else:
-            dw.zeros = scales_to_device(zeros)
+            dw.zeros = scales_to_device(zeros, n_pad=np_, fill=0.0)
     if config.with_bias and bias is not None:
-        dw.bias = bias_to_device(bias)
+        dw.bias = bias_to_device(bias, n_pad=np_)
     return dw

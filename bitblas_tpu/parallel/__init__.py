@@ -57,42 +57,88 @@ def retile_packed_for_column_shards(qweight, config: MatmulConfig,
     e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
     if config.bit >= 8 or e <= 1:
         return qweight
+    from ..ops.weight_transform import padded_n, storage_is_xored
+    import dataclasses as _dc
     N = config.N
-    tile_full = pack_tile_n(N, e)
-    if (N // tp) % tile_full == 0:
+    npad = padded_n(config)
+    tile = 128 * e
+    if N == npad and (N // tp) % tile == 0:
         return qweight  # shard boundaries align with whole pack tiles
-    tile_local = pack_tile_n(N // tp, e)
-    from ..ops.weight_transform import storage_is_xored
     xored = storage_is_xored(config)
     w = np.asarray(qweight)
     raw = (w.view(np.uint8) ^ 0x80).view(w.dtype) if xored else w
-    fields = unpack_nslot(raw, config.bit, tile_full)      # [K, N]
-    parts = [pack_nslot(fields[:, i * (N // tp):(i + 1) * (N // tp)],
-                        config.bit, tile_local) for i in range(tp)]
+    fields = unpack_nslot(raw, config.bit, pack_tile_n(npad, e))[:, :N]
+    parts = []
+    for i in range(tp):
+        chunk = fields[:, i * (N // tp):(i + 1) * (N // tp)]
+        loc_pad = padded_n(_dc.replace(config, N=N // tp))
+        if chunk.shape[1] < loc_pad:
+            chunk = np.pad(chunk, ((0, 0), (0, loc_pad - chunk.shape[1])))
+        parts.append(pack_nslot(chunk, config.bit, pack_tile_n(loc_pad, e)))
     out = np.concatenate(parts, axis=1).astype(w.dtype)
     if xored:
         out = (out.view(np.uint8) ^ 0x80).view(out.dtype)
     return out
 
 
+def _retile_rows_for_column_shards(rows, config: MatmulConfig, tp: int,
+                                   fill: float):
+    """Re-group a [G, 1, N_pad] (or [1, N_pad]) row tensor to match the
+    per-shard-padded weight retiling: slice to true N, split per shard,
+    re-pad each shard to its local padded width."""
+    from ..ops.weight_transform import padded_n
+    import dataclasses as _dc
+    N = config.N
+    loc = N // tp
+    loc_pad = padded_n(_dc.replace(config, N=loc))
+    t = np.asarray(rows)
+    squeeze = t.ndim == 2
+    if squeeze:
+        t = t[None]
+    t = t[..., :N]
+    parts = []
+    for i in range(tp):
+        c = t[..., i * loc:(i + 1) * loc]
+        if c.shape[-1] < loc_pad:
+            c = np.pad(c, ((0, 0),) * (c.ndim - 1)
+                       + ((0, loc_pad - c.shape[-1]),),
+                       constant_values=fill)
+        parts.append(c)
+    out = np.concatenate(parts, axis=-1)
+    return jnp.asarray(out[0] if squeeze else out)
+
+
 def shard_weights_column(dw: DeviceWeights, mesh: Mesh, axis: str,
                          config: MatmulConfig) -> DeviceWeights:
     """Place device-layout weights column-parallel (N sharded) on the mesh.
-    Re-tiles the pack when N/tp does not align with whole pack tiles."""
+    Re-tiles the pack (and scale/zero/bias rows) when N/tp does not align
+    with whole pack tiles."""
+    from ..ops.weight_transform import padded_n
     tp = mesh.shape[axis]
+    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
+    aligned = (config.bit >= 8 or e <= 1
+               or (config.N == padded_n(config)
+                   and (config.N // tp) % (128 * e) == 0))
     qw = retile_packed_for_column_shards(dw.qweight, config, tp)
     out = DeviceWeights(
         qweight=jax.device_put(
             jnp.asarray(qw), NamedSharding(mesh, P(None, axis))))
+
+    def rows(t, fill):
+        if aligned:
+            return t
+        return _retile_rows_for_column_shards(t, config, tp, fill)
+
     if dw.scales is not None:
         out.scales = jax.device_put(
-            dw.scales, NamedSharding(mesh, P(None, None, axis)))
+            rows(dw.scales, 1.0), NamedSharding(mesh, P(None, None, axis)))
     if dw.zeros is not None:
+        assert config.zeros_mode != "quantized" or aligned,             "quantized-zeros retiling for unaligned shards not implemented"
         out.zeros = jax.device_put(
-            dw.zeros, NamedSharding(mesh, P(None, None, axis)))
+            rows(dw.zeros, 0.0), NamedSharding(mesh, P(None, None, axis)))
     if dw.bias is not None:
         out.bias = jax.device_put(
-            dw.bias, NamedSharding(mesh, P(None, axis)))
+            rows(dw.bias, 0.0), NamedSharding(mesh, P(None, axis)))
     return out
 
 

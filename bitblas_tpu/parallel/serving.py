@@ -50,24 +50,34 @@ def _local_cfg(cfg_m: MatmulConfig, name: str, tp: int) -> MatmulConfig:
     return dataclasses.replace(cfg_m, K=cfg_m.K // tp)
 
 
+def _pad_tile(n, bits=4):
+    t = 128 * (8 // bits)
+    return -(-n // t) * t
+
+
 def _unpack_natural(W, S, Z, n, bits=4):
-    """Device-layout (xored, slot-packed) -> natural-order fields + 3D
-    scale/zero rows."""
+    """Device-layout (xored, slot-packed, N-padded) -> natural-order fields
+    + 3D scale/zero rows, sliced back to the true n."""
     from ..quantization.packing import pack_tile_n, unpack_nslot
+    np_ = _pad_tile(n, bits)
     w = np.asarray(W)
     raw = (w.view(np.uint8) ^ 0x80).view(w.dtype)
-    fields = unpack_nslot(raw, bits, pack_tile_n(n, 8 // bits))
-    return fields, np.asarray(S), np.asarray(Z)
+    fields = unpack_nslot(raw, bits, pack_tile_n(np_, 8 // bits))[:, :n]
+    return fields, np.asarray(S)[:, :, :n], np.asarray(Z)[:, :, :n]
 
 
 def _pack_device_grouped(device_blocks, bits=4):
     """Per-device natural-field blocks [[K, n_local] ...] -> one packed
     (xored) array whose P(None, axis) shard boundaries land exactly between
-    blocks. Each block is packed as ONE unit with the kernel's local pack
-    tile (pack_tile_n(n_local, e)) — the layout the local kernel expects."""
+    blocks. Each block pads to a whole pack tile and packs as ONE unit —
+    the layout the local kernel expects."""
     from ..quantization.packing import pack_nslot, pack_tile_n
-    packs = [pack_nslot(b, bits, pack_tile_n(b.shape[1], 8 // bits))
-             for b in device_blocks]
+    packs = []
+    for b in device_blocks:
+        np_ = _pad_tile(b.shape[1], bits)
+        if b.shape[1] < np_:
+            b = np.pad(b, ((0, 0), (0, np_ - b.shape[1])))
+        packs.append(pack_nslot(b, bits, pack_tile_n(np_, 8 // bits)))
     out = np.concatenate(packs, axis=1)
     return (out.view(np.uint8) ^ 0x80).view(out.dtype)
 
@@ -88,14 +98,24 @@ def _fuse_column_weights(parts, ns, tp):
         zrs.append(z)
     blocks, s_chunks, z_chunks = [], [], []
     for d in range(tp):
-        parts_f = []
+        parts_f, parts_s, parts_z = [], [], []
         for f, s, z, n in zip(fields, scs, zrs, ns):
             loc = n // tp
             sl = slice(d * loc, (d + 1) * loc)
             parts_f.append(f[:, sl])
-            s_chunks.append(s[:, :, sl])
-            z_chunks.append(z[:, :, sl])
-        blocks.append(np.concatenate(parts_f, axis=1))
+            parts_s.append(s[:, :, sl])
+            parts_z.append(z[:, :, sl])
+        blk = np.concatenate(parts_f, axis=1)
+        sb = np.concatenate(parts_s, axis=2)
+        zb = np.concatenate(parts_z, axis=2)
+        np_ = _pad_tile(blk.shape[1])
+        if sb.shape[2] < np_:
+            pad = ((0, 0), (0, 0), (0, np_ - sb.shape[2]))
+            sb = np.pad(sb, pad, constant_values=1.0)
+            zb = np.pad(zb, pad)
+        blocks.append(blk)
+        s_chunks.append(sb)
+        z_chunks.append(zb)
     W = jnp.asarray(_pack_device_grouped(blocks))
     S = jnp.asarray(np.concatenate(s_chunks, axis=2))
     Z = jnp.asarray(np.concatenate(z_chunks, axis=2))
@@ -110,23 +130,30 @@ def _replicate_kv_heads(qweight, scales, zeros, src_cfg: LlamaConfig,
     from ..quantization.packing import pack_nslot, pack_tile_n, unpack_nslot
     D = src_cfg.head_dim
     n_src = src_cfg.num_kv_heads * D
-    bits, e = 4, 2  # uint4 packing (stored XOR 0x80)
+    bits, e = 4, 2  # uint4 packing (stored XOR 0x80, N-padded)
     w = np.asarray(qweight)
     raw = (w.view(np.uint8) ^ 0x80).view(w.dtype)
-    fields = unpack_nslot(raw, bits, pack_tile_n(n_src, e))   # [K, N_src]
+    np_src = _pad_tile(n_src, bits)
+    fields = unpack_nslot(raw, bits, pack_tile_n(np_src, e))[:, :n_src]
     fields = fields.reshape(fields.shape[0], src_cfg.num_kv_heads, D)
     fields = np.repeat(fields, rep, axis=1).reshape(fields.shape[0], -1)
     n_eff = n_src * rep
-    wq = pack_nslot(fields, bits, pack_tile_n(n_eff, e)).astype(w.dtype)
+    np_eff = _pad_tile(n_eff, bits)
+    if fields.shape[1] < np_eff:
+        fields = np.pad(fields, ((0, 0), (0, np_eff - fields.shape[1])))
+    wq = pack_nslot(fields, bits, pack_tile_n(np_eff, e)).astype(w.dtype)
     wq = (wq.view(np.uint8) ^ 0x80).view(wq.dtype)
 
-    def _rep_rows(t):
-        t = np.asarray(t)                                     # [G, 1, N_src]
+    def _rep_rows(t, fill):
+        t = np.asarray(t)[:, :, :n_src]                       # [G, 1, N_src]
         t = t.reshape(t.shape[0], 1, src_cfg.num_kv_heads, D)
-        return jnp.asarray(
-            np.repeat(t, rep, axis=2).reshape(t.shape[0], 1, n_eff))
+        t = np.repeat(t, rep, axis=2).reshape(t.shape[0], 1, n_eff)
+        if t.shape[2] < np_eff:
+            t = np.pad(t, ((0, 0), (0, 0), (0, np_eff - t.shape[2])),
+                       constant_values=fill)
+        return jnp.asarray(t)
 
-    return jnp.asarray(wq), _rep_rows(scales), _rep_rows(zeros)
+    return jnp.asarray(wq), _rep_rows(scales, 1.0), _rep_rows(zeros, 0.0)
 
 
 class TPQuantLlama:

@@ -39,15 +39,15 @@ class TileDevice:
 
 
 TPU_V4 = TileDevice("tpu_v4", 1.23e12, 275e12, 275e12, 275e12 / 4, 4.3e12,
-                    96 * 2**20, 32 * 2**30, 2.1e12, 2.6e12)
+                    64 * 2**20, 32 * 2**30, 2.1e12, 2.6e12)
 TPU_V5E = TileDevice("tpu_v5e", 819e9, 197e12, 394e12, 197e12 / 4, 3.2e12,
-                     96 * 2**20, 16 * 2**30, 1.52e12, 1.85e12)
+                     64 * 2**20, 16 * 2**30, 1.52e12, 1.85e12)
 TPU_V5P = TileDevice("tpu_v5p", 2.77e12, 459e12, 918e12, 459e12 / 4, 7.4e12,
-                     96 * 2**20, 95 * 2**30, 3.5e12, 4.3e12)
+                     64 * 2**20, 95 * 2**30, 3.5e12, 4.3e12)
 TPU_V6E = TileDevice("tpu_v6e", 1.64e12, 918e12, 1836e12, 918e12 / 4, 7.4e12,
-                     96 * 2**20, 32 * 2**30, 7.1e12, 8.6e12)
+                     64 * 2**20, 32 * 2**30, 7.1e12, 8.6e12)
 CPU_INTERPRET = TileDevice("cpu_interpret", 50e9, 1e12, 1e12, 5e11, 1e11,
-                           96 * 2**20, 8 * 2**30, 1e12, 1e12, is_cpu=True)
+                           64 * 2**20, 8 * 2**30, 1e12, 1e12, is_cpu=True)
 
 _BY_NAME = {
     "tpu_v4": TPU_V4, "v4": TPU_V4,

@@ -70,7 +70,7 @@ def vmem_usage(spec: KernelSpec, hint: TileHint) -> int:
 def roofline_seconds(spec: KernelSpec, hint: TileHint,
                      arch: TileDevice) -> float:
     """Analytic lower-bound time: max(memory, MXU, VPU decode)."""
-    M, N, K = spec.m, spec.n, spec.k
+    M, N, K = spec.m, spec.n_padded, spec.k
     e = spec.elems_per_word
     BM = min(hint.block_m, max(M, 8))
     m_tiles = math.ceil(max(M, 8) / BM)
@@ -120,7 +120,7 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
 def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                     max_candidates: int = 512) -> List[TileHint]:
     """All legal TileHints for this spec on this arch, roofline-ranked."""
-    M, N, K = spec.m, spec.n, spec.k
+    M, N, K = spec.m, spec.n_padded, spec.k
     e = spec.elems_per_word
     g = spec.group_size if spec.group_size > 0 else K
 

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from bitblas_tpu.models.quant_llama import LlamaConfig, QuantLlama
+from bitblas_tpu.testing import assert_close
 from bitblas_tpu.parallel.serving import TPQuantLlama
 from bitblas_tpu.serving.engine import ContinuousBatchingEngine, Request
 
@@ -138,8 +139,8 @@ def test_paged_engine_over_mesh_matches_single_device():
     f_ref = run(src)
     f_tp = run(tpm, cache_sharding=tpm.kv_cache_sharding())
     for uid in f_ref:
-        np.testing.assert_allclose(f_tp[uid], f_ref[uid],
-                                   rtol=5e-2, atol=5e-2)
+        assert_close(f_tp[uid], f_ref[uid], rtol=5e-2, atol=5e-2,
+                     max_mismatched_ratio=0.02)
 
 
 def test_engine_over_mesh_matches_single_device():
@@ -161,4 +162,5 @@ def test_engine_over_mesh_matches_single_device():
 
     h_ref = run(src)
     h_tp = run(tpm, cache_sharding=tpm.kv_cache_sharding())
-    np.testing.assert_allclose(h_tp, h_ref, rtol=5e-2, atol=5e-2)
+    assert_close(h_tp, h_ref, rtol=5e-2, atol=5e-2,
+                 max_mismatched_ratio=0.02)
