@@ -51,6 +51,9 @@ def main():
                 # int8-MXU telescope: ingestion floor ~9us beats bf16's ~11us
                 return TileHint(block_m=256, block_n=2048, block_k=1024,
                                 mma_dtype="int8", decode_mode="telescope")
+            if m <= 256:
+                return TileHint(block_m=256, block_n=4096, block_k=512,
+                                mma_dtype="int8", decode_mode="telescope")
             # compute-bound W2A8 wants the int8 MXU (2x bf16 rate)
             return TileHint(block_m=512, block_n=1024, block_k=1024,
                             mma_dtype="int8", decode_mode="mask")
