@@ -25,9 +25,14 @@ NEG_INF = -1e30
 
 def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
                   q_start, kv_start, block_q, block_kv):
-    """One online-softmax step. q [BQ, D], k [BKV, D], v [BKV, D]."""
+    """One online-softmax step. q [BQ, D], k [BKV, D], v [BKV, D].
+    QK/PV dots run on bf16 operands (f32 accumulate) — the MXU-native rate;
+    softmax statistics stay f32."""
+    # Work in base 2: exp2 is the cheap VPU op (exp costs ~4x); the scale
+    # folds log2(e) in, and the running max m is kept in the base-2 domain.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32) * (
+                                scale * 1.4426950408889634)
     if causal:
         qi = q_start + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_kv), 0)
@@ -36,8 +41,8 @@ def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
         s = jnp.where(qi >= kj, s, NEG_INF)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -47,8 +52,8 @@ def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
 
 def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                          kv_heads: int = None, causal: bool = False,
-                         trans_k: bool = False, block_q: int = 128,
-                         block_kv: int = 128, out_dtype=jnp.float16,
+                         trans_k: bool = False, block_q: int = 1024,
+                         block_kv: int = 1024, out_dtype=jnp.float16,
                          interpret: bool = False):
     """Build attention over Q [B, S, H, D], K/V [B, S, Hkv, D]
     (K [B, D, Hkv, S] when trans_k). Returns fn(Q, K, V) -> [B, S, H, D]."""
@@ -89,12 +94,11 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         kv_start = ki * block_kv
 
         def step():
-            q = q_ref[0].astype(jnp.float32)
+            q = q_ref[0]
             k = k_ref[0]
             if trans_k:
                 k = k.T
-            k = k.astype(jnp.float32)
-            v = v_ref[0].astype(jnp.float32)
+            v = v_ref[0]
             m_new, l_new, acc_new = _attend_block(
                 q, k, v, m_ref[...], l_ref[...], acc_ref[...],
                 scale=scale, causal=causal, q_start=q_start,

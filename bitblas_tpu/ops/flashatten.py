@@ -84,7 +84,7 @@ class FlashAtten:
         self.arch = get_arch(target)
         self.interpret = self.arch.is_cpu
         self.kernel_name_generator = FlashAttenKernelNameGenerator(config)
-        self.block_q, self.block_kv = 128, 128
+        self.block_q, self.block_kv = 1024, 1024
         self._build()
         if enable_tuning and not self.interpret:
             self.hardware_aware_finetune()
