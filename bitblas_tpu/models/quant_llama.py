@@ -206,13 +206,26 @@ class QuantLlama:
     # -- serving hooks (see serving/engine.py) --------------------------------
     def make_prefill(self, seq_len: int):
         """Returns fn(x [1, S, H], positions) -> (hidden, ks, vs) where
-        ks/vs are per-layer rope-applied K/V [S, Hkv, D] for the KV cache."""
-        del seq_len  # shape comes from the traced input
+        ks/vs are per-layer rope-applied K/V [S, Hkv, D] for the KV cache.
+
+        Long prompts attend through the Pallas flash kernel (O(S) memory,
+        MXU-rate online softmax); short ones keep the naive path (flash
+        block overheads dominate below ~256 tokens)."""
+        cfg = self.cfg
+        flash = None
+        if seq_len >= 256 and seq_len % 128 == 0:
+            from ..tuner import get_arch
+            flash = make_flash_attention(
+                batch=1, heads=cfg.num_heads, seq_len=seq_len,
+                dim=cfg.head_dim, kv_heads=cfg.num_kv_heads, causal=True,
+                out_dtype=jnp.dtype(cfg.act_dtype),
+                interpret=get_arch().is_cpu)
 
         def prefill(x, positions):
             ks, vs = [], []
             for layer in self.layers:
-                x, k, v = layer_forward(layer, x, positions, return_kv=True)
+                x, k, v = layer_forward(layer, x, positions, flash=flash,
+                                        return_kv=True)
                 ks.append(k[0])
                 vs.append(v[0])
             return x, ks, vs

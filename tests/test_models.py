@@ -84,3 +84,26 @@ def test_bitnet_llama_forward():
     out = model(x, pos)
     assert out.shape == (2, 8, 256)
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+def test_flash_prefill_matches_naive():
+    """Long-prompt prefill routes through the flash kernel and matches the
+    naive attention path."""
+    import jax.numpy as jnp
+    from bitblas_tpu.models.quant_llama import (LlamaConfig, QuantLlama,
+                                                layer_forward)
+    cfg = LlamaConfig(hidden_size=256, intermediate_size=512, num_heads=4,
+                      num_kv_heads=2, num_layers=2, group_size=64)
+    m = QuantLlama(cfg, opt_m=(8,))
+    rng = np.random.default_rng(0)
+    S = 256
+    x = jnp.asarray(rng.standard_normal((1, S, 256)).astype(np.float16))
+    pos = jnp.arange(S)[None, :]
+    h_flash, ks_f, _ = m.make_prefill(S)(x, pos)
+
+    xx = x
+    for layer in m.layers:
+        xx, k, v = layer_forward(layer, xx, pos, return_kv=True)
+    np.testing.assert_allclose(np.asarray(h_flash, np.float32),
+                               np.asarray(xx, np.float32),
+                               rtol=2e-2, atol=2e-2)
