@@ -43,6 +43,24 @@ _COLUMN = {"qkv", "gateup"}
 _ROW = {"o", "down"}
 
 
+def _quantized_allreduce(part, axis):
+    """All-reduce via int8-quantized all-gather: each device quantizes its
+    f32 partial per-row (absmax int8 + f32 scale), all-gathers the shards,
+    and sums the dequantized copies locally. Moves ~(n-1)/n * B bytes of
+    int8 instead of 2(n-1)/n * B of f16/f32 — a ~4-8x ICI saving on the two
+    per-layer collectives (docs/Scaling70B.md path to 85% scaling).
+
+    Error: one int8 rounding per partial (~0.4% of each partial's absmax),
+    uncorrelated across devices.
+    """
+    amax = jnp.max(jnp.abs(part), axis=-1, keepdims=True)
+    scale = 127.0 / jnp.maximum(amax, 1e-20)
+    q = jnp.clip(jnp.round(part * scale), -127, 127).astype(jnp.int8)
+    qs = jax.lax.all_gather(q, axis)             # [tp, B, H] int8
+    ss = jax.lax.all_gather(scale, axis)         # [tp, B, 1] f32
+    return jnp.sum(qs.astype(jnp.float32) / ss, axis=0)
+
+
 def _local_cfg(cfg_m: MatmulConfig, name: str, tp: int) -> MatmulConfig:
     import dataclasses
     if name in _COLUMN:
@@ -164,7 +182,8 @@ class TPQuantLlama:
     """
 
     def __init__(self, src: QuantLlama, mesh: Mesh, axis: str = "tp",
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 quantized_collectives: bool = False):
         import dataclasses as _dc
         cfg = src.cfg
         self.mesh = mesh
@@ -189,6 +208,7 @@ class TPQuantLlama:
         cfg = self.cfg
         arch = get_arch()
         self.interpret = arch.is_cpu if interpret is None else interpret
+        self.quantized_collectives = quantized_collectives
 
         # Shard the source model's device-layout weights. q/k/v fuse into
         # one column-parallel matmul and gate/up into another (fewer,
@@ -249,6 +269,11 @@ class TPQuantLlama:
         """[L, slots, S, Hkv, D] sharded on the kv_heads axis."""
         return NamedSharding(self.mesh, P(None, None, None, self.axis, None))
 
+    def _allreduce(self, part, axis):
+        if self.quantized_collectives:
+            return _quantized_allreduce(part, axis)
+        return jax.lax.psum(part, axis)
+
     # -- local kernels ---------------------------------------------------------
     def _kernel(self, name: str, m: int):
         key = (name, m)
@@ -299,7 +324,7 @@ class TPQuantLlama:
                                         num_heads=hl)
                 o_part = kern["o"](attn.reshape(B, hl * D), w["o"][0],
                                    scales=w["o"][1], zeros=w["o"][2])
-                o = jax.lax.psum(o_part.astype(jnp.float32), axis)
+                o = self._allreduce(o_part.astype(jnp.float32), axis)
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
@@ -311,7 +336,7 @@ class TPQuantLlama:
                        * up.astype(jnp.float32)).astype(x.dtype)
                 d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
                                       zeros=w["down"][2])
-                d = jax.lax.psum(d_part.astype(jnp.float32), axis)
+                d = self._allreduce(d_part.astype(jnp.float32), axis)
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
 
@@ -375,7 +400,7 @@ class TPQuantLlama:
                                               lengths + 1, num_heads=hl)
                 o_part = kern["o"](attn.reshape(B, hl * D), w["o"][0],
                                    scales=w["o"][1], zeros=w["o"][2])
-                o = jax.lax.psum(o_part.astype(jnp.float32), axis)
+                o = self._allreduce(o_part.astype(jnp.float32), axis)
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
@@ -387,7 +412,7 @@ class TPQuantLlama:
                        * up.astype(jnp.float32)).astype(x.dtype)
                 d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
                                       zeros=w["down"][2])
-                d = jax.lax.psum(d_part.astype(jnp.float32), axis)
+                d = self._allreduce(d_part.astype(jnp.float32), axis)
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
 
@@ -461,7 +486,7 @@ class TPQuantLlama:
                                       v_.astype(jnp.float32)).astype(x.dtype)
                     o_part = kern["o"](attn.reshape(B * S, hl * D), w["o"][0],
                                        scales=w["o"][1], zeros=w["o"][2])
-                    o = jax.lax.psum(o_part.astype(jnp.float32), axis)
+                    o = self._allreduce(o_part.astype(jnp.float32), axis)
                     x = x + o.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                     h = rmsnorm(x, mlp_norm).reshape(B * S, cfg.hidden_size)
                     gu = kern["gateup"](h, w["gateup"][0],
@@ -473,7 +498,7 @@ class TPQuantLlama:
                            * up.astype(jnp.float32)).astype(x.dtype)
                     d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
                                           zeros=w["down"][2])
-                    d = jax.lax.psum(d_part.astype(jnp.float32), axis)
+                    d = self._allreduce(d_part.astype(jnp.float32), axis)
                     x = x + d.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                 # gather local-head K/V to full heads for the cache write
                 ks = [jax.lax.all_gather(k, axis, axis=1, tiled=True)

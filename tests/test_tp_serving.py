@@ -164,3 +164,31 @@ def test_engine_over_mesh_matches_single_device():
     h_tp = run(tpm, cache_sharding=tpm.kv_cache_sharding())
     assert_close(h_tp, h_ref, rtol=5e-2, atol=5e-2,
                  max_mismatched_ratio=0.02)
+
+
+def test_quantized_collectives_close_to_exact():
+    """int8-quantized all-reduce (all-gather + local sum) tracks the exact
+    psum decode within quantization error."""
+    mesh = _mesh(4)
+    src = QuantLlama(CFG, opt_m=(4,))
+    exact = TPQuantLlama(src, mesh)
+    quant = TPQuantLlama(src, mesh, quantized_collectives=True)
+
+    B, S = 4, 16
+    rng = np.random.default_rng(7)
+    ck = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.zeros_like(ck)
+    x = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 5, 0, 7], jnp.int32)
+    cks = jax.device_put(ck, exact.kv_cache_sharding())
+    cvs = jax.device_put(cv, exact.kv_cache_sharding())
+    y_e, _, _ = exact.decode_step(x, cks, cvs, slots, lengths)
+    y_q, _, _ = quant.decode_step(x, cks, cvs, slots, lengths)
+    a = np.asarray(y_e, np.float32)
+    b = np.asarray(y_q, np.float32)
+    rel = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
+    assert rel < 0.05, rel
