@@ -260,3 +260,19 @@ def test_batched_group_telescope(w_dtype):
                     mma_dtype="float32", decode_mode="telescope",
                     group_mode="batched")
     run_case(cfg, 8, hint=hint)
+
+
+@pytest.mark.parametrize("n", [320, 3200 // 4, 192])
+def test_odd_n_padding(n):
+    """N that is not a multiple of the 128*e pack tile pads transparently
+    (BitNet-3B's 3200/8448 faulted on lane-misaligned fallback tiles)."""
+    cfg = MatmulConfig(M=8, N=n, K=256, A_dtype="int8", W_dtype="int2",
+                       accum_dtype="int32", out_dtype="float32")
+    run_case(cfg, 8, hint=TileHint(block_m=8, block_n=512, block_k=128,
+                                   mma_dtype="int8",
+                                   decode_mode="telescope"))
+    cfg2 = MatmulConfig(M=8, N=n, K=256, A_dtype="float16", W_dtype="uint4",
+                        with_scaling=True, group_size=64)
+    run_case(cfg2, 8, hint=TileHint(block_m=8, block_n=256, block_k=128,
+                                    mma_dtype="float32", precision="highest",
+                                    decode_mode="telescope"))
