@@ -64,6 +64,11 @@ def main():
             # crashes this libtpu's Mosaic — see tuner/space.py.)
             return TileHint(block_m=256, block_n=512, block_k=4096,
                             mma_dtype="float32", decode_mode="telescope")
+        if m <= 256:
+            # whole-K block: one fat W DMA per N tile; ~43us vs 56us for the
+            # old 1024x1024x256 at m=256 (scripts/tpu_gemm256_sweep.py)
+            return TileHint(block_m=256, block_n=512, block_k=4096,
+                            mma_dtype="bfloat16", decode_mode="telescope")
         return TileHint(block_m=1024, block_n=1024, block_k=256,
                         mma_dtype="bfloat16", decode_mode="telescope")
 

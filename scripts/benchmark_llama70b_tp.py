@@ -36,7 +36,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure_proj(n, k, m, topk=4):
+def measure_proj(n, k, m, topk=2):
     from bitblas_tpu.tuner import TileHint
     cfg = MatmulConfig(M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
                        with_scaling=True, group_size=128,
@@ -64,9 +64,12 @@ def measure_proj(n, k, m, topk=4):
 
 
 def main():
+    # argv: [m] [tp ...] — run one tp per invocation to fit timeout windows;
+    # per-tp JSON lines are aggregated by hand into docs/Scaling70B.md.
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 16   # decode batch
+    tps = [int(v) for v in sys.argv[2:]] or [4, 8, 16]
     results = {}
-    for tp in (4, 8, 16):
+    for tp in tps:
         projs = {
             "qkv": (HIDDEN, (HIDDEN + 2 * KV_HEADS * HEAD_DIM) // tp),
             "o": (HIDDEN // tp, HIDDEN),

@@ -59,7 +59,8 @@ def mk_u4(bk, bn, pipelined, mma=jnp.float32):
             scratch_shapes=[pltpu.VMEM((M, 2 * bn), jnp.float32)])
 
     def kern(a_ref, w_ref, o_ref, acc, wd):
-        # wd: [2, bk, 2*bn] decoded double buffer
+        # wd: [2 buffers, 2 slots, bk, bn] decoded double buffer.
+        # Slot-split (no lane-dim concatenate: that forces a relayout).
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -69,15 +70,16 @@ def mk_u4(bk, bn, pipelined, mma=jnp.float32):
         @pl.when(k > 0)
         def _dot():
             a = a_ref[...].astype(mma)
-            buf = wd[(k + 1) % 2]
-            acc[:, :bn] += (dot(a, buf[:, :bn])
-                            - 16.0 * dot(a, buf[:, bn:]))
-            acc[:, bn:] += dot(a, buf[:, bn:])
+            b0 = wd[(k + 1) % 2, 0]
+            b1 = wd[(k + 1) % 2, 1]
+            acc[:, :bn] += dot(a, b0) - 16.0 * dot(a, b1)
+            acc[:, bn:] += dot(a, b1)
 
         @pl.when(k < nk)
         def _decode():
             lo, hi = decode(w_ref[...])
-            wd[k % 2] = jnp.concatenate([lo, hi], axis=1)
+            wd[k % 2, 0] = lo
+            wd[k % 2, 1] = hi
 
         @pl.when(k == nk)
         def _():
@@ -93,32 +95,38 @@ def mk_u4(bk, bn, pipelined, mma=jnp.float32):
         out_specs=pl.BlockSpec((M, 2 * bn), lambda j, k: (0, j)),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((M, 2 * bn), jnp.float32),
-                        pltpu.VMEM((2, bk, 2 * bn), mma)])
+                        pltpu.VMEM((2, 2, bk, bn), mma)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20))
 
 
 def main():
+    import sys
     rng = np.random.default_rng(0)
     Wp = jnp.asarray(rng.integers(-128, 128, (K, N // 2)).astype(np.int8))
     A = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32))
     roof = (N * K // 2 + M * K * 4 + M * N * 4) / 819e9
 
-    # correctness first (tiny, interpret)
-    ref = mk_u4(512, 256, False)(A, Wp)
-    got = mk_u4(512, 256, True)(A, Wp)
-    err = float(jnp.max(jnp.abs(ref - got)))
-    rel = err / float(jnp.max(jnp.abs(ref)))
-    print(f"pipelined correctness: rel err {rel:.2e}")
-
-    for pipe in (False, True):
-        for bk, bn in ((512, 512), (1024, 512), (512, 1024), (2048, 512)):
-            try:
-                sec = measure_kernel(
-                    lambda a, w: mk_u4(bk, bn, pipe)(a, w), (A, Wp))
-                print(f"u4 pipe={int(pipe)} bk={bk:4d} bn={bn:4d}: "
-                      f"{sec*1e6:6.1f}us pct={100*roof/sec:5.1f}%")
-            except Exception as ex:  # noqa: BLE001
-                print(f"u4 pipe={int(pipe)} bk={bk:4d} bn={bn:4d}: "
-                      f"FAIL {str(ex)[:90]}")
+    # configs selected by argv: "p<bk>x<bn>" pipelined, "b<bk>x<bn>" baseline
+    sel = sys.argv[1:] or ["check", "b512x512", "p512x512"]
+    for item in sel:
+        if item == "check":
+            ref = mk_u4(512, 256, False)(A, Wp)
+            got = mk_u4(512, 256, True)(A, Wp)
+            err = float(jnp.max(jnp.abs(ref - got)))
+            rel = err / float(jnp.max(jnp.abs(ref)))
+            print(f"pipelined correctness: rel err {rel:.2e}", flush=True)
+            continue
+        pipe = item[0] == "p"
+        bk, bn = (int(v) for v in item[1:].split("x"))
+        try:
+            sec = measure_kernel(
+                lambda a, w: mk_u4(bk, bn, pipe)(a, w), (A, Wp))
+            print(f"u4 pipe={int(pipe)} bk={bk:4d} bn={bn:4d}: "
+                  f"{sec*1e6:6.1f}us pct={100*roof/sec:5.1f}%", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"u4 pipe={int(pipe)} bk={bk:4d} bn={bn:4d}: "
+                  f"FAIL {str(ex)[:90]}", flush=True)
 
 
 if __name__ == "__main__":
