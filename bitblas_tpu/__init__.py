@@ -11,6 +11,9 @@ Public surface mirrors the reference exports
 """
 
 from .common import __version__, set_log_level  # noqa: F401
+from .common import enable_jax_compilation_cache
+
+enable_jax_compilation_cache()
 from .ops.common import OptimizeStrategy, TransformKind  # noqa: F401
 from .ops.matmul_config import MatmulConfig, OperatorConfig  # noqa: F401
 from .ops.matmul import Matmul  # noqa: F401

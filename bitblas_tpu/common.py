@@ -20,6 +20,32 @@ BITBLAS_TPU_DEFAULT_CACHE_PATH = os.path.expanduser(
 
 MAX_ERROR_MESSAGE_LENGTH = 500
 
+
+def enable_jax_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at the bitblas_tpu cache dir.
+
+    The hint database stores *tuned tile hints* only; compiled executables
+    are meant to live in JAX's own persistent cache (SURVEY.md §7 mapping of
+    the reference's wrapper_compiled.so, cache/operator.py:55-135). Without
+    this call nothing enables that cache, so every process pays the 20-60 s
+    remote Mosaic compile again. Set BITBLAS_TPU_NO_JAX_CACHE=1 to opt out.
+    """
+    if os.environ.get("BITBLAS_TPU_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(BITBLAS_TPU_DEFAULT_CACHE_PATH,
+                                       "jaxcache"))
+        # Cache everything (default min size/time skip sub-second compiles,
+        # which is most CPU-interpret test kernels).
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - old jax without the knobs
+        get_logger().warning("could not enable the JAX persistent "
+                             "compilation cache", exc_info=True)
+
+
 _LOGGER_NAME = "bitblas_tpu"
 
 
