@@ -32,15 +32,19 @@ def enable_jax_compilation_cache() -> None:
     """
     if os.environ.get("BITBLAS_TPU_NO_JAX_CACHE"):
         return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already directs the cache; never override it
     try:
         import jax
+        if jax.config.jax_compilation_cache_dir:
+            return  # configured programmatically by the user
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(BITBLAS_TPU_DEFAULT_CACHE_PATH,
                                        "jaxcache"))
-        # Cache everything (default min size/time skip sub-second compiles,
-        # which is most CPU-interpret test kernels).
+        # Cache everything incl. sub-second CPU-interpret test kernels
+        # (the jax defaults skip those).
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - old jax without the knobs
         get_logger().warning("could not enable the JAX persistent "
                              "compilation cache", exc_info=True)

@@ -28,7 +28,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -73,7 +72,8 @@ def make_gpipe_fn(stage_fn: Callable, mesh: Mesh, axis: str = "pp",
             if 0 <= emit < n_micro:
                 outs = outs.at[emit].set(
                     jnp.where(s == pp - 1, y, outs[emit]))
-            cur = jax.lax.ppermute(y, axis, perm)
+            if t < n_micro + pp - 2:   # last tick's hop would be dead
+                cur = jax.lax.ppermute(y, axis, perm)
         # outs is populated only on the last stage; psum broadcasts it
         # (every other stage contributes zeros).
         return jax.lax.psum(outs, axis)

@@ -50,7 +50,7 @@ def main():
         run_set(cfg, cands_i2, roof_i2)
         return
     cands = [
-        ("cur 256x1024x256 tele", H(256, 1024, 256)),
+        ("256x1024x256 tele", H(256, 1024, 256)),
         ("256x2048x512 tele", H(256, 2048, 512)),
         ("256x1024x1024 tele", H(256, 1024, 1024)),
         ("256x512x2048 tele", H(256, 512, 2048)),

@@ -32,19 +32,17 @@ def _mesh():
 
 
 def _build(cfg, seed):
-    """Per-stage params + the same weights kept host-side for the oracle."""
-    stages, host = [], []
+    """Per-stage param pytrees (device layout)."""
+    stages = []
     for s in range(PP):
-        qws, scs, raws = [], [], []
+        qws, scs = [], []
         for i in range(LAYERS_PER_STAGE):
             ops = random_reference_operands(cfg, B, seed + s * 10 + i)
             dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
             qws.append(jnp.asarray(dw.qweight))
             scs.append(jnp.asarray(dw.scales))
-            raws.append((ops.qweight, ops.scales))
         stages.append({"qweight": jnp.stack(qws), "scales": jnp.stack(scs)})
-        host.append(raws)
-    return stages, host
+    return stages
 
 
 def test_gpipe_matches_sequential():
@@ -52,7 +50,7 @@ def test_gpipe_matches_sequential():
     cfg = MatmulConfig(M=B, N=H, K=H, A_dtype="float16", W_dtype="uint4",
                        with_scaling=True, group_size=128,
                        out_dtype="float16")
-    stages, host = _build(cfg, 7)
+    stages = _build(cfg, 7)
 
     stage_fn = make_quant_stage_fn(cfg, B, LAYERS_PER_STAGE)
     pipe = make_gpipe_fn(stage_fn, mesh, "pp")
@@ -69,7 +67,7 @@ def test_gpipe_matches_sequential():
     for i in range(N_MICRO):
         h = xs[i]
         for s in range(PP):
-            h = stage_fn(jax.tree.map(lambda a: a, stages[s]), h)
+            h = stage_fn(stages[s], h)
         ref.append(h)
     ref = jnp.stack(ref)
     np.testing.assert_allclose(np.asarray(got, np.float32),
@@ -83,7 +81,7 @@ def test_gpipe_single_microbatch_and_many():
     cfg = MatmulConfig(M=B, N=H, K=H, A_dtype="float16", W_dtype="uint4",
                        with_scaling=True, group_size=128,
                        out_dtype="float16")
-    stages, _ = _build(cfg, 3)
+    stages = _build(cfg, 3)
     stage_fn = make_quant_stage_fn(cfg, B, LAYERS_PER_STAGE)
     pipe = make_gpipe_fn(stage_fn, mesh, "pp")
     params = stack_stage_params(stages, mesh, "pp")
