@@ -46,6 +46,13 @@ def main():
             ("256x1024x2048 i8tele", H(256, 1024, 2048, "int8")),
             ("256x512x4096 i8mask", H(256, 512, 4096, "int8", "mask")),
             ("512x1024x1024 i8mask", H(512, 1024, 1024, "int8", "mask")),
+            # m=4096 regime (bench curated: 512x1024x1024 i8 mask)
+            ("512x2048x512 i8mask", H(512, 2048, 512, "int8", "mask")),
+            ("1024x1024x1024 i8mask", H(1024, 1024, 1024, "int8", "mask")),
+            ("512x1024x1024 i8tele", H(512, 1024, 1024, "int8")),
+            ("1024x2048x512 i8mask", H(1024, 2048, 512, "int8", "mask")),
+            ("512x1024x2048 i8mask", H(512, 1024, 2048, "int8", "mask")),
+            ("1024x1024x512 i8tele", H(1024, 1024, 512, "int8")),
         ]
         run_set(cfg, cands_i2, roof_i2)
         return
