@@ -84,6 +84,11 @@ def matmul_dense_reference(config: MatmulConfig, A: jnp.ndarray,
     int_path = config.A_dtype in ("int8", "uint8", "int4", "uint4") and \
         config.source_format in ("int", "uint")
     acc_dtype = jnp.int32 if int_path else jnp.float32
+    if "int4" in str(A.dtype) or "int4" in str(W_dense_nk.dtype):
+        # XLA's CPU backend rejects dots over ml_dtypes int4/uint4 operands;
+        # upcast to int8 (exact) before contracting.
+        A = A.astype(jnp.int8)
+        W_dense_nk = W_dense_nk.astype(jnp.int8)
     out = lax.dot_general(
         A, W_dense_nk,
         dimension_numbers=(((A.ndim - 1,), (1,)), ((), ())),

@@ -84,13 +84,19 @@ def main():
         # 2 ring all-reduces per layer of [m, hidden] f16
         b = m * HIDDEN * 2
         t_comm = 2 * (2 * (tp - 1) / tp) * b / ICI_BW
+        # int8-quantized collectives (parallel/serving._quantized_allreduce):
+        # all-gather of int8 shards = (tp-1)/tp * B/2 bytes per reduce.
+        t_comm_q = 2 * ((tp - 1) / tp) * (b / 2) / ICI_BW
         t_layer = t_compute + t_comm
         tok_s = m / (t_layer * LAYERS)
+        tok_s_q = m / ((t_compute + t_comm_q) * LAYERS)
         results[tp] = dict(t_compute_us=t_compute * 1e6,
                            t_comm_us=t_comm * 1e6,
-                           tok_s=tok_s, chips=tp)
+                           t_comm_int8_us=t_comm_q * 1e6,
+                           tok_s=tok_s, tok_s_int8_comm=tok_s_q, chips=tp)
         log(f"tp={tp}: layer compute {t_compute*1e6:.1f}us + comm "
-            f"{t_comm*1e6:.1f}us -> {tok_s:.1f} tok/s (batch {m})")
+            f"{t_comm*1e6:.1f}us (int8 {t_comm_q*1e6:.1f}us) -> "
+            f"{tok_s:.1f} tok/s ({tok_s_q:.1f} int8-comm, batch {m})")
 
     # scaling efficiency tp=4 -> tp=16: ideal = 4x per-chip-count throughput
     if 4 in results and 16 in results:

@@ -43,6 +43,9 @@ PAIRS = [
     ("bfloat16", "uint4", True),
     ("bfloat16", "int4", False),
     ("bfloat16", "nf4", True),
+    # int4 activations (reference INT4xINT4 tensor-core path; int8-MXU
+    # emulation on TPU — exact, both operands fit int8)
+    ("int4", "int4", False),
     # int8 activations (BitNet-style)
     ("int8", "int8", False),
     ("int8", "uint4", False),
@@ -56,7 +59,7 @@ PAIRS = [
 
 @pytest.mark.parametrize("a_dtype,w_dtype,scaling", PAIRS)
 def test_support_matrix(a_dtype, w_dtype, scaling):
-    int_act = a_dtype == "int8"
+    int_act = a_dtype in ("int8", "int4")
     cfg = MatmulConfig(
         M=M, N=N, K=K, A_dtype=a_dtype, W_dtype=w_dtype,
         with_scaling=scaling, group_size=64 if scaling else -1,
