@@ -210,33 +210,64 @@ def make_row_parallel_matmul(config: MatmulConfig, m: int, mesh: Mesh,
                              axis: str = "tp",
                              hint: Optional[TileHint] = None,
                              interpret: Optional[bool] = None,
-                             reduce_scatter: bool = False) -> Callable:
+                             reduce_scatter: bool = False,
+                             overlap_chunks: int = 1) -> Callable:
     """fn(A_k_sharded, Wp, scales?, zeros?, bias?) -> out replicated via psum
-    (or N-sharded via psum_scatter when reduce_scatter)."""
+    (or N-sharded via psum_scatter when reduce_scatter).
+
+    overlap_chunks > 1 splits the output dim into that many column chunks,
+    each its own kernel + collective: XLA schedules the collectives
+    asynchronously, so chunk c's psum rides ICI while chunk c+1's matmul
+    occupies the MXU — the comm/compute overlap lever of
+    docs/Scaling70B.md. Chunk width must cover whole pack tiles.
+    """
     arch = get_arch()
     if interpret is None:
         interpret = arch.is_cpu
     tp = mesh.shape[axis]
-    local_cfg = _local(config, k=config.K // tp)
-    spec = KernelSpec.from_config(local_cfg, m)
-    hint = hint or default_hint(spec, arch)
-    local_fn = make_dequant_matmul(spec, hint, interpret=interpret)
-
     has_s, has_z, has_b = (config.with_scaling, config.with_zeros,
                            config.with_bias)
 
-    def wrapped(A, Wp, scales, zeros, bias):
-        out = local_fn(A, Wp, scales=scales if has_s else None,
-                       zeros=zeros if has_z else None, bias=None)
-        acc = out.astype(jnp.float32)
+    nc = overlap_chunks
+    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
+    if nc > 1:
+        tile = 128 * e if config.bit < 8 else 128
+        assert config.N % nc == 0 and (config.N // nc) % tile == 0, \
+            f"chunk width N/{nc} must cover whole pack tiles ({tile})"
+        assert not reduce_scatter, \
+            "overlap_chunks composes with psum only (chunked psum_scatter " \
+            "would permute the N shard layout)"
+        assert config.zeros_mode != "quantized", \
+            "overlap_chunks with packed qzeros not supported"
+    cw = config.N // nc           # chunk width (output columns)
+    local_cfg = _local(config, n=cw, k=config.K // tp)
+    spec = KernelSpec.from_config(local_cfg, m)
+    hint = hint or default_hint(spec, arch)
+    local_fn = make_dequant_matmul(spec, hint, interpret=interpret)
+    wcw = cw // e                 # packed words per chunk
+
+    def _reduce(acc):
         if reduce_scatter:
-            acc = jax.lax.psum_scatter(acc, axis, scatter_dimension=1,
-                                       tiled=True)
-        else:
-            acc = jax.lax.psum(acc, axis)
+            return jax.lax.psum_scatter(acc, axis, scatter_dimension=1,
+                                        tiled=True)
+        return jax.lax.psum(acc, axis)
+
+    def wrapped(A, Wp, scales, zeros, bias):
+        parts = []
+        out_dtype = None
+        for c in range(nc):
+            s_c = scales[..., c * cw:(c + 1) * cw] if has_s else None
+            z_c = zeros[..., c * cw:(c + 1) * cw] if has_z else None
+            out_c = local_fn(A, Wp[:, c * wcw:(c + 1) * wcw],
+                             scales=s_c, zeros=z_c, bias=None)
+            out_dtype = out_c.dtype
+            # reduce each chunk as soon as its kernel finishes; XLA turns
+            # these into async collectives overlapped with the next chunk
+            parts.append(_reduce(out_c.astype(jnp.float32)))
+        acc = parts[0] if nc == 1 else jnp.concatenate(parts, axis=1)
         if has_b and bias is not None:
             acc = acc + bias.astype(acc.dtype)
-        return acc.astype(out.dtype)
+        return acc.astype(out_dtype)
 
     in_specs = (P(None, axis), P(axis, None),
                 P(axis, None, None) if has_s else P(),

@@ -106,3 +106,18 @@ def test_tp_llama_layer_mesh_invariance():
     assert outs[0].shape == (1, 8, 1024)
     assert np.all(np.isfinite(outs[0]))
     assert_close(outs[0], outs[1], rtol=2e-2, atol=0.1)
+
+
+def test_row_parallel_overlap_chunks(operands):
+    """Chunked psum (comm/compute overlap lever) matches the single-psum
+    path exactly — the collectives are just split along N."""
+    ops, dw, expected = operands
+    mesh = make_mesh()
+    sharded = shard_weights_row(dw, mesh, "tp", CFG)
+    for nc in (2, 4):
+        fn = make_row_parallel_matmul(CFG, 16, mesh, "tp",
+                                      overlap_chunks=nc)
+        out = jax.jit(fn)(jnp.asarray(ops.A), sharded.qweight,
+                          scales=sharded.scales)
+        assert out.shape == (16, CFG.N)
+        assert_close(out, expected, rtol=5e-2, atol=2.0)
