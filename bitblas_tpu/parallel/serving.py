@@ -183,7 +183,8 @@ class TPQuantLlama:
 
     def __init__(self, src: QuantLlama, mesh: Mesh, axis: str = "tp",
                  interpret: Optional[bool] = None,
-                 quantized_collectives: bool = False):
+                 quantized_collectives: bool = False,
+                 overlap_chunks: int = 1):
         import dataclasses as _dc
         cfg = src.cfg
         self.mesh = mesh
@@ -209,6 +210,15 @@ class TPQuantLlama:
         arch = get_arch()
         self.interpret = arch.is_cpu if interpret is None else interpret
         self.quantized_collectives = quantized_collectives
+        # Chunked row-parallel reduces (async-collective comm/compute
+        # overlap, docs/Scaling70B.md): split o/down outputs into this many
+        # column chunks, each its own kernel + all-reduce.
+        self.overlap_chunks = overlap_chunks
+        if overlap_chunks > 1:
+            tile = 128 * 2  # uint4 pack tile (e = 2 slots/byte)
+            assert cfg.hidden_size % overlap_chunks == 0 and \
+                (cfg.hidden_size // overlap_chunks) % tile == 0, \
+                "chunk width must cover whole pack tiles"
 
         # Shard the source model's device-layout weights. q/k/v fuse into
         # one column-parallel matmul and gate/up into another (fewer,
@@ -278,12 +288,32 @@ class TPQuantLlama:
     def _kernel(self, name: str, m: int):
         key = (name, m)
         if key not in self._decode_kernels:
+            import dataclasses as _dc
             lcfg = _local_cfg(self.mcfg[name], name, self.tp)
+            if name in _ROW and self.overlap_chunks > 1:
+                lcfg = _dc.replace(lcfg, N=lcfg.N // self.overlap_chunks)
             spec = KernelSpec.from_config(lcfg, m)
             hint = default_hint(spec, get_arch())
             self._decode_kernels[key] = make_dequant_matmul(
                 spec, hint, interpret=self.interpret)
         return self._decode_kernels[key]
+
+    def _row_proj(self, kern_fn, name: str, xin, W, S, Z, axis):
+        """Row-parallel projection + all-reduce, optionally chunked over N
+        so each chunk's collective overlaps the next chunk's matmul."""
+        nc = self.overlap_chunks
+        if nc == 1:
+            part = kern_fn(xin, W, scales=S, zeros=Z)
+            return self._allreduce(part.astype(jnp.float32), axis)
+        cw = self.mcfg[name].N // nc
+        wcw = cw // 2   # packed uint4 words per chunk (e = 2)
+        parts = []
+        for c in range(nc):
+            p = kern_fn(xin, W[:, c * wcw:(c + 1) * wcw],
+                        scales=S[..., c * cw:(c + 1) * cw],
+                        zeros=Z[..., c * cw:(c + 1) * cw])
+            parts.append(self._allreduce(p.astype(jnp.float32), axis))
+        return jnp.concatenate(parts, axis=1)
 
     # -- decode (the hot path) -------------------------------------------------
     def decode_step(self, x, caches_k, caches_v, slots, lengths):
@@ -322,9 +352,8 @@ class TPQuantLlama:
                 cv = cv.at[li].set(cvl)
                 attn = decode_attention(q, ckl, cvl, slots, lengths + 1,
                                         num_heads=hl)
-                o_part = kern["o"](attn.reshape(B, hl * D), w["o"][0],
-                                   scales=w["o"][1], zeros=w["o"][2])
-                o = self._allreduce(o_part.astype(jnp.float32), axis)
+                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
+                                   *w["o"], axis)
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
@@ -334,9 +363,8 @@ class TPQuantLlama:
                 gate, up = gu[:, :il], gu[:, il:]
                 act = (jax.nn.silu(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
-                d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
-                                      zeros=w["down"][2])
-                d = self._allreduce(d_part.astype(jnp.float32), axis)
+                d = self._row_proj(kern["down"], "down", act, *w["down"],
+                                   axis)
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
 
@@ -398,9 +426,8 @@ class TPQuantLlama:
                 cv = cv.at[li].set(cvl)
                 attn = decode_attention_paged(q, ckl, cvl, tables,
                                               lengths + 1, num_heads=hl)
-                o_part = kern["o"](attn.reshape(B, hl * D), w["o"][0],
-                                   scales=w["o"][1], zeros=w["o"][2])
-                o = self._allreduce(o_part.astype(jnp.float32), axis)
+                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
+                                   *w["o"], axis)
                 x = x + o.astype(x.dtype)[:, None, :]
                 h = rmsnorm(x, mlp_norm)
                 h2 = h.reshape(B, cfg.hidden_size)
@@ -410,9 +437,8 @@ class TPQuantLlama:
                 gate, up = gu[:, :il], gu[:, il:]
                 act = (jax.nn.silu(gate.astype(jnp.float32))
                        * up.astype(jnp.float32)).astype(x.dtype)
-                d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
-                                      zeros=w["down"][2])
-                d = self._allreduce(d_part.astype(jnp.float32), axis)
+                d = self._row_proj(kern["down"], "down", act, *w["down"],
+                                   axis)
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
 
@@ -484,9 +510,9 @@ class TPQuantLlama:
                     p = jax.nn.softmax(s, axis=-1)
                     attn = jnp.einsum("bhqk,bkhd->bqhd", p,
                                       v_.astype(jnp.float32)).astype(x.dtype)
-                    o_part = kern["o"](attn.reshape(B * S, hl * D), w["o"][0],
-                                       scales=w["o"][1], zeros=w["o"][2])
-                    o = self._allreduce(o_part.astype(jnp.float32), axis)
+                    o = self._row_proj(kern["o"], "o",
+                                       attn.reshape(B * S, hl * D),
+                                       *w["o"], axis)
                     x = x + o.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                     h = rmsnorm(x, mlp_norm).reshape(B * S, cfg.hidden_size)
                     gu = kern["gateup"](h, w["gateup"][0],
@@ -496,9 +522,8 @@ class TPQuantLlama:
                     gate, up = gu[:, :il], gu[:, il:]
                     act = (jax.nn.silu(gate.astype(jnp.float32))
                            * up.astype(jnp.float32)).astype(x.dtype)
-                    d_part = kern["down"](act, w["down"][0], scales=w["down"][1],
-                                          zeros=w["down"][2])
-                    d = self._allreduce(d_part.astype(jnp.float32), axis)
+                    d = self._row_proj(kern["down"], "down", act,
+                                       *w["down"], axis)
                     x = x + d.astype(x.dtype).reshape(B, S, cfg.hidden_size)
                 # gather local-head K/V to full heads for the cache write
                 ks = [jax.lax.all_gather(k, axis, axis=1, tiled=True)

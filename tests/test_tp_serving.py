@@ -192,3 +192,42 @@ def test_quantized_collectives_close_to_exact():
     b = np.asarray(y_q, np.float32)
     rel = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
     assert rel < 0.05, rel
+
+
+def test_overlap_chunks_decode_matches_single_device():
+    """Chunked row-parallel reduces (comm/compute overlap) keep decode
+    numerics — chunk width must cover whole uint4 pack tiles (256 cols)."""
+    cfg = LlamaConfig(hidden_size=512, intermediate_size=1024, num_heads=8,
+                      num_kv_heads=4, num_layers=1, group_size=64)
+    mesh = _mesh(2)
+    src = QuantLlama(cfg, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh, overlap_chunks=2)
+
+    B, S = 4, 8
+    rng = np.random.default_rng(1)
+    ck = jnp.asarray(rng.standard_normal(
+        (cfg.num_layers, B, S, cfg.num_kv_heads, cfg.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.zeros_like(ck)
+    x = jnp.asarray(rng.standard_normal((B, 1, cfg.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 5, 0, 7], jnp.int32)
+
+    y_ref, _, _ = src.decode_step(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_tp, _, _ = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    # prefill path through the same chunked projections
+    xs = jnp.asarray(rng.standard_normal((1, S, cfg.hidden_size))
+                     .astype(np.float16))
+    pos = jnp.broadcast_to(jnp.arange(S)[None, :], (1, S))
+    pre_ref = src.make_prefill(S)(xs, pos)
+    pre_tp = tpm.make_prefill(S)(xs, pos)
+    np.testing.assert_allclose(np.asarray(pre_tp[0], np.float32),
+                               np.asarray(pre_ref[0], np.float32),
+                               rtol=2e-2, atol=2e-2)
