@@ -61,21 +61,23 @@ def repack_gptq_layer(config: MatmulConfig, qweight: np.ndarray,
         np.ascontiguousarray(np.asarray(qweight).T).view(np.int8), bits)
     intweight = intweight[:, :config.K]
     dev_w = wt.unpacked_weight_to_device(config, intweight)
+    np_ = wt.padded_n(config)
     out = {"qweight": dev_w,
-           "scales": wt.scales_to_device(np.asarray(scales).T)}
+           "scales": wt.scales_to_device(np.asarray(scales).T, n_pad=np_)}
     if qzeros is not None and config.with_zeros:
         unpack = packing.unpack_qzeros_v2 if gptq_v2 else packing.unpack_qzeros
         intz = unpack(np.asarray(qzeros), bits)[:, :config.N]  # [K/g, N]
         if config.zeros_mode == "original":
-            out["zeros"] = wt.scales_to_device(intz.astype(np.float32).T)
+            out["zeros"] = wt.scales_to_device(
+                intz.astype(np.float32).T, n_pad=np_, fill=0.0)
         elif config.zeros_mode == "rescale":
             z = intz.astype(np.float32).T * np.asarray(scales).T.astype(np.float32)
-            out["zeros"] = wt.scales_to_device(z)
+            out["zeros"] = wt.scales_to_device(z, n_pad=np_, fill=0.0)
         else:  # quantized
             qz = packing.general_compress(np.ascontiguousarray(intz), bits)
             out["zeros"] = wt.qzeros_to_device(config, qz)
     if bias is not None:
-        out["bias"] = wt.bias_to_device(np.asarray(bias))
+        out["bias"] = wt.bias_to_device(np.asarray(bias), n_pad=np_)
     return out
 
 

@@ -150,6 +150,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     if spec.bits < 8 and BN % pack_n:
         # Legalize: the N tile must cover whole pack tiles.
         BN = pack_n * max(1, BN // pack_n)
+    if spec.bits >= 8 and N % BN:
+        # Legalize 8-bit tiles: largest 128-multiple dividing N (N is
+        # always a 128 multiple via n_padded).
+        BN = 128 * max(d for d in range(1, N // 128 + 1)
+                       if N % (128 * d) == 0 and 128 * d <= BN)
+        pack_n = BN
     if N % BN or K % BK:
         raise ValueError(f"N={N} K={K} not divisible by tile ({BN},{BK})")
     g = spec.group_size if spec.group_size > 0 else K
@@ -161,13 +167,6 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
 
     mma = _mma_jdtype(hint.mma_dtype)
     int_path = spec.is_int_activation
-    # int32 accumulation only when nothing downstream needs float math: the
-    # scale/zero/telescope epilogues run in f32 (exact for |sums| < 2^24,
-    # i.e. K*2^(bits+7) < 2^24 — always true for LLM shapes).
-    has_float_epilogue = (spec.with_scaling or spec.with_zeros
-                          or (hint.decode_mode == "telescope"
-                              and spec.bits < 8
-                              and spec.family in ("uint", "int")))
     # int8-MXU telescope: xor the stored byte with 0x80 in-kernel, making
     # every shifted operand an int8-representable linear function of the
     # slots; the xor corrections cancel telescopically (c_j = 2^bits *
@@ -468,7 +467,14 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         def _finish():
             res = acc_ref[...]
             if spec.with_bias:
-                res = res + b_ref[...].astype(acc_dtype)
+                # Bias adds in f32 even on int-accumulation paths: casting
+                # a fractional bias to int32 would truncate it (reference
+                # semantics add bias in the float out dtype).
+                if acc_dtype == jnp.int32:
+                    res = res.astype(jnp.float32) + b_ref[...].astype(
+                        jnp.float32)
+                else:
+                    res = res + b_ref[...].astype(acc_dtype)
             out_ref[...] = _cast(res, kernel_out_dtype)
 
     # Inside a larger jit graph XLA caps a kernel's scoped VMEM at 16 MB by

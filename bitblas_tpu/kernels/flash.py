@@ -24,20 +24,31 @@ NEG_INF = -1e30
 
 
 def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
-                  q_start, kv_start, block_q, block_kv):
+                  q_start, kv_start, block_q, block_kv, kv_len=None):
     """One online-softmax step. q [BQ, D], k [BKV, D], v [BKV, D].
     QK/PV dots run on bf16 operands (f32 accumulate) — the MXU-native rate;
-    softmax statistics stay f32."""
+    softmax statistics stay f32. `kv_len` (set when seq_len is not a
+    multiple of block_kv) masks the padded tail KV positions: their scores
+    go to -inf AND their V rows to zero (Pallas pads out-of-range block
+    reads with unspecified values — a NaN there would otherwise poison the
+    p@V dot even at weight zero)."""
+    if kv_len is not None:
+        vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+        v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
     # Work in base 2: exp2 is the cheap VPU op (exp costs ~4x); the scale
     # folds log2(e) in, and the running max m is kept in the base-2 domain.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (
                                 scale * 1.4426950408889634)
+    kj = None
+    if causal or kv_len is not None:
+        kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (block_q, block_kv), 1)
+    if kv_len is not None:
+        s = jnp.where(kj < kv_len, s, NEG_INF)
     if causal:
         qi = q_start + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_kv), 0)
-        kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
-                                                 (block_q, block_kv), 1)
         s = jnp.where(qi >= kj, s, NEG_INF)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
@@ -102,7 +113,8 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
             m_new, l_new, acc_new = _attend_block(
                 q, k, v, m_ref[...], l_ref[...], acc_ref[...],
                 scale=scale, causal=causal, q_start=q_start,
-                kv_start=kv_start, block_q=block_q, block_kv=block_kv)
+                kv_start=kv_start, block_q=block_q, block_kv=block_kv,
+                kv_len=seq_len if seq_len % block_kv else None)
             m_ref[...] = m_new
             l_ref[...] = l_new
             acc_ref[...] = acc_new

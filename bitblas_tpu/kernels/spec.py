@@ -29,11 +29,15 @@ class KernelSpec:
     zeros_mode: str = "original"
     with_bias: bool = False
     fast_decoding: bool = False
+    # True for native dense compute (XLA dot path) — no device-layout
+    # padding applies there.
+    native: bool = False
 
     @classmethod
     def from_config(cls, config: MatmulConfig, m: int) -> "KernelSpec":
         family, bits = source_format_and_bits(config.W_dtype)
         return cls(
+            native=config.is_native_compute(),
             m=m,
             n=config.N,
             k=config.K,
@@ -62,10 +66,12 @@ class KernelSpec:
     def n_padded(self) -> int:
         """Device-layout N: rounded up to a whole 128*e pack tile so slot
         dots stay lane-aligned (misaligned fallback tiles fault on real
-        hardware). Kernels compute over n_padded and slice to n."""
-        if self.bits >= 8:
+        hardware). 8-bit dequant formats pad to a 128-lane tile for the
+        same reason; native dense compute (XLA dot) needs none. Kernels
+        compute over n_padded and slice to n."""
+        if self.native:
             return self.n
-        t = 128 * self.elems_per_word
+        t = 128 * self.elems_per_word if self.bits < 8 else 128
         return -(-self.n // t) * t
 
     @property

@@ -113,17 +113,21 @@ class Linear:
                 self.bitblas_matmul.retrieve_weight_shape(), jnp.int8)
             self.weight = None
         gdim = in_features // self.group_size
-        self.scales = (jnp.ones((gdim, 1, out_features), jnp.float32)
+        # Row tensors use the device-layout padded N — the kernel's lane
+        # blocks read that width (unpadded rows only worked by accident of
+        # interpret-mode implicit padding).
+        np_ = wt.padded_n(config)
+        self.scales = (jnp.ones((gdim, 1, np_), jnp.float32)
                        if config.with_scaling else None)
         if config.with_zeros:
             if zeros_mode == "quantized":
                 self.zeros = jnp.zeros(
-                    (gdim, 1, out_features * self.bits // 8), jnp.int8)
+                    (gdim, 1, np_ * self.bits // 8), jnp.int8)
             else:
-                self.zeros = jnp.zeros((gdim, 1, out_features), jnp.float32)
+                self.zeros = jnp.zeros((gdim, 1, np_), jnp.float32)
         else:
             self.zeros = None
-        self.bias = jnp.zeros((1, out_features), jnp.float32) if bias else None
+        self.bias = jnp.zeros((1, np_), jnp.float32) if bias else None
 
     # -- operator cache ---------------------------------------------------------
     @staticmethod
@@ -170,9 +174,10 @@ class Linear:
             self.weight = jnp.asarray(_to_numpy(weight))
         else:
             self.qweight = self.bitblas_matmul.transform_weight(weight)
+        np_ = wt.padded_n(self.bitblas_matmul.config)
         if scales is not None:
             self.scales = jnp.asarray(
-                wt.scales_to_device(_to_numpy(scales)))
+                wt.scales_to_device(_to_numpy(scales), n_pad=np_))
         if zeros is not None:
             if self.zeros_mode == "quantized":
                 self.zeros = jnp.asarray(
@@ -180,9 +185,11 @@ class Linear:
                                         _to_numpy(zeros)))
             else:
                 self.zeros = jnp.asarray(
-                    wt.scales_to_device(_to_numpy(zeros)))
+                    wt.scales_to_device(_to_numpy(zeros), n_pad=np_,
+                                        fill=0.0))
         if bias is not None:
-            self.bias = jnp.asarray(wt.bias_to_device(_to_numpy(bias)))
+            self.bias = jnp.asarray(
+                wt.bias_to_device(_to_numpy(bias), n_pad=np_))
 
     def _repack_gptq_common(self, qweight, qzeros, scales, bias,
                             intzeros: np.ndarray):
@@ -196,17 +203,20 @@ class Linear:
         intweight = intweight[:, :self.in_features]
         self.qweight = self.bitblas_matmul.transform_weight(intweight)
 
+        np_ = wt.padded_n(cfg)
         sc = _to_numpy(scales)  # [in/g, out] -> device [in/g, 1, out]
         self.scales = jnp.asarray(
-            wt.scales_to_device(np.ascontiguousarray(sc.T)))
+            wt.scales_to_device(np.ascontiguousarray(sc.T), n_pad=np_))
 
         if cfg.zeros_mode == "original":
             # intzeros is [in/g, out]; device layout wants [out, in/g] input.
             self.zeros = jnp.asarray(
-                wt.scales_to_device(intzeros.astype(np.float32).T))
+                wt.scales_to_device(intzeros.astype(np.float32).T,
+                                    n_pad=np_, fill=0.0))
         elif cfg.zeros_mode == "rescale":
             z = intzeros.astype(np.float32).T * sc.T.astype(np.float32)
-            self.zeros = jnp.asarray(wt.scales_to_device(z))
+            self.zeros = jnp.asarray(
+                wt.scales_to_device(z, n_pad=np_, fill=0.0))
         elif cfg.zeros_mode == "quantized":
             qz = packing.general_compress(
                 np.ascontiguousarray(intzeros), self.bits)
@@ -215,7 +225,8 @@ class Linear:
         else:
             raise ValueError(f"Unsupported zeros mode {cfg.zeros_mode}")
         if bias is not None:
-            self.bias = jnp.asarray(wt.bias_to_device(_to_numpy(bias)))
+            self.bias = jnp.asarray(
+                wt.bias_to_device(_to_numpy(bias), n_pad=np_))
 
     def repack_from_gptq(self, gptq_module):
         """AutoGPTQ (v1) CudaOldQuantLinear repack — qzeros carry the +1

@@ -47,10 +47,9 @@ def padded_n(config: MatmulConfig) -> int:
     otherwise fall back to lane-misaligned pack tiles whose kernels fault on
     real hardware. Padded columns hold zero fields; operators slice outputs
     back to the true N."""
-    if config.bit >= 8 or config.is_native_compute():
+    if config.is_native_compute():
         return config.N
-    e = 8 // config.bit
-    t = 128 * e
+    t = 128 * (8 // config.bit) if config.bit < 8 else 128
     return -(-config.N // t) * t
 
 
@@ -73,7 +72,11 @@ def unpacked_weight_to_device(config: MatmulConfig,
     bits = config.bit
     w_kn = np.ascontiguousarray(w_fields_nk.T)
     if bits >= 8:
-        return w_kn.astype(np.int8)
+        w_kn = w_kn.astype(np.int8)
+        np8 = padded_n(config)
+        if not config.is_native_compute() and w_kn.shape[1] < np8:
+            w_kn = np.pad(w_kn, ((0, 0), (0, np8 - w_kn.shape[1])))
+        return w_kn
     e = 8 // bits
     np_ = padded_n(config)
     if w_kn.shape[1] < np_:

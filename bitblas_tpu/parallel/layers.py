@@ -55,7 +55,11 @@ class TPQuantLlamaLayer:
                                 with_zeros=True, zeros_mode="original",
                                 group_size=cfg.group_size,
                                 out_dtype=cfg.act_dtype)
-            ops = random_reference_operands(mcfg, 1, seed=seed * 10 + hash(name) % 7)
+            # deterministic per-name seed (str hash is randomized per
+            # process — irreproducible weights otherwise)
+            import zlib
+            ops = random_reference_operands(
+                mcfg, 1, seed=seed * 10 + zlib.crc32(name.encode()) % 7)
             scales = (np.abs(rng.standard_normal((N, K // cfg.group_size)))
                       * 0.002 + 0.004).astype(np.float16)
             zeros = np.full((N, K // cfg.group_size), 8.0, np.float16)

@@ -214,11 +214,6 @@ class TPQuantLlama:
         # overlap, docs/Scaling70B.md): split o/down outputs into this many
         # column chunks, each its own kernel + all-reduce.
         self.overlap_chunks = overlap_chunks
-        if overlap_chunks > 1:
-            tile = 128 * 2  # uint4 pack tile (e = 2 slots/byte)
-            assert cfg.hidden_size % overlap_chunks == 0 and \
-                (cfg.hidden_size // overlap_chunks) % tile == 0, \
-                "chunk width must cover whole pack tiles"
 
         # Shard the source model's device-layout weights. q/k/v fuse into
         # one column-parallel matmul and gate/up into another (fewer,
@@ -240,6 +235,15 @@ class TPQuantLlama:
                 M=1, N=N, K=K, A_dtype=cfg.act_dtype, W_dtype="uint4",
                 with_scaling=True, with_zeros=True, zeros_mode="original",
                 group_size=cfg.group_size, out_dtype=cfg.act_dtype)
+        # The repack/fuse/replicate helpers in this module assume the uint4
+        # pack geometry (e = 2 slots/byte); fail loudly if that ever drifts.
+        self._e = 8 // self.mcfg["o"].bit
+        assert self._e == 2, "TPQuantLlama repack helpers assume uint4"
+        if overlap_chunks > 1:
+            tile = 128 * self._e
+            assert cfg.hidden_size % overlap_chunks == 0 and \
+                (cfg.hidden_size // overlap_chunks) % tile == 0, \
+                "chunk width must cover whole pack tiles"
         col_sh = (NamedSharding(mesh, P(None, axis)),
                   NamedSharding(mesh, P(None, None, axis)))
         row_sh = (NamedSharding(mesh, P(axis, None)),
@@ -272,7 +276,6 @@ class TPQuantLlama:
             self.norms.append((layer.attn_norm, layer.mlp_norm))
 
         self._decode_kernels: Dict[tuple, callable] = {}
-        self._prefill_cache: Dict[int, callable] = {}
 
     # -- sharding handles ------------------------------------------------------
     def kv_cache_sharding(self) -> NamedSharding:
@@ -306,7 +309,7 @@ class TPQuantLlama:
             part = kern_fn(xin, W, scales=S, zeros=Z)
             return self._allreduce(part.astype(jnp.float32), axis)
         cw = self.mcfg[name].N // nc
-        wcw = cw // 2   # packed uint4 words per chunk (e = 2)
+        wcw = cw // self._e   # packed words per chunk
         parts = []
         for c in range(nc):
             p = kern_fn(xin, W[:, c * wcw:(c + 1) * wcw],

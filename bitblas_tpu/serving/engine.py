@@ -80,6 +80,10 @@ class ContinuousBatchingEngine:
 
     # -- request lifecycle -----------------------------------------------------
     def submit(self, req: Request):
+        S = req.prompt.shape[0]
+        if S > self.max_seq_len:
+            raise ValueError(
+                f"prompt length {S} exceeds max_seq_len {self.max_seq_len}")
         self.pending.append(req)
 
     def _admit(self):
@@ -107,16 +111,24 @@ class ContinuousBatchingEngine:
         positions = np.arange(bucket)[None, :]
         hidden, ks, vs = self._prefill_fn_for(bucket)(
             jnp.asarray(x), jnp.asarray(positions))
-        # write prompt K/V into the slot (only the first S rows are valid)
-        for layer in range(self.cfg.num_layers):
-            self.caches_k = jax.lax.dynamic_update_slice(
-                self.caches_k,
-                ks[layer].astype(self.caches_k.dtype)[None, None],
-                (layer, req.slot, 0, 0, 0))
-            self.caches_v = jax.lax.dynamic_update_slice(
-                self.caches_v,
-                vs[layer].astype(self.caches_v.dtype)[None, None],
-                (layer, req.slot, 0, 0, 0))
+        # Write prompt K/V into the slot (only the first S rows are valid).
+        # One jitted update with donated caches: the per-layer eager
+        # dynamic_update_slice loop copied the ENTIRE cache 2*num_layers
+        # times per admitted request.
+        if not hasattr(self, "_cache_writer"):
+            import functools as _ft
+
+            @_ft.partial(jax.jit, donate_argnums=(0, 1))
+            def _write(ck, cv, k, v, slot):
+                k = k.astype(ck.dtype)[:, None]
+                v = v.astype(cv.dtype)[:, None]
+                ck = jax.lax.dynamic_update_slice(ck, k, (0, slot, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v, (0, slot, 0, 0, 0))
+                return ck, cv
+            self._cache_writer = _write
+        self.caches_k, self.caches_v = self._cache_writer(
+            self.caches_k, self.caches_v, jnp.stack(list(ks)),
+            jnp.stack(list(vs)), jnp.int32(req.slot))
         self.lengths[req.slot] = S
         self.last_hidden = self.last_hidden.at[req.slot].set(
             hidden[0, S - 1].astype(self.last_hidden.dtype))
@@ -331,23 +343,47 @@ class PagedContinuousBatchingEngine:
             self._prefills[bucket] = jax.jit(self.model.make_prefill(bucket))
         hidden, ks, vs = self._prefills[bucket](jnp.asarray(x),
                                                 jnp.asarray(positions))
-        # scatter the prompt K/V into the slot's (private) blocks
-        for layer in range(self.cfg.num_layers):
-            k = ks[layer][:S]
-            v = vs[layer][:S]
-            for i, b in enumerate(blocks):
-                lo = i * bs
-                if lo >= S:
-                    break
-                if not write_mask[i]:
-                    continue  # shared prefix block already holds this K/V
-                hi = min(lo + bs, S)
-                self.caches_k = self.caches_k.at[
-                    layer, b, :hi - lo].set(
-                        k[lo:hi].astype(self.caches_k.dtype))
-                self.caches_v = self.caches_v.at[
-                    layer, b, :hi - lo].set(
-                        v[lo:hi].astype(self.caches_v.dtype))
+        # Scatter the prompt K/V into the slot's (private) blocks with ONE
+        # jitted donated update (the eager per-layer-per-block .at[].set
+        # loop copied the entire block pool L*nb times per request). Rows
+        # past S in the tail block hold prompt-padding K/V; decode masks by
+        # length, and appends overwrite them in place.
+        if not hasattr(self, "_paged_writer"):
+            import functools as _ft
+
+            @_ft.partial(jax.jit, donate_argnums=(0, 1),
+                         static_argnames=("nb",))
+            def _pwrite(ck, cv, k, v, blocks_a, mask_a, nb):
+                L, bsz = ck.shape[0], ck.shape[2]
+                pad = nb * bsz - k.shape[1]
+                if pad > 0:
+                    pw = ((0, 0), (0, pad), (0, 0), (0, 0))
+                    k = jnp.pad(k, pw)
+                    v = jnp.pad(v, pw)
+                k = k[:, :nb * bsz].reshape(L, nb, bsz, *k.shape[2:])
+                v = v[:, :nb * bsz].reshape(L, nb, bsz, *v.shape[2:])
+
+                def body(i, carry):
+                    ck, cv = carry
+
+                    def upd(c, t):
+                        return jax.lax.dynamic_update_slice(
+                            c, t[:, i][:, None].astype(c.dtype),
+                            (0, blocks_a[i], 0, 0, 0))
+                    return jax.lax.cond(
+                        mask_a[i],
+                        lambda a: (upd(a[0], k), upd(a[1], v)),
+                        lambda a: a, (ck, cv))
+                return jax.lax.fori_loop(0, nb, body, (ck, cv))
+            self._paged_writer = _pwrite
+
+        nb = len(blocks)
+        mask_np = np.asarray([bool(write_mask[i]) and i * bs < S
+                              for i in range(nb)])
+        self.caches_k, self.caches_v = self._paged_writer(
+            self.caches_k, self.caches_v, jnp.stack(list(ks)),
+            jnp.stack(list(vs)), jnp.asarray(blocks, jnp.int32),
+            jnp.asarray(mask_np), nb=nb)
         self.lengths[req.slot] = S
         self.last_hidden = self.last_hidden.at[req.slot].set(
             hidden[0, S - 1].astype(self.last_hidden.dtype))

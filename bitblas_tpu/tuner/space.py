@@ -129,10 +129,13 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                       for b in (8, 16, 32, 64, 128, 256, 512, 1024)
                       if b <= 2 * m_pad})
 
-    lane_base = 128 * e if (N % (128 * e) == 0 and 128 * e <= N) else e * 128
+    # N here is spec.n_padded: always a whole number of 128*e pack tiles
+    # (128 lanes for 8-bit dequant formats), so lane-aligned BN always
+    # exist; [N] is the single-tile fallback for native dense specs whose
+    # N has no aligned divisor (the dense kernel is one XLA dot anyway).
+    lane_base = 128 * e if spec.bits < 8 else 128
     bn_opts = _divisors_multiple_of(N, lane_base, lane_base,
-                                    min(N, 4096)) or \
-        _divisors_multiple_of(N, e, e, N)
+                                    min(N, 4096)) or [N]
 
     # BK: divisor of K, aligned to 128 sublanes, and group-compatible.
     bk_opts = []

@@ -276,3 +276,31 @@ def test_odd_n_padding(n):
     run_case(cfg2, 8, hint=TileHint(block_m=8, block_n=256, block_k=128,
                                     mma_dtype="float32", precision="highest",
                                     decode_mode="telescope"))
+
+
+class TestIntAccumBias:
+
+    def test_int2_int8_with_fractional_bias(self):
+        """int32-accumulation path must add the (float) bias in f32 —
+        casting it to int32 would truncate fractional values."""
+        cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="int8", W_dtype="int2",
+                           accum_dtype="int32", out_dtype="float32",
+                           with_bias=True)
+        hint = TileHint(block_m=64, block_n=256, block_k=128,
+                        mma_dtype="int8")
+        run_case(cfg, 16, hint=hint, rtol=0, atol=1e-3)
+
+
+class TestOddN8Bit:
+
+    @pytest.mark.parametrize("wdtype", ["int8", "e4m3_float8"])
+    def test_8bit_weights_odd_n(self, wdtype):
+        """8-bit dequant formats pad N to a 128-lane tile (misaligned lane
+        blocks fault on real hardware)."""
+        cfg = MatmulConfig(M=16, N=272, K=256, A_dtype="float16",
+                           W_dtype=wdtype, out_dtype="float16")
+        spec = KernelSpec.from_config(cfg, 16)
+        assert spec.n_padded == 384
+        hint = TileHint(block_m=64, block_n=128, block_k=128,
+                        mma_dtype="float16", precision="highest")
+        run_case(cfg, 16)

@@ -1,6 +1,7 @@
 """FlashAtten vs XLA softmax oracle (reference
 testing/python/tilelang/test_tilelang_flash_atten.py)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -41,3 +42,32 @@ def test_uneven_blocks():
     cfg = FlashAttenConfig(batch=1, heads=2, seq_len=384, dim=64,
                            is_causal=True)
     run_case(cfg)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ragged_seq_len(causal):
+    """seq_len not divisible by the block: padded tail KV positions must be
+    masked (scores -inf, V rows zeroed), not summed into the softmax."""
+    from bitblas_tpu.kernels.flash import make_flash_attention
+    import numpy as _np
+    B, H, S, D = 1, 2, 160, 64
+    rng = _np.random.default_rng(0)
+    Q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(_np.float16))
+    K = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(_np.float16))
+    V = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(_np.float16))
+    fn = make_flash_attention(batch=B, heads=H, seq_len=S, dim=D,
+                              causal=causal, block_q=128, block_kv=128,
+                              interpret=True)
+    got = fn(Q, K, V)
+    # oracle
+    import math
+    q, k, v = (t.astype(jnp.float32) for t in (Q, K, V))
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(D)
+    if causal:
+        qi = jnp.arange(S)[:, None]
+        kj = jnp.arange(S)[None, :]
+        s = jnp.where(qi >= kj, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
+    assert_close(got, ref.astype(got.dtype), rtol=2e-2, atol=2e-2)

@@ -143,3 +143,34 @@ def test_repack_accepts_torch_tensors():
     W_deq = (intweight.astype(np.float32) - z_full) * s_full
     expected = A.astype(np.float32) @ W_deq.T
     assert_close(out, expected, rtol=2e-2, atol=0.5)
+
+
+def test_linear_odd_out_features_padded_rows():
+    """out_features not a multiple of the pack tile: buffers and loaded
+    scales/zeros/bias must carry the device-layout padded N."""
+    import numpy as np
+    from bitblas_tpu import Linear
+    from bitblas_tpu.ops.reference import matmul_reference
+    lin = Linear(in_features=256, out_features=272, A_dtype="float16",
+                 W_dtype="uint4", with_scaling=True, with_zeros=True,
+                 zeros_mode="original", group_size=64, bias=True,
+                 enable_tuning=False)
+    assert lin.scales.shape[-1] == 512  # padded to the 256-wide pack tile
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 16, (272, 256)).astype(np.int8)
+    scales = (np.abs(rng.standard_normal((272, 4))) * 0.1 + 0.1
+              ).astype(np.float16)
+    zeros = rng.integers(0, 16, (272, 4)).astype(np.float16)
+    bb = rng.standard_normal(272).astype(np.float16)
+    lin.load_and_transform_weight(codes, scales=scales, zeros=zeros, bias=bb)
+    A = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float16))
+    out = lin(A)
+    assert out.shape == (8, 272)
+    import bitblas_tpu.quantization.packing as packing
+    qref = packing.general_compress(codes.astype(np.uint8), 4)
+    cfg = lin.bitblas_matmul.config
+    ref = matmul_reference(cfg, A, jnp.asarray(qref), jnp.asarray(scales),
+                           jnp.asarray(zeros), bias=jnp.asarray(bb))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=5e-2, atol=0.5)
