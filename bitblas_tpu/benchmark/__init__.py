@@ -63,6 +63,13 @@ class OperatorBenchmarkBase:
                     logger.warning("benchmark %s failed: %s", name,
                                    str(ex)[:200])
                 records.append(rec)
+                # Stream progress: remote-tunnel runs are often killed by
+                # timeouts; per-entry lines salvage partial results.
+                lat = rec.latency_tuned or rec.latency_default
+                import sys as _sys
+                print(f"[bench] {name}: "
+                      f"{'%.1fus' % (lat * 1e6) if lat else 'FAIL'}",
+                      file=_sys.stderr, flush=True)
             self.results[set_name] = records
         return self.results
 

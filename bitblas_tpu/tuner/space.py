@@ -188,7 +188,17 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
 
 
 def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
-    """Best analytic hint without measuring (the 'default schedule')."""
+    """Best analytic hint without measuring (the 'default schedule').
+
+    The roofline model ties across many GEMV tilings (ingest-bound), so the
+    small-M sub-byte cases apply *measured* v5e preferences on top of the
+    analytic ranking (scripts/tpu_gemv_sweep2.py, tpu_gemm256_sweep.py —
+    2.3x over the raw analytic pick at llama GEMV shapes):
+      * W_u{1,2,4} x float act, m<=16: f32 MXU operands (int->f32 casts are
+        the cheap ones; f32 ingests at the bf16 elem rate), whole-K blocks,
+        narrow bn, telescope decode.
+      * int act sub-byte (tele_i8), m<=16: int8 MXU, bn~2048, bk~1024.
+    """
     hints = enumerate_hints(spec, arch)
     if not hints:
         raise ValueError(f"no legal tile config for {spec}")
@@ -198,4 +208,21 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         for h in hints:
             if h.mma_dtype == "float32":
                 return h
+
+    def prefer(pred, pool):
+        cand = [h for h in pool if pred(h)]
+        return cand or pool
+
+    if spec.bits < 8 and spec.family in ("uint", "int") and spec.m <= 16:
+        pool = hints
+        pool = prefer(lambda h: h.decode_mode == "telescope", pool)
+        if spec.is_int_activation:
+            pool = prefer(lambda h: h.mma_dtype == "int8", pool)
+            pool = prefer(lambda h: h.block_n >= 2048, pool)
+            pool = prefer(lambda h: h.block_k >= 1024, pool)
+        else:
+            pool = prefer(lambda h: h.mma_dtype == "float32", pool)
+            pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
+            pool = prefer(lambda h: h.block_n <= 512, pool)
+        return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
     return hints[0]

@@ -45,7 +45,12 @@ def main():
     ap.add_argument("--m", type=int, nargs="*", default=[1, 4096])
     ap.add_argument("--sets", nargs="*",
                     default=[n for n, _ in DTYPE_SETS])
+    ap.add_argument("--shapes", type=int, nargs="*", default=None,
+                    help="indices into the LLM shape table (slice long "
+                         "remote-tunnel runs)")
     args = ap.parse_args()
+    shapes = (LLM_SHAPES if args.shapes is None
+              else [LLM_SHAPES[i] for i in args.shapes])
 
     bench = MatmulBenchmark()
     for set_name, kw in DTYPE_SETS:
@@ -53,7 +58,7 @@ def main():
             continue
         entries = []
         for m in args.m:
-            for n, k in LLM_SHAPES:
+            for n, k in shapes:
                 cfg = MatmulConfig(M=m, N=n, K=k, **kw)
                 entries.append((
                     f"{set_name}_m{m}_n{n}_k{k}", cfg,
