@@ -70,7 +70,8 @@ def main():
             # old 1024x1024x256 at m=256 (scripts/tpu_gemm256_sweep.py)
             return TileHint(block_m=256, block_n=512, block_k=4096,
                             mma_dtype="bfloat16", decode_mode="telescope")
-        return TileHint(block_m=1024, block_n=1024, block_k=256,
+        # tall blocks, small bk: 682us measured vs 775us for 1024x1024x256
+        return TileHint(block_m=1024, block_n=2048, block_k=512,
                         mma_dtype="bfloat16", decode_mode="telescope")
 
     configs = []

@@ -225,4 +225,20 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
             pool = prefer(lambda h: h.block_n <= 512, pool)
         return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
+    if (spec.bits < 8 and spec.family in ("uint", "int")
+            and not spec.is_int_activation):
+        pool = prefer(lambda h: h.decode_mode == "telescope", hints)
+        pool = prefer(lambda h: h.mma_dtype == "bfloat16", pool)
+        if spec.m <= 256:
+            # compute-bound but decode-sensitive: whole-K narrow tiles
+            # measured ~97% vs ~80% for the analytic pick (tpu_gemm256_sweep)
+            pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
+            pool = prefer(lambda h: h.block_n <= 1024, pool)
+        else:
+            # large-M: tall blocks amortize W re-streams; small bk keeps the
+            # decoded working set in VMEM
+            pool = prefer(lambda h: h.block_m >= 512, pool)
+            pool = prefer(lambda h: h.block_k <= 512, pool)
+            pool = prefer(lambda h: 1024 <= h.block_n <= 2048, pool)
+        return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
     return hints[0]

@@ -31,7 +31,7 @@ I2 = dict(A_dtype="int8", W_dtype="int2", accum_dtype="int32",
 for m in (1, 16):
     CURATED.append((U4, m, H(256, 512, 4096, "float32", "telescope")))
 CURATED.append((U4, 256, H(256, 512, 4096, "bfloat16", "telescope")))
-CURATED.append((U4, 4096, H(1024, 1024, 256, "bfloat16", "telescope")))
+CURATED.append((U4, 4096, H(1024, 2048, 512, "bfloat16", "telescope")))
 for m in (1, 16):
     CURATED.append((I2, m, H(256, 2048, 1024, "int8", "telescope")))
 CURATED.append((I2, 256, H(256, 4096, 512, "int8", "telescope")))
