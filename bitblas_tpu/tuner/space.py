@@ -226,6 +226,23 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.block_n <= 512, pool)
         return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
     if (spec.bits < 8 and spec.family in ("uint", "int")
+            and spec.is_int_activation):
+        # int8-MXU sub-byte GEMM (tpu_gemv_sweep2 / tpu_gemm256_sweep):
+        # m<=256 wide-N telescope; m>256 tall mask tiles (fewer W streams)
+        if spec.m <= 256:
+            pool = prefer(lambda h: h.decode_mode == "telescope", hints)
+            pool = prefer(lambda h: h.mma_dtype == "int8", pool)
+            pool = prefer(lambda h: h.block_n >= 4096, pool)
+            pool = prefer(lambda h: h.block_k <= 512, pool)
+        else:
+            pool = prefer(lambda h: h.decode_mode == "mask", hints)
+            pool = prefer(lambda h: h.mma_dtype == "int8", pool)
+            pool = prefer(lambda h: h.block_m >= 1024, pool)
+            pool = prefer(lambda h: h.block_n <= 1024, pool)
+            pool = prefer(lambda h: 1024 <= h.block_k <= 2048, pool)
+            pool = prefer(lambda h: h.block_k == 1024, pool)
+        return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
+    if (spec.bits < 8 and spec.family in ("uint", "int")
             and not spec.is_int_activation):
         pool = prefer(lambda h: h.decode_mode == "telescope", hints)
         pool = prefer(lambda h: h.mma_dtype == "bfloat16", pool)
