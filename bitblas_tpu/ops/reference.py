@@ -42,6 +42,14 @@ def dequantize_weight(
     family, bits = config.source_format, config.bit
     N, K = config.N, config.K
     adt = as_jax_dtype(config.A_dtype)
+    # Integer activations with scaling (W4A8-style): the dequantized weight
+    # is a float tensor; casting it to the int activation dtype would
+    # truncate every scaled value to 0. Decode to f32 instead — the fused
+    # kernel dots raw integer fields and applies scales in its f32
+    # epilogue, which is exactly this contraction.
+    if jnp.issubdtype(jnp.dtype(adt), jnp.integer) and (
+            config.with_scaling or config.with_zeros):
+        adt = jnp.float32
     g = config.effective_group_size
 
     if bits < 8:
@@ -83,6 +91,10 @@ def matmul_dense_reference(config: MatmulConfig, A: jnp.ndarray,
     """C = A @ W^T with MXU-style accumulation. W_dense_nk is [N, K]."""
     int_path = config.A_dtype in ("int8", "uint8", "int4", "uint4") and \
         config.source_format in ("int", "uint")
+    if int_path and jnp.issubdtype(W_dense_nk.dtype, jnp.floating):
+        # scaled-dequant weights (W4A8): float contraction of int8 act
+        A = A.astype(W_dense_nk.dtype)
+        int_path = False
     acc_dtype = jnp.int32 if int_path else jnp.float32
     if "int4" in str(A.dtype) or "int4" in str(W_dense_nk.dtype):
         # XLA's CPU backend rejects dots over ml_dtypes int4/uint4 operands;

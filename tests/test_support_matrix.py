@@ -46,6 +46,10 @@ PAIRS = [
     # int4 activations (reference INT4xINT4 tensor-core path; int8-MXU
     # emulation on TPU — exact, both operands fit int8)
     ("int4", "int4", False),
+    # int8 activations with grouped scales (W4A8/W2A8 GPTQ-style serving;
+    # kernel dots raw int fields and scales in the f32 epilogue — exact)
+    ("int8", "uint4", True),
+    ("int8", "uint2", True),
     # int8 activations (BitNet-style)
     ("int8", "int8", False),
     ("int8", "uint4", False),
