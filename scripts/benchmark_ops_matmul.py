@@ -31,6 +31,11 @@ DTYPE_SETS = [
                         with_scaling=True, group_size=128)),
     ("int8xint2", dict(A_dtype="int8", W_dtype="int2", accum_dtype="int32",
                        out_dtype="float32")),
+    # W4A8 (LiquidGEMM-style serving scheme): int8 activations x uint4
+    # weights with grouped scales, exact via raw int dots + f32 epilogue
+    ("int8xuint4g", dict(A_dtype="int8", W_dtype="uint4",
+                         with_scaling=True, group_size=128,
+                         out_dtype="float32")),
 ]
 
 
