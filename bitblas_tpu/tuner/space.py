@@ -235,12 +235,20 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.block_n >= 4096, pool)
             pool = prefer(lambda h: h.block_k <= 512, pool)
         else:
-            pool = prefer(lambda h: h.decode_mode == "mask", hints)
+            # int2 mask measured best (83%); int4 mask CRASHES this
+            # libtpu's Mosaic at large-M int8 tiles (HTTP 500 compile
+            # helper, 2026-08) — telescope is both safe and fast there
+            # (542us vs the bf16 path's 798us at 4096^3).
+            dm = "mask" if spec.bits == 2 else "telescope"
+            pool = prefer(lambda h: h.decode_mode == dm, hints)
             pool = prefer(lambda h: h.mma_dtype == "int8", pool)
             pool = prefer(lambda h: h.block_m >= 1024, pool)
-            pool = prefer(lambda h: h.block_n <= 1024, pool)
-            pool = prefer(lambda h: 1024 <= h.block_k <= 2048, pool)
-            pool = prefer(lambda h: h.block_k == 1024, pool)
+            if spec.bits == 2:   # measured winner 1024x1024x1024 (83%)
+                pool = prefer(lambda h: h.block_n <= 1024, pool)
+                pool = prefer(lambda h: h.block_k == 1024, pool)
+            else:                # u4 tele: 1024x2048x512 family (542us)
+                pool = prefer(lambda h: h.block_n <= 2048, pool)
+                pool = prefer(lambda h: h.block_k <= 512, pool)
         return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
     if (spec.bits < 8 and spec.family in ("uint", "int")
             and not spec.is_int_activation):
