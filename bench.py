@@ -43,36 +43,14 @@ def main():
     N = K = 4096
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
 
-    # Curated hints (from on-chip sweeps; see scripts/tpu_gemv_sweep2.py,
-    # scripts/tpu_gemv_bisect.py — measured with the min-slope timer).
+    # Curated hints: single source of truth in tuner/curated.py (the
+    # sweep-measured winners; scripts/seed_curated_hints.py installs the
+    # same table into the operator DB).
+    from bitblas_tpu.tuner.curated import curated_hint
+
     def curated(m, w_dtype):
-        if w_dtype == "int2":
-            if m <= 16:
-                # int8-MXU telescope: ingestion floor ~9us beats bf16's ~11us
-                return TileHint(block_m=256, block_n=2048, block_k=1024,
-                                mma_dtype="int8", decode_mode="telescope")
-            if m <= 256:
-                return TileHint(block_m=256, block_n=4096, block_k=512,
-                                mma_dtype="int8", decode_mode="telescope")
-            # compute-bound W2A8 wants the int8 MXU (2x bf16 rate); bm=1024
-            # halves W re-streams vs bm=512 (418us vs 473us at m=4096)
-            return TileHint(block_m=1024, block_n=1024, block_k=1024,
-                            mma_dtype="int8", decode_mode="mask")
-        if m <= 16:
-            # f32 operands: int32->f32 casts are cheaper than ->bf16 and the
-            # MXU ingests f32 at the bf16 element rate at small M. (The
-            # batched-group dot would shave the per-group dot overhead but
-            # crashes this libtpu's Mosaic — see tuner/space.py.)
-            return TileHint(block_m=256, block_n=512, block_k=4096,
-                            mma_dtype="float32", decode_mode="telescope")
-        if m <= 256:
-            # whole-K block: one fat W DMA per N tile; ~43us vs 56us for the
-            # old 1024x1024x256 at m=256 (scripts/tpu_gemm256_sweep.py)
-            return TileHint(block_m=256, block_n=512, block_k=4096,
-                            mma_dtype="bfloat16", decode_mode="telescope")
-        # tall blocks, small bk: 682us measured vs 775us for 1024x1024x256
-        return TileHint(block_m=1024, block_n=2048, block_k=512,
-                        mma_dtype="bfloat16", decode_mode="telescope")
+        a_dtype = "int8" if w_dtype == "int2" else "float16"
+        return curated_hint(w_dtype, a_dtype, m)
 
     configs = []
     for m in (1, 16, 256, 4096):

@@ -7,6 +7,7 @@ serialization, and a text table report.
 from __future__ import annotations
 
 import json
+import sys
 import time
 from dataclasses import asdict, dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -66,10 +67,9 @@ class OperatorBenchmarkBase:
                 # Stream progress: remote-tunnel runs are often killed by
                 # timeouts; per-entry lines salvage partial results.
                 lat = rec.latency_tuned or rec.latency_default
-                import sys as _sys
                 print(f"[bench] {name}: "
                       f"{'%.1fus' % (lat * 1e6) if lat else 'FAIL'}",
-                      file=_sys.stderr, flush=True)
+                      file=sys.stderr, flush=True)
             self.results[set_name] = records
         return self.results
 

@@ -38,7 +38,9 @@ def dequantize_weight(
     qzeros: Optional[jnp.ndarray] = None,
     lut: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Decode a reference-layout packed weight to dense [N, K] in A_dtype."""
+    """Decode a reference-layout packed weight to dense [N, K] in A_dtype
+    (float32 when activations are integer and scaling/zeros apply — the
+    dequantized weight is a float tensor there)."""
     family, bits = config.source_format, config.bit
     N, K = config.N, config.K
     adt = as_jax_dtype(config.A_dtype)

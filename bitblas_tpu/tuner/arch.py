@@ -44,7 +44,9 @@ TPU_V4 = TileDevice("tpu_v4", 1.23e12, 275e12, 275e12, 275e12 / 4, 4.3e12,
 # reproducibly measure ~205 TF/s on the attached part (670us at 2*4096^3
 # flops, 3 runs) — the envelope uses the measured ceiling so "100%" stays
 # honest (a kernel beating the model means the model was low, CLAUDE.md).
-TPU_V5E = TileDevice("tpu_v5e", 819e9, 208e12, 394e12, 208e12 / 4, 3.2e12,
+# int8 keeps the hardware 2x ratio so int-vs-float roofline comparisons
+# stay consistent.
+TPU_V5E = TileDevice("tpu_v5e", 819e9, 205e12, 410e12, 205e12 / 4, 3.2e12,
                      64 * 2**20, 16 * 2**30, 1.52e12, 1.85e12)
 TPU_V5P = TileDevice("tpu_v5p", 2.77e12, 459e12, 918e12, 459e12 / 4, 7.4e12,
                      64 * 2**20, 95 * 2**30, 3.5e12, 4.3e12)

@@ -1,0 +1,43 @@
+"""Measured curated hints for the v5e headline configs.
+
+Single source of truth consumed by bench.py, scripts/seed_curated_hints.py
+and anything else that wants the sweep-measured winners without running the
+tuner (sweeps: scripts/tpu_gemv_sweep2.py, tpu_gemm256_sweep.py,
+tpu_shape_probe.py — all timed with utils.timing.measure_kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .hint import TileHint
+
+
+def curated_hint(w_dtype: str, a_dtype: str, m: int) -> Optional[TileHint]:
+    """Measured-best hint for a headline (W, A, m) regime, else None."""
+    if w_dtype == "int2" and a_dtype == "int8":
+        if m <= 16:
+            # int8-MXU telescope: ingestion floor ~9us beats bf16's ~11us
+            return TileHint(block_m=256, block_n=2048, block_k=1024,
+                            mma_dtype="int8", decode_mode="telescope")
+        if m <= 256:
+            return TileHint(block_m=256, block_n=4096, block_k=512,
+                            mma_dtype="int8", decode_mode="telescope")
+        # compute-bound W2A8 wants the int8 MXU; bm=1024 halves W
+        # re-streams vs bm=512 (418us vs 473us at 4096^3)
+        return TileHint(block_m=1024, block_n=1024, block_k=1024,
+                        mma_dtype="int8", decode_mode="mask")
+    if w_dtype == "uint4" and a_dtype in ("float16", "bfloat16"):
+        if m <= 16:
+            # f32 operands: int32->f32 casts are cheaper than ->bf16 and
+            # the MXU ingests f32 at the bf16 element rate at small M
+            return TileHint(block_m=256, block_n=512, block_k=4096,
+                            mma_dtype="float32", decode_mode="telescope")
+        if m <= 256:
+            # whole-K block: one fat W DMA per N tile (~43us vs 56us)
+            return TileHint(block_m=256, block_n=512, block_k=4096,
+                            mma_dtype="bfloat16", decode_mode="telescope")
+        # tall blocks, small bk: 670-683us vs 775us for 1024x1024x256
+        return TileHint(block_m=1024, block_n=2048, block_k=512,
+                        mma_dtype="bfloat16", decode_mode="telescope")
+    return None

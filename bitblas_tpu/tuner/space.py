@@ -172,6 +172,14 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
             for bk in bk_opts:
                 for mma in mma_opts:
                     for dm in decode_opts:
+                        # uint4 mask decode on the int8 MXU crashes this
+                        # libtpu's Mosaic (remote_compile HTTP 500,
+                        # 2026-08) — hard-gate like batched below so the
+                        # tuner never wastes candidates on it. int2 mask
+                        # is fine; telescope covers u4 int paths.
+                        if (dm == "mask" and mma == "int8"
+                                and spec.bits == 4 and not arch.is_cpu):
+                            continue
                         gms = ("loop",)
                         if batched_ok and bk >= 4 * g:
                             gms = ("loop", "batched")
@@ -213,6 +221,13 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         cand = [h for h in pool if pred(h)]
         return cand or pool
 
+    # The measured preferences below come from v5e sweeps; apply them only
+    # on that generation (and on cpu_interpret so tests exercise the same
+    # hint paths the chip runs). Other generations keep the pure analytic
+    # ranking until they have their own measurements.
+    if arch.name not in ("tpu_v5e", "cpu_interpret"):
+        return hints[0]
+
     if spec.bits < 8 and spec.family in ("uint", "int") and spec.m <= 16:
         pool = hints
         pool = prefer(lambda h: h.decode_mode == "telescope", pool)
@@ -224,7 +239,7 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.mma_dtype == "float32", pool)
             pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
             pool = prefer(lambda h: h.block_n <= 512, pool)
-        return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
+        return pool[0]   # prefer() preserves the roofline-sorted order
     if (spec.bits < 8 and spec.family in ("uint", "int")
             and spec.is_int_activation):
         # int8-MXU sub-byte GEMM (tpu_gemv_sweep2 / tpu_gemm256_sweep):
@@ -249,7 +264,7 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             else:                # u4 tele: 1024x2048x512 family (542us)
                 pool = prefer(lambda h: h.block_n <= 2048, pool)
                 pool = prefer(lambda h: h.block_k <= 512, pool)
-        return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
+        return pool[0]   # prefer() preserves the roofline-sorted order
     if (spec.bits < 8 and spec.family in ("uint", "int")
             and not spec.is_int_activation):
         pool = prefer(lambda h: h.decode_mode == "telescope", hints)
@@ -265,5 +280,5 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.block_m >= 512, pool)
             pool = prefer(lambda h: h.block_k <= 512, pool)
             pool = prefer(lambda h: 1024 <= h.block_n <= 2048, pool)
-        return min(pool, key=lambda h: roofline_seconds(spec, h, arch))
+        return pool[0]   # prefer() preserves the roofline-sorted order
     return hints[0]

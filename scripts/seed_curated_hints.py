@@ -14,28 +14,21 @@ jax.config.update("jax_platforms", "cpu")  # host-side: never touch the chip
 
 from bitblas_tpu import Matmul, MatmulConfig  # noqa: E402
 from bitblas_tpu.cache import global_operator_cache  # noqa: E402
-from bitblas_tpu.tuner import TileHint  # noqa: E402
 
 N = K = 4096
 TARGET = sys.argv[1] if len(sys.argv) > 1 else "tpu_v5e"
 
-H = lambda bm, bn, bk, mma, dm: TileHint(block_m=bm, block_n=bn, block_k=bk,
-                                         mma_dtype=mma, decode_mode=dm)
+from bitblas_tpu.tuner.curated import curated_hint  # noqa: E402
 
-# (config-kwargs, m, measured-best hint)
-CURATED = []
+# (config-kwargs, m) — hints come from the shared curated table.
 U4 = dict(A_dtype="float16", W_dtype="uint4", with_scaling=True,
           group_size=128, fast_decoding=False, out_dtype="float16")
 I2 = dict(A_dtype="int8", W_dtype="int2", accum_dtype="int32",
           out_dtype="float32")
-for m in (1, 16):
-    CURATED.append((U4, m, H(256, 512, 4096, "float32", "telescope")))
-CURATED.append((U4, 256, H(256, 512, 4096, "bfloat16", "telescope")))
-CURATED.append((U4, 4096, H(1024, 2048, 512, "bfloat16", "telescope")))
-for m in (1, 16):
-    CURATED.append((I2, m, H(256, 2048, 1024, "int8", "telescope")))
-CURATED.append((I2, 256, H(256, 4096, 512, "int8", "telescope")))
-CURATED.append((I2, 4096, H(1024, 1024, 1024, "int8", "mask")))
+CURATED = [(U4, m, curated_hint("uint4", "float16", m))
+           for m in (1, 16, 256, 4096)] + \
+          [(I2, m, curated_hint("int2", "int8", m))
+           for m in (1, 16, 256, 4096)]
 
 
 def main():
