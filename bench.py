@@ -87,6 +87,15 @@ def main():
             hints.insert(0, cached_op.hint_for(m))
         if tune:
             hints = enumerate_hints(spec, arch)[:6] + [safe]
+        # The DB is seeded from the same curated table — dedup so identical
+        # hints are not measured twice (each costs ~20s in a slow window).
+        seen, uniq = set(), []
+        for h in hints:
+            key = h.short_name() + h.decode_mode + h.group_mode
+            if key not in seen:
+                seen.add(key)
+                uniq.append(h)
+        hints = uniq
 
         wbits = cfg.bit
         abytes = 2 if cfg.A_dtype == "float16" else 1
