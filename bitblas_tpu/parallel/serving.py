@@ -296,7 +296,20 @@ class TPQuantLlama:
             if name in _ROW and self.overlap_chunks > 1:
                 lcfg = _dc.replace(lcfg, N=lcfg.N // self.overlap_chunks)
             spec = KernelSpec.from_config(lcfg, m)
-            hint = default_hint(spec, get_arch())
+            hint = None
+            # Tuned hints first: the operator DB may hold measured winners
+            # for these TP-local shapes (scripts/seed_curated_hints.py or
+            # any prior hardware_aware_finetune).
+            try:
+                from ..cache import global_operator_cache
+                cached = global_operator_cache.get(
+                    _dc.replace(lcfg, M=m))
+                if cached is not None:
+                    hint = cached.hint_for(m)
+            except Exception:  # noqa: BLE001 - cache is best-effort
+                pass
+            if hint is None:
+                hint = default_hint(spec, get_arch())
             self._decode_kernels[key] = make_dequant_matmul(
                 spec, hint, interpret=self.interpret)
         return self._decode_kernels[key]
