@@ -149,4 +149,12 @@ class Operator:
         if self.interpret:
             return roofline_seconds(spec, hint, self.arch)
         args = self._example_args(spec, hint)
-        return measure_kernel(fn, args, inject=self._tune_inject_index())
+        # Native dense compute is a transparent XLA dot: without a full
+        # output dependency XLA slices the dot down to the consumed element
+        # and the "measurement" collapses to dispatch overhead (int8 dense
+        # read 2.2us where the MXU floor is 335us). Pallas calls are opaque,
+        # so the cheap single-element dependency stays for those.
+        full_dep = bool(getattr(self.config, "is_native_compute",
+                                lambda: False)())
+        return measure_kernel(fn, args, inject=self._tune_inject_index(),
+                              full_output_dep=full_dep)
