@@ -196,7 +196,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         kernel_out_dtype = mma if mma in (jnp.bfloat16, jnp.float32) else jnp.float32
     precision = _PRECISION[hint.precision]
     quantized_zeros = spec.with_zeros and spec.zeros_mode == "quantized"
-    is_nf_take = spec.family == "nf" and hint.lut_mode == "take"
+    # NF4 LUT strategy: the dynamic gather ("take") only lowers in
+    # interpret mode — Mosaic rejects the 1D-table gather ("Only 2D gather
+    # is supported", 2026-08) — so real kernels always use the branchless
+    # select mux.
+    is_nf_take = (spec.family == "nf" and hint.lut_mode == "take"
+                  and interpret)
 
     # Output-column segments within one [BM, BN] block: (col_start, width,
     # slot, packed_word_start). For 8-bit formats there is a single segment.
