@@ -233,8 +233,11 @@ def decode_f8e5m2_to_f32(byte: jnp.ndarray) -> jnp.ndarray:
     normal = _bitcast(
         (s << jnp.uint32(31)) | ((e5 + jnp.uint32(112)) << jnp.uint32(23))
         | (m << jnp.uint32(21)), jnp.float32)
-    sub = (jnp.float32(1.0) - 2.0 * s.astype(jnp.float32)) \
-        * m.astype(jnp.float32) * jnp.float32(2.0**-16)
+    # Mosaic has no uint32->f32 cast — route the tiny subnormal factors
+    # through int32 (values are 0..3, exact either way).
+    s_f = s.astype(jnp.int32).astype(jnp.float32)
+    m_f = m.astype(jnp.int32).astype(jnp.float32)
+    sub = (jnp.float32(1.0) - 2.0 * s_f) * m_f * jnp.float32(2.0**-16)
     return jnp.where(e5 == 0, sub, normal)
 
 
