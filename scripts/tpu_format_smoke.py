@@ -1,0 +1,45 @@
+"""On-chip correctness smoke across every weight format (default hints).
+
+Interpret-mode tests cannot catch Mosaic lowering gaps (this sweep found
+the NF4 gather and e5m2 uint-cast hardware-only failures, 2026-08-17).
+Run once per libtpu bump. Note: e5m2's +-57344 range overflows f16
+outputs — inf in BOTH kernel and oracle is agreement, not failure.
+"""
+import numpy as np, jax.numpy as jnp
+from bitblas_tpu.kernels.dequant_matmul import make_dequant_matmul
+from bitblas_tpu.kernels.spec import KernelSpec
+from bitblas_tpu.ops.matmul_config import MatmulConfig
+from bitblas_tpu.ops.reference import matmul_reference
+from bitblas_tpu.ops.weight_transform import transform_reference_operands
+from bitblas_tpu.testing import random_reference_operands
+from bitblas_tpu.tuner import default_hint, get_arch
+
+CASES = [
+    ("fp4_e2m1", dict(with_scaling=True, group_size=128)),
+    ("e4m3_float8", {}),
+    ("e5m2_float8", {}),
+    ("uint2", dict(with_scaling=True, group_size=128)),
+    ("uint1", dict(with_scaling=True, group_size=128)),
+    ("int1", {}),
+    ("int8", {}),
+]
+for w, kw in CASES:
+    try:
+        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
+                           W_dtype=w, out_dtype="float16", **kw)
+        spec = KernelSpec.from_config(cfg, 16)
+        hint = default_hint(spec, get_arch())
+        ops = random_reference_operands(cfg, 16, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        kf = make_dequant_matmul(spec, hint)
+        s = None if dw.scales is None else jnp.asarray(dw.scales)
+        out = kf(jnp.asarray(ops.A), jnp.asarray(dw.qweight), scales=s)
+        ref = matmul_reference(cfg, ops.A, ops.qweight,
+                               None if ops.scales is None
+                               else jnp.asarray(ops.scales))
+        r = np.asarray(ref, np.float32)
+        den = max(float(np.max(np.abs(r))), 1e-9)
+        rel = float(np.max(np.abs(np.asarray(out, np.float32) - r))) / den
+        print(f"{w:12s}: rel err {rel:.2e} ({hint.short_name()})", flush=True)
+    except Exception as ex:
+        print(f"{w:12s}: FAIL {str(ex)[:100]}", flush=True)
