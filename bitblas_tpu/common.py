@@ -21,6 +21,23 @@ BITBLAS_TPU_DEFAULT_CACHE_PATH = os.path.expanduser(
 MAX_ERROR_MESSAGE_LENGTH = 500
 
 
+def _machine_fingerprint() -> str:
+    """Short stable token for this host's CPU (arch + model name hash)."""
+    import hashlib
+    import platform
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "Processor")):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        model = platform.processor() or ""
+    tag = f"{platform.machine()}-{model}"
+    return hashlib.sha1(tag.encode()).hexdigest()[:10]
+
+
 def enable_jax_compilation_cache() -> None:
     """Point JAX's persistent compilation cache at the bitblas_tpu cache dir.
 
@@ -38,9 +55,13 @@ def enable_jax_compilation_cache() -> None:
         import jax
         if jax.config.jax_compilation_cache_dir:
             return  # configured programmatically by the user
+        # Scope the dir per machine: with the thresholds at 0 the cache also
+        # holds XLA:CPU AOT executables, which embed host CPU features — a
+        # cache dir shared across machines (NFS home) could otherwise load
+        # an entry compiled for a different CPU (SIGILL). (ADVICE.md r1.)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(BITBLAS_TPU_DEFAULT_CACHE_PATH,
-                                       "jaxcache"))
+                                       "jaxcache-" + _machine_fingerprint()))
         # Cache everything incl. sub-second CPU-interpret test kernels
         # (the jax defaults skip those).
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -152,7 +152,9 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         BN = pack_n * max(1, BN // pack_n)
     if spec.bits >= 8 and N % BN:
         # Legalize 8-bit tiles: largest 128-multiple dividing N (N is
-        # always a 128 multiple via n_padded).
+        # always a 128 multiple via n_padded). BN < 128 (a hand-written
+        # hint) would make the divisor search empty — clamp up first.
+        BN = max(BN, 128)
         BN = 128 * max(d for d in range(1, N // 128 + 1)
                        if N % (128 * d) == 0 and 128 * d <= BN)
         pack_n = BN

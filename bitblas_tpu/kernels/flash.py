@@ -74,6 +74,16 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     scale = 1.0 / math.sqrt(dim)
     block_q = min(block_q, seq_len)
     block_kv = min(block_kv, seq_len)
+    # Mosaic requires sublane (dim -2) block sizes to be multiples of 8 and
+    # lane (dim -1) blocks multiples of 128; a clamp to an odd seq_len (e.g.
+    # 300) would otherwise emit a block Mosaic rejects on hardware only
+    # (interpret mode cannot catch it — ADVICE.md r1). Round down; the tail
+    # is handled by the kv_len mask (KV dir) / clipped stores (Q dir).
+    block_q = max(8, block_q - block_q % 8)
+    if trans_k:
+        block_kv = max(128, block_kv - block_kv % 128)
+    else:
+        block_kv = max(8, block_kv - block_kv % 8)
     nq = pl.cdiv(seq_len, block_q)
     nkv = pl.cdiv(seq_len, block_kv)
     grid = (batch * heads, nq, nkv)

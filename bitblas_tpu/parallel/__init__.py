@@ -54,13 +54,32 @@ def retile_packed_for_column_shards(qweight, config: MatmulConfig,
     and repack per shard — a pure offline data transform.
     """
     from ..quantization.packing import pack_nslot, unpack_nslot
-    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
-    if config.bit >= 8 or e <= 1:
-        return qweight
     from ..ops.weight_transform import padded_n, storage_is_xored
     import dataclasses as _dc
+    if config.is_native_compute():
+        return qweight   # [K, N] values, no padding — even slices are exact
     N = config.N
+    assert N % tp == 0, f"N={N} must divide tp={tp}"
     npad = padded_n(config)
+    if config.bit >= 8:
+        # 8-bit dequant layout is [K, npad] int8 values (padded to a 128
+        # multiple). An even slice of the padded array offsets every shard by
+        # the cumulative pad — silently wrong numerics (ADVICE.md r1 high).
+        # Mirror the sub-byte path: slice to true N, split, re-pad per shard.
+        if N == npad and (N // tp) % 128 == 0:
+            return qweight
+        w = np.asarray(qweight)
+        loc = N // tp
+        loc_pad = padded_n(_dc.replace(config, N=loc))
+        parts = []
+        for i in range(tp):
+            chunk = w[:, i * loc:(i + 1) * loc]
+            if chunk.shape[1] < loc_pad:
+                chunk = np.pad(chunk,
+                               ((0, 0), (0, loc_pad - chunk.shape[1])))
+            parts.append(chunk)
+        return np.concatenate(parts, axis=1).astype(w.dtype)
+    e = 8 // config.bit
     tile = 128 * e
     if N == npad and (N // tp) % tile == 0:
         return qweight  # shard boundaries align with whole pack tiles
@@ -115,10 +134,13 @@ def shard_weights_column(dw: DeviceWeights, mesh: Mesh, axis: str,
     with whole pack tiles."""
     from ..ops.weight_transform import padded_n
     tp = mesh.shape[axis]
-    e = max(1, 8 // config.bit) if not config.is_native_compute() else 1
-    aligned = (config.bit >= 8 or e <= 1
-               or (config.N == padded_n(config)
-                   and (config.N // tp) % (128 * e) == 0))
+    if config.is_native_compute():
+        aligned = True
+    else:
+        # pack-tile width: 128*e words sub-byte, 128 values for 8-bit dequant
+        tile = 128 * (8 // config.bit) if config.bit < 8 else 128
+        aligned = (config.N == padded_n(config)
+                   and (config.N // tp) % tile == 0)
     qw = retile_packed_for_column_shards(dw.qweight, config, tp)
     out = DeviceWeights(
         qweight=jax.device_put(

@@ -118,3 +118,28 @@ def test_bitnet_state_roundtrip(tmp_path):
     m2.load_state_dict(load_quant_state_orbax(str(tmp_path / "bn")))
     y2 = m2(x, pos)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_layout_version_rejected(tmp_path):
+    """A checkpoint without (or with an old) device_layout_version must be
+    refused — a pre-versioning pack decodes silently wrong (ADVICE.md r1)."""
+    import json
+    import pytest
+    from bitblas_tpu.module.checkpoint import save_quant_state
+
+    save_quant_state(str(tmp_path / "ck"), {"l": {"w": np.zeros((2, 2))}})
+    meta_path = str(tmp_path / "ck.npz.meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["device_layout_version"] == 2
+
+    meta["device_layout_version"] = 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="layout v1"):
+        load_quant_state(str(tmp_path / "ck"))
+
+    import os
+    os.remove(meta_path)
+    with pytest.raises(ValueError, match="pre-versioning"):
+        load_quant_state(str(tmp_path / "ck"))

@@ -108,6 +108,31 @@ def test_tp_llama_layer_mesh_invariance():
     assert_close(outs[0], outs[1], rtol=2e-2, atol=0.1)
 
 
+@pytest.mark.parametrize("tp", [2, 4])
+@pytest.mark.parametrize("w_dtype,n", [
+    ("e4m3_float8", 320),   # 8-bit dequant: padded [K, 384], shard misalign
+    ("uint4", 320),         # sub-byte retile path (pre-existing coverage)
+])
+def test_column_parallel_unaligned_n(w_dtype, n, tp):
+    """Column sharding of a padded pack whose N/tp is not tile-aligned must
+    retile per shard — regression for the r1 high-severity finding (even
+    slices of the globally-padded array silently offset every shard)."""
+    cfg = MatmulConfig(M=16, N=n, K=512, A_dtype="float16", W_dtype=w_dtype,
+                       with_scaling=True, group_size=128, fast_decoding=False)
+    ops = random_reference_operands(cfg, 16, 1)
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+    expected = matmul_reference(cfg, jnp.asarray(ops.A),
+                                jnp.asarray(ops.qweight),
+                                jnp.asarray(ops.scales))
+    mesh = Mesh(np.array(jax.devices()[:tp]).reshape(1, tp), ("dp", "tp"))
+    sharded = shard_weights_column(dw, mesh, "tp", cfg)
+    fn = make_column_parallel_matmul(cfg, 16, mesh, "tp", gather_output=True)
+    out = jax.jit(fn)(jnp.asarray(ops.A), sharded.qweight,
+                      scales=sharded.scales)
+    assert out.shape == (16, cfg.N)
+    assert_close(out, expected, rtol=5e-2, atol=2.0)
+
+
 def test_row_parallel_overlap_chunks(operands):
     """Chunked psum (comm/compute overlap lever) matches the single-psum
     path exactly — the collectives are just split along N."""
