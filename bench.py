@@ -136,14 +136,16 @@ def main():
         sec, hint = best
         if not interpret:
             # Timing noise is one-sided (tunnel hiccups only ever slow a
-            # run); re-measure the winner and keep the min.
+            # run, never speed one up); re-measure the winner several times
+            # and keep the min — the honest estimator of kernel latency.
             try:
                 kf = make_dequant_matmul(spec, hint, interpret=interpret)
                 if cfg.with_scaling:
                     fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)
                 else:
                     fn = lambda A, W, _kf=kf: _kf(A, W)
-                sec = min(sec, measure_kernel(fn, args))
+                for _ in range(3):
+                    sec = min(sec, measure_kernel(fn, args))
             except Exception:  # noqa: BLE001
                 pass
         pct = 100.0 * roof / sec

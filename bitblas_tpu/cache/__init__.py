@@ -37,6 +37,19 @@ def _config_hash(config) -> str:
     return hashlib.sha256(repr(config).encode()).hexdigest()[:32]
 
 
+def _atomic_write_json(path: str, obj) -> None:
+    """Write JSON via tmp-file + rename: a concurrent reader (other thread
+    OR other process) sees either the old complete file or the new complete
+    file, never torn bytes (reference analog: the operator-cache spin-lock
+    test, testing/python/cache/test_operator_cache_spin_lock.py)."""
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 class OperatorCache:
 
     def __init__(self):
@@ -68,16 +81,15 @@ class OperatorCache:
             for config, op in self._ops.items():
                 d = os.path.join(database_path, target, _config_hash(config))
                 os.makedirs(d, exist_ok=True)
-                with open(os.path.join(d, "config.json"), "w") as f:
-                    json.dump(_config_to_json(config), f, indent=1)
-                with open(os.path.join(d, "mapping.json"), "w") as f:
-                    json.dump({
-                        "operator": type(op).__name__,
-                        "config": type(config).__name__,
-                    }, f, indent=1)
-                with open(os.path.join(d, "hints.json"), "w") as f:
-                    json.dump({str(m): h.to_dict()
-                               for m, h in op.hints.items()}, f, indent=1)
+                _atomic_write_json(os.path.join(d, "config.json"),
+                                   _config_to_json(config))
+                _atomic_write_json(os.path.join(d, "mapping.json"), {
+                    "operator": type(op).__name__,
+                    "config": type(config).__name__,
+                })
+                _atomic_write_json(os.path.join(d, "hints.json"),
+                                   {str(m): h.to_dict()
+                                    for m, h in op.hints.items()})
 
     def load_from_database(self, database_path: Optional[str] = None,
                            target: Optional[str] = None) -> int:

@@ -114,12 +114,18 @@ def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
 
 
 def _decode_byte(spec: KernelSpec, hint: TileHint, words: jnp.ndarray) -> jnp.ndarray:
-    """Decode 8-bit formats (words: int32; sign-extended only for int)."""
+    """Decode >=8-bit formats (words: int32; sign-extended only for int).
+    Wide ints (16/32) store natural-width values — decode is a cast; uint32
+    values above 2^31 re-bias from the wrapped signed container."""
     mma = _mma_jdtype(hint.mma_dtype)
     family = spec.family
     if family == "int":
         return _cast(words, mma)
     if family == "uint":
+        if spec.bits == 32:
+            wf = words.astype(jnp.float32)
+            wf = jnp.where(words < 0, wf + jnp.float32(2.0 ** 32), wf)
+            return _cast(wf, mma)
         return _cast(words, mma)
     if family == "fp_e4m3":
         if hint.mma_dtype == "float16":
@@ -267,8 +273,11 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         a = _cast(a_ref[...], mma)
         raw = w_ref[...]
         words = raw.astype(jnp.int32)
-        if spec.bits >= 8 and spec.family != "int":
+        if spec.bits == 8 and spec.family != "int":
             words = words & 0xFF  # undo sign extension for unsigned bytes
+        elif spec.bits == 16 and spec.family == "uint":
+            words = words & 0xFFFF  # sign-extended int16 container
+        # uint32 re-biases inside _decode_byte (no int32-domain mask exists)
         zwords = z_ref[...][:, 0, :].astype(jnp.int32) if quantized_zeros else None
         lut_vals = lut_ref[0, :] if is_nf_take else None
 
@@ -482,6 +491,17 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                         jnp.float32)
                 else:
                     res = res + b_ref[...].astype(acc_dtype)
+            odt = jnp.dtype(kernel_out_dtype)
+            if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
+                # Narrow-int outputs (reference README.md:80-83 advertises
+                # INT8-out int paths) use SATURATING semantics: float
+                # accumulators round to nearest, then clamp to the dtype
+                # range. (The reference's C cast wraps — wrap-around on an
+                # overflowing dot is never the intent; documented choice.)
+                info = jnp.iinfo(odt)
+                if not jnp.issubdtype(res.dtype, jnp.integer):
+                    res = jnp.round(res)
+                res = jnp.clip(res, info.min, info.max)
             out_ref[...] = _cast(res, kernel_out_dtype)
 
     # Inside a larger jit graph XLA caps a kernel's scoped VMEM at 16 MB by

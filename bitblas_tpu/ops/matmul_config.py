@@ -115,6 +115,14 @@ class MatmulConfig(OperatorConfig):
                 "float32", "float64")):
             object.__setattr__(self, "storage_dtype", self.W_dtype)
 
+        # Wide int/uint dequant weights (reference dtype map spans bits
+        # 1..32, general_matmul/__init__.py:324-345) store natural-width
+        # words — no packing, one value per int16/int32 word.
+        family, bits = source_format_and_bits(self.W_dtype)
+        if (family in ("int", "uint") and bits > 8
+                and not self.is_native_compute()):
+            object.__setattr__(self, "storage_dtype", f"int{bits}")
+
         # int source formats have an implicit zero point already.
         family, _ = source_format_and_bits(self.W_dtype)
         if family == "int" and self.with_zeros:

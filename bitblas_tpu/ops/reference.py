@@ -56,12 +56,22 @@ def dequantize_weight(
 
     if bits < 8:
         fields = numerics.unpack_fields(qweight, bits)[..., :K]
-    else:
+    elif bits == 8:
         fields = jnp.asarray(qweight).astype(
             jnp.uint8 if family != "int" else jnp.int8)
         if family == "int":
             # 8-bit signed weights are stored unbiased.
             fields = fields.astype(jnp.int32)
+    else:
+        # Wide int16/int32 weights: natural-width values, no packing
+        # (reference dtype map, general_matmul/__init__.py:324-345).
+        q = jnp.asarray(qweight)
+        if family == "int":
+            fields = q.astype(jnp.int32)
+        else:  # uint: reinterpret the signed container back to unsigned
+            fields = q.view(jnp.uint16 if bits == 16 else jnp.uint32) \
+                if jnp.issubdtype(q.dtype, jnp.signedinteger) else q
+            fields = fields.astype(jnp.uint32)
 
     if family == "nf" and lut is None:
         lut = nf4_lut(adt)
@@ -73,7 +83,7 @@ def dequantize_weight(
         z_nk = zfields.T  # [N, K/g]
         z_full = jnp.repeat(z_nk, g, axis=1)[:, :K]
         w = numerics.decode_uint_field_with_zeros(fields, z_full, adt)
-    elif family == "int" and bits == 8:
+    elif family == "int" and bits >= 8:
         w = fields.astype(adt)
     else:
         w = numerics.decode_field(fields, family, bits, adt, lut=lut)
@@ -108,10 +118,27 @@ def matmul_dense_reference(config: MatmulConfig, A: jnp.ndarray,
         dimension_numbers=(((A.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=acc_dtype,
     )
-    out = out.astype(as_jax_dtype(config.out_dtype))
     if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out
+        # Bias adds in f32 on int-accumulation paths (kernel semantics —
+        # casting a fractional bias to int32 would truncate it).
+        if jnp.issubdtype(out.dtype, jnp.integer):
+            out = out.astype(jnp.float32) + bias.astype(jnp.float32)
+        else:
+            out = out + bias.astype(out.dtype)
+    return cast_output(out, config.out_dtype)
+
+
+def cast_output(out: jnp.ndarray, out_dtype: str) -> jnp.ndarray:
+    """Accumulator -> out dtype. Narrow-int outputs saturate (round-to-
+    nearest for float accumulators, clamp to the dtype range) — matches the
+    kernel's documented semantics (kernels/dequant_matmul.py epilogue)."""
+    odt = jnp.dtype(as_jax_dtype(out_dtype))
+    if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
+        info = jnp.iinfo(odt)
+        if not jnp.issubdtype(out.dtype, jnp.integer):
+            out = jnp.round(out)
+        out = jnp.clip(out, info.min, info.max)
+    return out.astype(odt)
 
 
 def matmul_reference(

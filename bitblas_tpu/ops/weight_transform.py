@@ -72,7 +72,11 @@ def unpacked_weight_to_device(config: MatmulConfig,
     bits = config.bit
     w_kn = np.ascontiguousarray(w_fields_nk.T)
     if bits >= 8:
-        w_kn = w_kn.astype(np.int8)
+        # 8-bit: one value per int8 byte. Wide ints (16/32): natural-width
+        # words, stored as the signed container (uint values reinterpret).
+        sdt = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+        w_kn = w_kn.astype(sdt) if w_kn.dtype.itemsize * 8 != bits \
+            else w_kn.view(sdt)
         np8 = padded_n(config)
         if not config.is_native_compute() and w_kn.shape[1] < np8:
             w_kn = np.pad(w_kn, ((0, 0), (0, np8 - w_kn.shape[1])))
@@ -93,7 +97,8 @@ def reference_weight_to_device(config: MatmulConfig,
     """Reference packed qweight [N, K*bits/8] -> device layout."""
     bits = config.bit
     if bits >= 8:
-        return unpacked_weight_to_device(config, qweight.view(np.int8))
+        sdt = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+        return unpacked_weight_to_device(config, np.asarray(qweight).view(sdt))
     fields = packing.general_decompress(qweight.view(np.int8), bits,
                                         out_elems=config.K)
     return unpacked_weight_to_device(config, fields)

@@ -105,6 +105,15 @@ def random_reference_operands(config: MatmulConfig, m: int,
     if bits < 8:
         codes = rng.integers(0, 1 << bits, (N, K), dtype=np.int64).astype(np.uint8)
         qweight = packing.general_compress(codes, bits)
+    elif family == "int" and bits > 8:
+        # Wide ints: natural-width values. Magnitudes stay within f16's
+        # exactly-representable integer range so the f16 oracle decode is
+        # bit-exact against the kernel's f32 decode.
+        dt = np.int16 if bits == 16 else np.int32
+        qweight = rng.integers(-1024, 1024, (N, K), dtype=np.int64).astype(dt)
+    elif family == "uint" and bits > 8:
+        dt = np.uint16 if bits == 16 else np.uint32
+        qweight = rng.integers(0, 2048, (N, K), dtype=np.int64).astype(dt)
     elif family == "int":
         qweight = rng.integers(-8, 8, (N, K), dtype=np.int64).astype(np.int8)
     elif family in ("fp_e4m3", "fp_e5m2"):

@@ -49,7 +49,7 @@ def vmem_usage(spec: KernelSpec, hint: TileHint) -> int:
     e = spec.elems_per_word
     BM, BN, BK = hint.block_m, hint.block_n, hint.block_k
     a_bytes = BM * BK * _dtype_bytes(spec.a_dtype)
-    w_bytes = BK * (BN // e if spec.bits < 8 else BN)
+    w_bytes = BK * (BN // e) * max(1, spec.storage_bits // 8)
     g = spec.group_size if spec.group_size > 0 else spec.k
     srows = max(BK // g, 1)
     s_bytes = srows * BN * 4 * (1 if spec.with_scaling else 0)
@@ -76,7 +76,7 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
     m_tiles = math.ceil(max(M, 8) / BM)
     n_tiles = N // hint.block_n
 
-    w_total = K * (N // e if spec.bits < 8 else N)
+    w_total = K * (N // e) * max(1, spec.storage_bits // 8)
     g = spec.group_size if spec.group_size > 0 else K
     sz_total = (K // g) * N * 4 * (int(spec.with_scaling) + int(spec.with_zeros))
     a_total = M * K * _dtype_bytes(spec.a_dtype)
@@ -210,9 +210,11 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
     hints = enumerate_hints(spec, arch)
     if not hints:
         raise ValueError(f"no legal tile config for {spec}")
-    if spec.family in ("fp_e4m3", "fp_e5m2"):
-        # Default to f32 MXU operands for fp8 weights (precision; see
-        # mma_opts note). Explicit tuning can still pick bf16.
+    if spec.family in ("fp_e4m3", "fp_e5m2") or (
+            spec.family in ("int", "uint") and spec.bits > 8):
+        # Default to f32 MXU operands for fp8 and wide-int weights
+        # (precision: bf16's 8-bit mantissa rounds values above 256; f32
+        # holds int16 exactly). Explicit tuning can still pick bf16.
         for h in hints:
             if h.mma_dtype == "float32":
                 return h

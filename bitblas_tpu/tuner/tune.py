@@ -46,6 +46,42 @@ def _measure_candidate(builder: Callable[[TileHint], Callable],
     return measure_chained(chained, target_sec=0.03, repeats=2)
 
 
+def _stratified_candidates(hints: Sequence[TileHint],
+                           topk: int) -> List[TileHint]:
+    """Pick the measured candidate set: the roofline-ranked prefix PLUS the
+    best-ranked representative of every distinct block-shape family
+    ((block_k regime, block_n regime, mma_dtype, decode_mode)) until topk
+    is filled. The analytic model provably mis-ranks GEMV tilings by up to
+    2.3x (space.py note), so a pure prefix can exclude the true winner on
+    un-measured generations; stratification guarantees shape-family
+    coverage (reference analog: the roller policy's topk diversity,
+    /root/reference/bitblas/base/roller/policy/default.py:37-95)."""
+    def family(h: TileHint):
+        return (h.block_k >= 2048, h.block_n >= 1024, h.mma_dtype,
+                h.decode_mode, h.group_mode)
+
+    half = max(topk // 2, 1)
+    picked: List[TileHint] = list(hints[:half])
+    seen_fams = {family(h) for h in picked}
+    seen = {id(h) for h in picked}
+    # one representative per unseen family, in rank order
+    for h in hints[half:]:
+        if len(picked) >= topk:
+            return picked
+        f = family(h)
+        if f not in seen_fams:
+            seen_fams.add(f)
+            seen.add(id(h))
+            picked.append(h)
+    # fill the remainder with the next-ranked hints
+    for h in hints[half:]:
+        if len(picked) >= topk:
+            break
+        if id(h) not in seen:
+            picked.append(h)
+    return picked
+
+
 def fast_tune(
     spec: KernelSpec,
     arch: TileDevice,
@@ -70,7 +106,7 @@ def fast_tune(
                           measured=False)
 
     results: List[Tuple[TileHint, float]] = []
-    for hint in hints[:topk]:
+    for hint in _stratified_candidates(hints, topk):
         try:
             args = make_args(hint)
             lat = _measure_candidate(builder, hint, args, inject)

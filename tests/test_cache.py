@@ -79,3 +79,70 @@ def test_cache_thread_safety(tmp_path):
     assert not errors
     assert cache.size() == 3
     cache.save_into_database(str(tmp_path), target="cpu_interpret")
+
+
+def test_cache_spin_lock_concurrency(tmp_path):
+    """Threads hammer add/get/save/load on a shared cache + db dir
+    (reference analog: testing/python/cache/test_operator_cache_spin_lock.py).
+    Atomic tmp+rename writes mean a concurrent loader must never observe
+    torn JSON — every load either sees a complete entry or none."""
+    import threading
+
+    cfgs = [MatmulConfig(M=[1, 16], N=256, K=256 * (i + 1),
+                         A_dtype="float16", W_dtype="uint4",
+                         with_scaling=True, group_size=128)
+            for i in range(4)]
+    ops = [Matmul(c, enable_tuning=False) for c in cfgs]
+    cache = OperatorCache()
+    errors = []
+    stop = threading.Event()
+
+    def writer(idx):
+        try:
+            while not stop.is_set():
+                cache.add(cfgs[idx], ops[idx])
+                cache.save_into_database(str(tmp_path),
+                                         target="cpu_interpret")
+        except Exception as ex:  # noqa: BLE001
+            errors.append(("writer", ex))
+
+    def reader():
+        try:
+            while not stop.is_set():
+                c2 = OperatorCache()
+                n = c2.load_from_database(str(tmp_path),
+                                          target="cpu_interpret")
+                for c in cfgs:
+                    got = c2.get(c)
+                    if got is not None:
+                        assert got.hints is not None
+                assert 0 <= n <= len(cfgs)
+        except Exception as ex:  # noqa: BLE001
+            errors.append(("reader", ex))
+
+    def churner():
+        try:
+            while not stop.is_set():
+                for i, c in enumerate(cfgs):
+                    cache.add(c, ops[i])
+                    cache.get(c)
+                cache.size()
+        except Exception as ex:  # noqa: BLE001
+            errors.append(("churner", ex))
+
+    threads = ([threading.Thread(target=writer, args=(i,)) for i in range(2)]
+               + [threading.Thread(target=reader) for _ in range(2)]
+               + [threading.Thread(target=churner)])
+    for t in threads:
+        t.start()
+    import time
+    time.sleep(3.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors
+    # final state loads cleanly and no tmp droppings remain visible as
+    # entries
+    final = OperatorCache()
+    n = final.load_from_database(str(tmp_path), target="cpu_interpret")
+    assert n >= 1

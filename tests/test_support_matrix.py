@@ -95,3 +95,95 @@ def test_support_matrix(a_dtype, w_dtype, scaling):
                           else (2e-2, 0.35, 0.001))
     assert_close(got, expected, rtol=rtol, atol=atol,
                  max_mismatched_ratio=budget, msg=f"{w_dtype}x{a_dtype}")
+
+
+# Wide int/uint dequant weights (reference dtype map spans bits 1..32,
+# /root/reference/bitblas/ops/general_matmul/__init__.py:324-345): stored
+# as natural-width int16/int32 words, decode = cast (+scales).
+WIDE_PAIRS = [
+    ("float16", "int16", False), ("float16", "int16", True),
+    ("float16", "uint16", False), ("float16", "uint16", True),
+    ("float16", "int32", False), ("float16", "int32", True),
+    ("float16", "uint32", False), ("float16", "uint32", True),
+]
+
+
+@pytest.mark.parametrize("a_dtype,w_dtype,scaling", WIDE_PAIRS)
+def test_wide_int_formats(a_dtype, w_dtype, scaling):
+    cfg = MatmulConfig(
+        M=M, N=N, K=K, A_dtype=a_dtype, W_dtype=w_dtype,
+        with_scaling=scaling, group_size=64 if scaling else -1,
+        out_dtype="float32")
+    assert cfg.storage_dtype == ("int16" if "16" in w_dtype else "int32")
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, M, seed=0)
+    expected = matmul_reference(
+        cfg, jnp.asarray(ops.A), jnp.asarray(ops.qweight),
+        None if ops.scales is None else jnp.asarray(ops.scales))
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+    got = op.forward(jnp.asarray(ops.A), jnp.asarray(dw.qweight),
+                     scale=None if dw.scales is None
+                     else jnp.asarray(dw.scales))
+    assert got.shape == (M, N)
+    # The f16 oracle rounds s*w products (weight magnitudes ~1e3); the
+    # kernel's f32 path is MORE precise. Tolerance scales with the output
+    # magnitude (same spirit as the reference mismatch budgets).
+    scale = float(np.max(np.abs(np.asarray(expected, np.float32)))) or 1.0
+    assert_close(got, expected, rtol=5e-2, atol=0.02 * scale,
+                 max_mismatched_ratio=0.01, msg=f"{w_dtype}x{a_dtype}")
+
+
+# Out/accum dtype matrix (reference README.md:80-83: INT8 activations
+# advertise out in {FP32, INT32, FP16, INT8}). Narrow-int outputs use
+# SATURATING semantics (round-to-nearest then clamp — documented in
+# kernels/dequant_matmul.py epilogue + ops/reference.cast_output).
+OUT_MATRIX = [
+    ("int8", "int2", False, "float32"),
+    ("int8", "int2", False, "float16"),
+    ("int8", "int2", False, "int32"),
+    ("int8", "int2", False, "int8"),
+    ("int8", "uint4", False, "int32"),
+    ("int8", "uint4", False, "int8"),
+    ("int8", "uint4", False, "float16"),
+    ("int8", "uint4", True, "float16"),
+    ("int8", "uint4", True, "int8"),
+    ("int8", "uint2", True, "float32"),
+    ("float16", "uint4", True, "float16"),
+    ("float16", "uint4", True, "float32"),
+]
+
+
+@pytest.mark.parametrize("a_dtype,w_dtype,scaling,out_dtype", OUT_MATRIX)
+def test_out_dtype_matrix(a_dtype, w_dtype, scaling, out_dtype):
+    int_act = a_dtype == "int8"
+    cfg = MatmulConfig(
+        M=M, N=N, K=K, A_dtype=a_dtype, W_dtype=w_dtype,
+        with_scaling=scaling, group_size=64 if scaling else -1,
+        accum_dtype="int32" if int_act and not scaling else "float32",
+        out_dtype=out_dtype)
+    op = Matmul(cfg, enable_tuning=False)
+    ops = random_reference_operands(cfg, M, seed=1)
+    expected = matmul_reference(
+        cfg, jnp.asarray(ops.A), jnp.asarray(ops.qweight),
+        None if ops.scales is None else jnp.asarray(ops.scales))
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+    got = op.forward(jnp.asarray(ops.A), jnp.asarray(dw.qweight),
+                     scale=None if dw.scales is None
+                     else jnp.asarray(dw.scales))
+    assert got.shape == (M, N)
+    assert got.dtype == expected.dtype
+    if out_dtype in ("int32", "int8") and not scaling:
+        # Integer-exact path end to end: bitwise equality required.
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expected))
+    elif out_dtype == "int8":
+        # float accum -> saturating int8: allow off-by-one from f32 vs f16
+        # oracle rounding near .5 boundaries.
+        diff = np.abs(np.asarray(got, np.int32) -
+                      np.asarray(expected, np.int32))
+        assert diff.max() <= 1, f"int8 out diff {diff.max()}"
+    else:
+        assert_close(got, expected, rtol=2e-2, atol=0.5,
+                     max_mismatched_ratio=0.005,
+                     msg=f"{w_dtype}x{a_dtype}->{out_dtype}")
