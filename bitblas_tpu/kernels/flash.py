@@ -1,4 +1,4 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash-attention kernels (prefill + decode).
 
 TPU-native counterpart of the reference's TileLang flash attention
 (/root/reference/bitblas/ops/general_flashatten/tilelang/flashatten.py):
@@ -8,6 +8,18 @@ causal masking — but blocked for VMEM/MXU instead of smem/MMA: the grid is
 (batch*heads, q_blocks, kv_blocks) with the kv loop innermost, running
 max/sum state in VMEM scratch, exactly the memory-saving recurrence of
 FlashAttention-2.
+
+Layout note (the r1 -> r2 2x win): the kernels index heads *in place* on the
+free row-major views [B, S, H*D] / [B, D, Hkv*S] via BlockSpec index maps —
+no [B,S,H,D] -> [B*H,S,D] transposes. The old XLA-level transposes of
+Q/K/V/out round-tripped ~4 tensor copies through HBM, which at s=2048
+rivaled the attention FLOPs themselves.
+
+`make_flash_decode` is the length-masked decode kernel for serving KV
+caches: per-sequence lengths are scalar-prefetched, KV blocks past a
+sequence's length are never even DMA'd (the index map clamps to the last
+active block, so trailing grid steps re-reference the same block and Mosaic
+skips the copy).
 """
 
 from __future__ import annotations
@@ -24,20 +36,23 @@ NEG_INF = -1e30
 
 
 def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
-                  q_start, kv_start, block_q, block_kv, kv_len=None):
-    """One online-softmax step. q [BQ, D], k [BKV, D], v [BKV, D].
+                  q_start, kv_start, block_q, block_kv, kv_len=None,
+                  k_transposed=False):
+    """One online-softmax step. q [BQ, D], k [BKV, D] (or [D, BKV] when
+    k_transposed — dotted in place, no relayout), v [BKV, D].
     QK/PV dots run on bf16 operands (f32 accumulate) — the MXU-native rate;
-    softmax statistics stay f32. `kv_len` (set when seq_len is not a
-    multiple of block_kv) masks the padded tail KV positions: their scores
-    go to -inf AND their V rows to zero (Pallas pads out-of-range block
-    reads with unspecified values — a NaN there would otherwise poison the
-    p@V dot even at weight zero)."""
+    softmax statistics stay f32. `kv_len` masks KV positions at and beyond
+    the valid length: their scores go to -inf AND their V rows to zero
+    (Pallas pads out-of-range block reads with unspecified values — a NaN
+    there would otherwise poison the p@V dot even at weight zero)."""
     if kv_len is not None:
         vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
         v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
     # Work in base 2: exp2 is the cheap VPU op (exp costs ~4x); the scale
     # folds log2(e) in, and the running max m is kept in the base-2 domain.
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    contract = (((1,), (0,)), ((), ())) if k_transposed \
+        else (((1,), (1,)), ((), ()))
+    s = jax.lax.dot_general(q, k, contract,
                             preferred_element_type=jnp.float32) * (
                                 scale * 1.4426950408889634)
     kj = None
@@ -61,29 +76,43 @@ def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
     return m_new, l_new, acc_new
 
 
+def _legal_block(block: int, seq_len: int, *, lane: bool = False) -> int:
+    """Clamp a block size to the sequence and round down to a Mosaic-legal
+    size (sublane blocks: multiples of 8; lane blocks: multiples of 128)."""
+    block = min(block, seq_len)
+    q = 128 if lane else 8
+    return max(q, block - block % q)
+
+
 def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                          kv_heads: int = None, causal: bool = False,
-                         trans_k: bool = False, block_q: int = 1024,
+                         trans_k: bool = False, block_q: int = 512,
                          block_kv: int = 1024, out_dtype=jnp.float16,
                          interpret: bool = False):
     """Build attention over Q [B, S, H, D], K/V [B, S, Hkv, D]
-    (K [B, D, Hkv, S] when trans_k). Returns fn(Q, K, V) -> [B, S, H, D]."""
+    (K [B, D, Hkv, S] when trans_k). Returns fn(Q, K, V) -> [B, S, H, D].
+
+    Heads are addressed through BlockSpec index maps on the free row-major
+    views (see module docstring) — the returned fn performs no transposes.
+    """
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
     group = heads // kv_heads
     scale = 1.0 / math.sqrt(dim)
-    block_q = min(block_q, seq_len)
-    block_kv = min(block_kv, seq_len)
-    # Mosaic requires sublane (dim -2) block sizes to be multiples of 8 and
-    # lane (dim -1) blocks multiples of 128; a clamp to an odd seq_len (e.g.
-    # 300) would otherwise emit a block Mosaic rejects on hardware only
-    # (interpret mode cannot catch it — ADVICE.md r1). Round down; the tail
-    # is handled by the kv_len mask (KV dir) / clipped stores (Q dir).
-    block_q = max(8, block_q - block_q % 8)
+    block_q = _legal_block(block_q, seq_len)
     if trans_k:
-        block_kv = max(128, block_kv - block_kv % 128)
+        # K^T blocks take S on the lane axis, head-interleaved: the block
+        # width must divide S so a block never straddles two heads.
+        block_kv = _legal_block(block_kv, seq_len, lane=True)
+        while seq_len % block_kv:
+            block_kv -= 128
+            if block_kv <= 128:
+                block_kv = 128
+                break
+        assert seq_len % block_kv == 0, \
+            f"ntn needs a 128-multiple kv block dividing S={seq_len}"
     else:
-        block_kv = max(8, block_kv - block_kv % 8)
+        block_kv = _legal_block(block_kv, seq_len)
     nq = pl.cdiv(seq_len, block_q)
     nkv = pl.cdiv(seq_len, block_kv)
     grid = (batch * heads, nq, nkv)
@@ -91,15 +120,17 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
                                  not interpret) else out_dtype
 
-    # Index maps operate on flattened (B*H, S, D) tensors.
+    # Index maps address heads inside the fused last dim: Q/out on
+    # [B, S, H*D] (column block h), K/V on [B, S, Hkv*D]; trans_k K on
+    # [B, D, Hkv*S] (column block kvh*nkv + ki).
     def q_map(bh, qi, ki):
-        return (bh, qi, 0)
+        return (bh // heads, qi, bh % heads)
 
     def kv_map(bh, qi, ki):
-        return ((bh // heads) * kv_heads + (bh % heads) // group, ki, 0)
+        return (bh // heads, ki, (bh % heads) // group)
 
     def kt_map(bh, qi, ki):
-        return ((bh // heads) * kv_heads + (bh % heads) // group, 0, ki)
+        return (bh // heads, 0, ((bh % heads) // group) * nkv + ki)
 
     def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         ki = pl.program_id(2)
@@ -117,14 +148,13 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         def step():
             q = q_ref[0]
             k = k_ref[0]
-            if trans_k:
-                k = k.T
             v = v_ref[0]
             m_new, l_new, acc_new = _attend_block(
                 q, k, v, m_ref[...], l_ref[...], acc_ref[...],
                 scale=scale, causal=causal, q_start=q_start,
                 kv_start=kv_start, block_q=block_q, block_kv=block_kv,
-                kv_len=seq_len if seq_len % block_kv else None)
+                kv_len=seq_len if seq_len % block_kv else None,
+                k_transposed=trans_k)
             m_ref[...] = m_new
             l_ref[...] = l_new
             acc_ref[...] = acc_new
@@ -153,7 +183,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, dim), q_map),
-        out_shape=jax.ShapeDtypeStruct((batch * heads, seq_len, dim),
+        out_shape=jax.ShapeDtypeStruct((batch, seq_len, heads * dim),
                                        kernel_out),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -171,17 +201,127 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     def fn(Q, K, V):
         B, S, H, D = Q.shape
         assert (B, S, H, D) == (batch, seq_len, heads, dim), (Q.shape,)
-        q = Q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+        q = Q.reshape(B, S, H * D)                  # free row-major view
         if trans_k:
-            # K [B, D, Hkv, S] -> (B*Hkv, D, S)
-            k = K.transpose(0, 2, 1, 3).reshape(B * kv_heads, D, S)
+            # K [B, D, Hkv, S] -> [B, D, Hkv*S] (free)
+            k = K.reshape(B, D, kv_heads * S)
         else:
-            k = K.transpose(0, 2, 1, 3).reshape(B * kv_heads, S, D)
-        v = V.transpose(0, 2, 1, 3).reshape(B * kv_heads, S, D)
+            k = K.reshape(B, S, kv_heads * D)
+        v = V.reshape(B, S, kv_heads * D)
         if not interpret and q.dtype == f16:
             q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
         out = call(q, k, v)
-        out = out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
-        return out.astype(out_dtype)
+        return out.reshape(B, S, H, D).astype(out_dtype)
+
+    return fn
+
+
+def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
+                      kv_heads: int = None, block_kv: int = 512,
+                      out_dtype=jnp.float16, interpret: bool = False):
+    """Length-masked decode attention for serving KV caches.
+
+    fn(q, k_cache, v_cache, lengths) with q [B, H, D] (one new token per
+    sequence), caches [B, Smax, Hkv, D], lengths [B] int32 (tokens valid,
+    INCLUDING the new one at position lengths-1). Returns [B, H, D].
+
+    KV blocks at or past a sequence's length are skipped: the kv index map
+    clamps to the last active block, so trailing grid steps re-reference
+    the same block (no DMA) and the attend body is predicated off. Reads
+    are therefore length-proportional — the flash-decode analog for the
+    slot cache engine (reference has no decode-attention kernel; its
+    serving is delegated to vLLM).
+    """
+    kv_heads = kv_heads or heads
+    assert heads % kv_heads == 0
+    group = heads // kv_heads
+    scale = 1.0 / math.sqrt(dim)
+    block_kv = _legal_block(block_kv, max_seq_len)
+    nkv = pl.cdiv(max_seq_len, block_kv)
+    grid = (batch * heads, nkv)
+    f16 = jnp.dtype(jnp.float16)
+    kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
+                                 not interpret) else out_dtype
+
+    # q rows padded to 8 (skinny MXU passes are cheap); row 0 is real.
+    # (Scalar-prefetch refs arrive LAST in index maps.)
+    def q_map(bh, ki, lens):
+        del lens, ki
+        return (bh, 0, 0)
+
+    def kv_map(bh, ki, lens):
+        b = bh // heads
+        last = jnp.maximum(lens[b] - 1, 0) // block_kv
+        return (b, jnp.minimum(ki, last), (bh % heads) // group)
+
+    def kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        bh = pl.program_id(0)
+        ki = pl.program_id(1)
+        b = bh // heads
+        length = len_ref[b]
+
+        @pl.when(ki == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        kv_start = ki * block_kv
+
+        @pl.when(kv_start < length)
+        def _attend():
+            m_new, l_new, acc_new = _attend_block(
+                q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
+                acc_ref[...], scale=scale, causal=False,
+                q_start=0, kv_start=kv_start, block_q=8,
+                block_kv=block_kv, kv_len=length)
+            m_ref[...] = m_new
+            l_ref[...] = l_new
+            acc_ref[...] = acc_new
+
+        @pl.when(ki == nkv - 1)
+        def _():
+            denom = jnp.maximum(l_ref[...], 1e-30)
+            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, dim), q_map),
+                pl.BlockSpec((1, block_kv, dim), kv_map),
+                pl.BlockSpec((1, block_kv, dim), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, 8, dim), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((8, 1), jnp.float32),
+                pltpu.VMEM((8, 1), jnp.float32),
+                pltpu.VMEM((8, dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch * heads, 8, dim), kernel_out),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * max_seq_len * dim,
+            bytes_accessed=batch * max_seq_len * kv_heads * dim * 4,
+            transcendentals=batch * heads * max_seq_len,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(q, k_cache, v_cache, lengths):
+        B, H, D = q.shape
+        assert (B, H, D) == (batch, heads, dim), (q.shape,)
+        Smax = k_cache.shape[1]
+        assert Smax == max_seq_len, (k_cache.shape,)
+        q8 = jnp.zeros((B * H, 8, D), q.dtype).at[:, 0, :].set(
+            q.reshape(B * H, D))
+        k2 = k_cache.reshape(B, Smax, kv_heads * D)
+        v2 = v_cache.reshape(B, Smax, kv_heads * D)
+        if not interpret and q8.dtype == f16:
+            q8, k2, v2 = (t.astype(jnp.bfloat16) for t in (q8, k2, v2))
+        out = call(jnp.asarray(lengths, jnp.int32), q8, k2, v2)
+        return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
 
     return fn

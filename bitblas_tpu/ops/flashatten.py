@@ -70,10 +70,18 @@ class FlashAttenKernelNameGenerator(BaseKernelNameGenerator):
 
 
 class FlashAtten:
-    """Single-device flash attention op with measured block-size tuning."""
+    """Single-device flash attention op with measured block-size tuning.
 
-    BLOCK_CANDIDATES = ((128, 128), (128, 256), (256, 128), (256, 256),
-                        (512, 128), (128, 512))
+    The tuning space mirrors the reference's block_M/block_N/num_stages/
+    threads space (general_flashatten/tilelang/flashatten.py:60-150) mapped
+    to its TPU degrees of freedom: (block_q, block_kv) pairs — pipeline
+    staging and thread shape belong to Mosaic. Failures are logged per
+    candidate (reference tl/tuner.py logs per-config latency)."""
+
+    BLOCK_CANDIDATES = tuple(
+        (bq, bkv)
+        for bq in (128, 256, 512, 1024, 2048)
+        for bkv in (128, 256, 512, 1024, 2048))
 
     def __init__(self, config: FlashAttenConfig, name: str = "flashatten",
                  target: Optional[str] = None, enable_tuning: bool = False,
@@ -84,7 +92,7 @@ class FlashAtten:
         self.arch = get_arch(target)
         self.interpret = self.arch.is_cpu
         self.kernel_name_generator = FlashAttenKernelNameGenerator(config)
-        self.block_q, self.block_kv = 1024, 1024
+        self.block_q, self.block_kv = 512, 1024
         self._build()
         if enable_tuning and not self.interpret:
             self.hardware_aware_finetune()
@@ -117,22 +125,42 @@ class FlashAtten:
             (c.batch, c.seq_len, c.kv_heads, c.dim), np.float32), qdt)
         return Q, K, V
 
-    def hardware_aware_finetune(self, topk: int = 20):
+    def hardware_aware_finetune(self, topk: int = 25):
+        from ..common import MAX_ERROR_MESSAGE_LENGTH, get_logger
+        logger = get_logger()
         args = self._example_args()
         best = (None, float("inf"))
+        n_failed = 0
+        seen = set()
         for bq, bkv in self.BLOCK_CANDIDATES[:topk]:
-            if bq > self.config.seq_len or bkv > self.config.seq_len:
+            # dedupe after seq_len clamping (2048 and 4096 collapse at
+            # short sequences)
+            key = (min(bq, self.config.seq_len),
+                   min(bkv, self.config.seq_len))
+            if key in seen:
                 continue
+            seen.add(key)
             try:
                 fn = self._make(bq, bkv)
                 lat = measure_kernel(fn, args, inject=0)
+                logger.info("flashatten tune bq=%d bkv=%d -> %.1f us",
+                            bq, bkv, lat * 1e6)
                 if lat < best[1]:
                     best = ((bq, bkv), lat)
-            except Exception:  # noqa: BLE001
-                continue
+            except Exception as ex:  # noqa: BLE001
+                n_failed += 1
+                logger.warning(
+                    "flashatten candidate bq=%d bkv=%d failed: %s", bq, bkv,
+                    str(ex)[:MAX_ERROR_MESSAGE_LENGTH])
         if best[0] is not None:
             self.block_q, self.block_kv = best[0]
             self._build()
+        else:
+            logger.warning(
+                "flashatten finetune: all %d candidates failed; keeping "
+                "default blocks (%d, %d)", n_failed, self.block_q,
+                self.block_kv)
+        return best
 
     def forward(self, Q, K, V, output=None) -> Any:
         del output

@@ -71,3 +71,33 @@ def test_ragged_seq_len(causal):
     ref = jnp.einsum("bhqk,bkhd->bqhd", p, v)
     assert bool(jnp.all(jnp.isfinite(got.astype(jnp.float32))))
     assert_close(got, ref.astype(got.dtype), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_length_masked():
+    """Decode kernel vs per-sequence masked oracle at ragged lengths."""
+    import jax
+    from bitblas_tpu.kernels.flash import make_flash_decode
+
+    B, H, Hkv, D, Smax = 3, 8, 4, 64, 512
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float16))
+    k = jnp.asarray(rng.standard_normal((B, Smax, Hkv, D)).astype(np.float16))
+    v = jnp.asarray(rng.standard_normal((B, Smax, Hkv, D)).astype(np.float16))
+    lengths = np.array([17, 512, 300], np.int32)
+
+    fn = make_flash_decode(batch=B, heads=H, max_seq_len=Smax, dim=D,
+                           kv_heads=Hkv, block_kv=128, interpret=True)
+    out = np.asarray(jax.jit(fn)(q, k, v, jnp.asarray(lengths)), np.float32)
+
+    group = H // Hkv
+    kf = np.repeat(np.asarray(k, np.float32), group, axis=2)
+    vf = np.repeat(np.asarray(v, np.float32), group, axis=2)
+    qf = np.asarray(q, np.float32)
+    exp = np.zeros((B, H, D), np.float32)
+    for b in range(B):
+        L = lengths[b]
+        s = np.einsum("hd,khd->hk", qf[b], kf[b, :L]) / np.sqrt(D)
+        p = np.exp(s - s.max(axis=1, keepdims=True))
+        p /= p.sum(axis=1, keepdims=True)
+        exp[b] = np.einsum("hk,khd->hd", p, vf[b, :L])
+    assert_close(out, exp, rtol=2e-2, atol=2e-2)
