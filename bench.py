@@ -144,7 +144,7 @@ def main():
                     fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)
                 else:
                     fn = lambda A, W, _kf=kf: _kf(A, W)
-                for _ in range(3):
+                for _ in range(5):
                     sec = min(sec, measure_kernel(fn, args))
             except Exception:  # noqa: BLE001
                 pass

@@ -221,9 +221,12 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
                       out_dtype=jnp.float16, interpret: bool = False):
     """Length-masked decode attention for serving KV caches.
 
-    fn(q, k_cache, v_cache, lengths) with q [B, H, D] (one new token per
-    sequence), caches [B, Smax, Hkv, D], lengths [B] int32 (tokens valid,
-    INCLUDING the new one at position lengths-1). Returns [B, H, D].
+    fn(q, k_cache, v_cache, lengths[, slots]) with q [B, H, D] (one new
+    token per sequence), caches [rows, Smax, Hkv, D] (rows defaults to
+    B — pass the slot-cache row count and a `slots` [B] map to attend
+    straight out of the slot cache without materializing a gather),
+    lengths [B] int32 (tokens valid, INCLUDING the newest at position
+    lengths-1). Returns [B, H, D].
 
     KV blocks at or past a sequence's length are skipped: the kv index map
     clamps to the last active block, so trailing grid steps re-reference
@@ -234,6 +237,7 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
     """
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
+    assert dim % 128 == 0, "flash decode needs lane-aligned head dim"
     group = heads // kv_heads
     scale = 1.0 / math.sqrt(dim)
     block_kv = _legal_block(block_kv, max_seq_len)
@@ -245,16 +249,18 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
 
     # q rows padded to 8 (skinny MXU passes are cheap); row 0 is real.
     # (Scalar-prefetch refs arrive LAST in index maps.)
-    def q_map(bh, ki, lens):
-        del lens, ki
+    def q_map(bh, ki, lens, slots):
+        del lens, slots, ki
         return (bh, 0, 0)
 
-    def kv_map(bh, ki, lens):
+    def kv_map(bh, ki, lens, slots):
         b = bh // heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (b, jnp.minimum(ki, last), (bh % heads) // group)
+        return (slots[b], jnp.minimum(ki, last), (bh % heads) // group)
 
-    def kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+               acc_ref):
+        del slot_ref  # consumed by the index maps
         bh = pl.program_id(0)
         ki = pl.program_id(1)
         b = bh // heads
@@ -287,7 +293,7 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 8, dim), q_map),
@@ -310,18 +316,22 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
         interpret=interpret,
     )
 
-    def fn(q, k_cache, v_cache, lengths):
+    def fn(q, k_cache, v_cache, lengths, slots=None):
         B, H, D = q.shape
         assert (B, H, D) == (batch, heads, dim), (q.shape,)
-        Smax = k_cache.shape[1]
+        rows, Smax = k_cache.shape[0], k_cache.shape[1]
         assert Smax == max_seq_len, (k_cache.shape,)
+        if slots is None:
+            slots = jnp.arange(B, dtype=jnp.int32)
+            assert rows == B, (k_cache.shape, B)
         q8 = jnp.zeros((B * H, 8, D), q.dtype).at[:, 0, :].set(
             q.reshape(B * H, D))
-        k2 = k_cache.reshape(B, Smax, kv_heads * D)
-        v2 = v_cache.reshape(B, Smax, kv_heads * D)
+        k2 = k_cache.reshape(rows, Smax, kv_heads * D)
+        v2 = v_cache.reshape(rows, Smax, kv_heads * D)
         if not interpret and q8.dtype == f16:
             q8, k2, v2 = (t.astype(jnp.bfloat16) for t in (q8, k2, v2))
-        out = call(jnp.asarray(lengths, jnp.int32), q8, k2, v2)
+        out = call(jnp.asarray(lengths, jnp.int32),
+                   jnp.asarray(slots, jnp.int32), q8, k2, v2)
         return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
 
     return fn

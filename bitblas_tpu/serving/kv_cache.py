@@ -175,13 +175,29 @@ class BlockAllocator:
 
 def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
                      cache_v: jnp.ndarray, slots: jnp.ndarray,
-                     lengths: jnp.ndarray, *, num_heads: int) -> jnp.ndarray:
+                     lengths: jnp.ndarray, *, num_heads: int,
+                     use_flash: bool = None) -> jnp.ndarray:
     """Single-token attention against the cache.
 
     q [B, H, D]; cache_k/v [slots, L, Hkv, D]; lengths [B] = valid tokens
     (including the one just appended). Returns [B, H, D].
+
+    With a lane-aligned head dim the flash-decode kernel attends straight
+    out of the slot cache: no [B, L, Hkv, D] gather materializes and KV
+    blocks past each sequence's length are never read (length-proportional
+    IO at large max_seq_len). The XLA path remains for odd dims.
     """
     B, H, D = q.shape
+    if use_flash is None:
+        use_flash = D % 128 == 0
+    if use_flash:
+        from ..kernels.flash import make_flash_decode
+        from ..tuner import get_arch
+        fn = make_flash_decode(
+            batch=B, heads=H, max_seq_len=cache_k.shape[1], dim=D,
+            kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            interpret=get_arch().is_cpu)
+        return fn(q, cache_k, cache_v, lengths, slots)
     k = cache_k[slots]  # [B, L, Hkv, D]
     v = cache_v[slots]
     Hkv = k.shape[2]

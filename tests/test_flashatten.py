@@ -78,7 +78,7 @@ def test_flash_decode_length_masked():
     import jax
     from bitblas_tpu.kernels.flash import make_flash_decode
 
-    B, H, Hkv, D, Smax = 3, 8, 4, 64, 512
+    B, H, Hkv, D, Smax = 3, 8, 4, 128, 512
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float16))
     k = jnp.asarray(rng.standard_normal((B, Smax, Hkv, D)).astype(np.float16))
@@ -101,3 +101,27 @@ def test_flash_decode_length_masked():
         p /= p.sum(axis=1, keepdims=True)
         exp[b] = np.einsum("hk,khd->hd", p, vf[b, :L])
     assert_close(out, exp, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_decode_slot_mapped():
+    """Flash decode attending straight out of a slot cache (slots out of
+    order, more rows than sequences) matches the XLA slot-gather oracle."""
+    import jax
+    from bitblas_tpu.serving.kv_cache import decode_attention
+
+    B, H, Hkv, D, Smax, ROWS = 3, 4, 2, 128, 256, 6
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float16))
+    ck = jnp.asarray(rng.standard_normal((ROWS, Smax, Hkv, D))
+                     .astype(np.float16))
+    cv = jnp.asarray(rng.standard_normal((ROWS, Smax, Hkv, D))
+                     .astype(np.float16))
+    slots = jnp.asarray(np.array([4, 0, 2], np.int32))
+    lengths = jnp.asarray(np.array([9, 256, 100], np.int32))
+
+    out_flash = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                                 use_flash=True)
+    out_ref = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                               use_flash=False)
+    assert_close(np.asarray(out_flash, np.float32),
+                 np.asarray(out_ref, np.float32), rtol=2e-2, atol=2e-2)
