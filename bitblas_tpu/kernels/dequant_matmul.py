@@ -103,6 +103,16 @@ def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
             return numerics.decode_fp4_field(field, jnp.float16)
         return _cast(numerics.decode_fp4_field_f32(field), mma)
     if family == "nf":
+        if hint.lut_mode == "gather2d":
+            # Per-lane sublane gather: out[i, j] = tbl[field[i, j], j].
+            # This is the 2D gather Mosaic supports (the 1D table `take`
+            # is not) — one gather op instead of 15 VPU blends. The table
+            # arrives as a kernel input (Pallas rejects captured consts).
+            src = lut_vals if lut_vals is not None else \
+                jnp.asarray(NF4_TABLE, jnp.float32)
+            tbl = jnp.broadcast_to(src.astype(jnp.float32).reshape(16, 1),
+                                   (16, field.shape[-1]))
+            return _cast(jnp.take_along_axis(tbl, field, axis=0), mma)
         if lut_vals is not None:
             return _cast(jnp.take(lut_vals, field, axis=0), mma)
         lut = [float(v) for v in NF4_TABLE]
@@ -210,6 +220,10 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     # select mux.
     is_nf_take = (spec.family == "nf" and hint.lut_mode == "take"
                   and interpret)
+    # gather2d also streams the table in as a kernel input (Pallas rejects
+    # captured array constants).
+    needs_lut = is_nf_take or (spec.family == "nf"
+                               and hint.lut_mode == "gather2d")
 
     # Output-column segments within one [BM, BN] block: (col_start, width,
     # slot, packed_word_start). For 8-bit formats there is a single segment.
@@ -243,7 +257,7 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             (srows, 1, BN // e if quantized_zeros else BN), scale_index))
     if spec.with_bias:
         in_specs.append(pl.BlockSpec((1, BN), lambda i, j, k: (0, j)))
-    if is_nf_take:
+    if needs_lut:
         in_specs.append(pl.BlockSpec((1, 16), lambda i, j, k: (0, 0)))
 
     mask_v = (1 << spec.bits) - 1
@@ -259,7 +273,7 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             z_ref = refs[idx]; idx += 1
         if spec.with_bias:
             b_ref = refs[idx]; idx += 1
-        if is_nf_take:
+        if needs_lut:
             lut_ref = refs[idx]; idx += 1
         out_ref = refs[idx]; idx += 1
         acc_ref = refs[idx]
@@ -279,7 +293,7 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             words = words & 0xFFFF  # sign-extended int16 container
         # uint32 re-biases inside _decode_byte (no int32-domain mask exists)
         zwords = z_ref[...][:, 0, :].astype(jnp.int32) if quantized_zeros else None
-        lut_vals = lut_ref[0, :] if is_nf_take else None
+        lut_vals = lut_ref[0, :] if needs_lut else None
 
         use_tele_pre = (hint.decode_mode == "telescope" and spec.bits < 8
                         and spec.family in ("uint", "int"))
@@ -540,7 +554,7 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             args.append(zeros)
         if spec.with_bias:
             args.append(bias)
-        if is_nf_take:
+        if needs_lut:
             lut_dtype = jnp.float16 if (interpret and mma == jnp.float16) \
                 else jnp.float32
             args.append(jnp.asarray(NF4_TABLE, dtype=lut_dtype).reshape(1, 16))

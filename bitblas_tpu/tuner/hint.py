@@ -26,7 +26,10 @@ class TileHint:
     mma_dtype: str = "bfloat16"
     # lax precision for float dots: "default" | "high" | "highest".
     precision: str = "default"
-    # NF4 LUT strategy: "take" (dynamic gather) or "select" (branchless mux).
+    # NF4 LUT strategy: "take" (1D dynamic gather, interpret-only — Mosaic
+    # rejects it), "select" (branchless 15-blend mux), or "gather2d"
+    # (per-lane sublane gather: take_along_axis on a [16, width] table —
+    # the 2D gather Mosaic DOES support; ~1 op vs 15 blends).
     lut_mode: str = "take"
     # Sub-byte decode strategy for int/uint weights:
     #   "mask"      — per-slot shift+mask+cast (classic)
