@@ -200,15 +200,23 @@ class Matmul(Operator):
         buckets = sorted(self._kernels)
         if m <= buckets[-1]:
             return self.kernel_for(m)
-        # Larger than every bucket: build (and memoize) an exact-shape kernel
-        # reusing the largest bucket's hint.
+        # Larger than every bucket: build (and memoize) an exact-shape
+        # kernel. The largest bucket's hint is only reused when the
+        # overflow is a near miss (<=2x); a 16k-row prefill wants the
+        # large-M regime's tiling, so re-derive the analytic default at
+        # the true shape (tall bm, large-M preferences) instead.
         padded = -(-m // 512) * 512
         if padded not in self._extra_kernels:
             spec = self._make_spec(padded)
-            hint = self._kernels[buckets[-1]][0]
+            if padded <= 2 * buckets[-1]:
+                hint = self._kernels[buckets[-1]][0]
+            else:
+                from ..tuner import default_hint
+                hint = default_hint(spec, self.arch)
             self._extra_kernels[padded] = jax.jit(
                 self._build_kernel(spec, hint))
-            logger.info("%s: compiled overflow kernel m=%d", self.name, padded)
+            logger.info("%s: compiled overflow kernel m=%d (%s)", self.name,
+                        padded, hint.short_name())
         return self._extra_kernels[padded]
 
     def forward(self, A, W, scale=None, zeros=None, bias=None, output=None):

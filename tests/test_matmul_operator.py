@@ -159,3 +159,32 @@ def test_native_int4():
     expected = (np.asarray(ops.A).astype(np.int32)
                 @ np.asarray(ops.qweight).astype(np.int32).T)
     np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+def test_overflow_m_uses_large_m_hint():
+    """m far above the largest bucket must re-derive a large-M default
+    hint at the true shape, not reuse the small-bucket tiling (r1 weak #5);
+    numerics still match the oracle."""
+    cfg = MatmulConfig(M=(16, 64), N=256, K=256, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128,
+                       out_dtype="float32")
+    op = Matmul(cfg, enable_tuning=False)
+    m = 4096  # 64x the largest bucket
+    ops = random_reference_operands(cfg, m, 0)
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+    out = op.forward(jnp.asarray(ops.A), jnp.asarray(dw.qweight),
+                     scale=jnp.asarray(dw.scales))
+    assert out.shape == (m, cfg.N)
+    expected = matmul_reference(cfg, jnp.asarray(ops.A),
+                                jnp.asarray(ops.qweight),
+                                jnp.asarray(ops.scales))
+    assert_close(out, expected, rtol=5e-2, atol=2.0)
+    # the overflow kernel's hint should be a large-M derivation, not the
+    # m=64 bucket's hint verbatim
+    from bitblas_tpu.tuner import default_hint
+    big_spec = op._make_spec(4096)
+    assert 4096 in op._extra_kernels
+    want = default_hint(big_spec, op.arch)
+    assert want.block_m > 64 or want.short_name() != \
+        op._kernels[64][0].short_name()
