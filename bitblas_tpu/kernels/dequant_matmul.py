@@ -411,8 +411,23 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
 
             for t in range(BN // pack_n):
                 wt = words[:, t * sub_w:(t + 1) * sub_w]
-                shifted = [_cast(wt if j == 0 else (wt >> (j * spec.bits)),
-                                 mma) for j in range(e)]
+                if mma == jnp.float32:
+                    # f32-MXU GEMV decode shortcut: arithmetic >>(j*bits)
+                    # equals floor division by 2^(j*bits), exact in f32 for
+                    # |word| <= 128 — mul+floor (2 ops) replaces
+                    # i32-cast+shift+f32-cast (3 ops) per operand, and the
+                    # shared i32 word cast disappears. (bf16/int8 paths
+                    # keep integer shifts: the extra f32->bf16 cast would
+                    # eat the saving.)
+                    wt_f = raw[:, t * sub_w:(t + 1) * sub_w].astype(
+                        jnp.float32)
+                    shifted = [wt_f] + [
+                        jnp.floor(wt_f * (2.0 ** (-spec.bits * j)))
+                        for j in range(1, e)]
+                else:
+                    shifted = [_cast(wt if j == 0
+                                     else (wt >> (j * spec.bits)),
+                                     mma) for j in range(e)]
                 if tele_batched:
                     # One 3D dot per shifted operand covers every k-group
                     # (row-major reshapes are free); scale + int-bias fold
