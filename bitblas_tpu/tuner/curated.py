@@ -28,16 +28,22 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int) -> Optional[TileHint]:
         return TileHint(block_m=1024, block_n=1024, block_k=1024,
                         mma_dtype="int8", decode_mode="mask")
     if w_dtype == "uint4" and a_dtype in ("float16", "bfloat16"):
-        if m <= 16:
+        if m <= 8:
             # f32 operands: int32->f32 casts are cheaper than ->bf16 and
-            # the MXU ingests f32 at the bf16 element rate at small M
+            # the MXU ingests f32 at the bf16 element rate at small M.
+            # bn=256 measured 16.6us vs 17.5 at bn=512 (whole-K blocks).
+            return TileHint(block_m=256, block_n=256, block_k=4096,
+                            mma_dtype="float32", decode_mode="telescope")
+        if m <= 16:
+            # bn=512 whole-K: 15.8us (m=16 sweep 2026-08-17)
             return TileHint(block_m=256, block_n=512, block_k=4096,
                             mma_dtype="float32", decode_mode="telescope")
         if m <= 256:
             # whole-K block: one fat W DMA per N tile (~43us vs 56us)
             return TileHint(block_m=256, block_n=512, block_k=4096,
                             mma_dtype="bfloat16", decode_mode="telescope")
-        # tall blocks, small bk: 670-683us vs 775us for 1024x1024x256
-        return TileHint(block_m=1024, block_n=2048, block_k=512,
+        # single-N-tile tall blocks: A streamed once, W decoded once per
+        # 1024 rows (717-736us vs 741-752 for bn=2048; large-M sweep)
+        return TileHint(block_m=1024, block_n=4096, block_k=512,
                         mma_dtype="bfloat16", decode_mode="telescope")
     return None

@@ -240,7 +240,9 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         else:
             pool = prefer(lambda h: h.mma_dtype == "float32", pool)
             pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
-            pool = prefer(lambda h: h.block_n <= 512, pool)
+            # m=1 wants bn=256 (16.6us vs 17.5), m=16 bn=512 (15.8us)
+            bn_cap = 256 if spec.m <= 8 else 512
+            pool = prefer(lambda h: h.block_n <= bn_cap, pool)
         return pool[0]   # prefer() preserves the roofline-sorted order
     if (spec.bits < 8 and spec.family in ("uint", "int")
             and spec.is_int_activation):
@@ -278,9 +280,10 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.block_n <= 1024, pool)
         else:
             # large-M: tall blocks amortize W re-streams; small bk keeps the
-            # decoded working set in VMEM
+            # decoded working set in VMEM; a single-N-tile block streams A
+            # once (1024x4096x512: 717us vs 741 for bn=2048, largem sweep)
             pool = prefer(lambda h: h.block_m >= 512, pool)
             pool = prefer(lambda h: h.block_k <= 512, pool)
-            pool = prefer(lambda h: 1024 <= h.block_n <= 2048, pool)
+            pool = prefer(lambda h: h.block_n >= min(spec.n, 4096), pool)
         return pool[0]   # prefer() preserves the roofline-sorted order
     return hints[0]
