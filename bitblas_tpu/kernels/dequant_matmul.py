@@ -113,6 +113,16 @@ def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
             tbl = jnp.broadcast_to(src.astype(jnp.float32).reshape(16, 1),
                                    (16, field.shape[-1]))
             return _cast(jnp.take_along_axis(tbl, field, axis=0), mma)
+        if hint.lut_mode == "gatherlane":
+            # Lane-axis variant: out[i, j] = tbl[i, field[i, j]] with the
+            # 16-entry table replicated across sublanes — a dynamic lane
+            # shuffle rather than a sublane gather (probe for which form
+            # this libtpu's Mosaic actually lowers).
+            src = lut_vals if lut_vals is not None else \
+                jnp.asarray(NF4_TABLE, jnp.float32)
+            tbl = jnp.broadcast_to(src.astype(jnp.float32).reshape(1, 16),
+                                   (field.shape[0], 16))
+            return _cast(jnp.take_along_axis(tbl, field, axis=1), mma)
         if lut_vals is not None:
             return _cast(jnp.take(lut_vals, field, axis=0), mma)
         lut = [float(v) for v in NF4_TABLE]
@@ -222,8 +232,8 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                   and interpret)
     # gather2d also streams the table in as a kernel input (Pallas rejects
     # captured array constants).
-    needs_lut = is_nf_take or (spec.family == "nf"
-                               and hint.lut_mode == "gather2d")
+    needs_lut = is_nf_take or (spec.family == "nf" and
+                               hint.lut_mode in ("gather2d", "gatherlane"))
 
     # Output-column segments within one [BM, BN] block: (col_start, width,
     # slot, packed_word_start). For 8-bit formats there is a single segment.

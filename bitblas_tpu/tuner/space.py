@@ -230,6 +230,21 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
     if arch.name not in ("tpu_v5e", "cpu_interpret"):
         return hints[0]
 
+    if spec.family == "nf":
+        # NF4 decode is the VPU select mux (15 blends/elem; the LUT gather
+        # does not lower on this libtpu) — tile choice minimizes decode
+        # passes. Measured (tpu_nf4_gather_probe 2026-08-17): m=4096
+        # 1024x1024x1024 = 832us vs 860 for 1024x2048x512; small-m tiles
+        # within noise, whole-K narrow-N marginally best (101.4us at m=1).
+        pool = prefer(lambda h: h.mma_dtype == "bfloat16", hints)
+        if spec.m <= 256:
+            pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
+            pool = prefer(lambda h: h.block_n <= 512, pool)
+        else:
+            pool = prefer(lambda h: h.block_m >= 1024, pool)
+            pool = prefer(lambda h: h.block_n <= 1024, pool)
+            pool = prefer(lambda h: h.block_k == 1024, pool)
+        return pool[0]
     if spec.bits < 8 and spec.family in ("uint", "int") and spec.m <= 16:
         pool = hints
         pool = prefer(lambda h: h.decode_mode == "telescope", pool)
