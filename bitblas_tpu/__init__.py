@@ -22,7 +22,8 @@ from .ops.flashatten import FlashAtten, FlashAttenConfig  # noqa: F401
 from .ops.ladder_permutate import LadderPermutate, LadderPermutateConfig  # noqa: F401
 from .ops.lop3_permutate import LOP3Permutate, LOP3PermutateConfig  # noqa: F401
 from .ops.quant_compress import QuantCompress, QuantCompressConfig  # noqa: F401
-from .ops.conv2d import Conv2D, Conv2DConfig  # noqa: F401
+from .ops.conv2d import Conv2D, Conv2DConfig, QuantConv2D, \
+    QuantConv2DConfig  # noqa: F401
 from .ops.batch_matmul import BatchMatmul, BatchMatmulConfig  # noqa: F401
 from .tuner import (  # noqa: F401
     TileDevice,
@@ -50,7 +51,8 @@ __all__ = [
     "LadderPermutate", "LadderPermutateConfig",
     "LOP3Permutate", "LOP3PermutateConfig",
     "QuantCompress", "QuantCompressConfig",
-    "Conv2D", "Conv2DConfig", "BatchMatmul", "BatchMatmulConfig",
+    "Conv2D", "Conv2DConfig", "QuantConv2D", "QuantConv2DConfig",
+    "BatchMatmul", "BatchMatmulConfig",
     "TransformKind", "OptimizeStrategy",
     "TileDevice", "TileHint", "fast_tune", "fast_tune_with_dynamic_range",
     "auto_detect_tpu_target", "set_log_level",

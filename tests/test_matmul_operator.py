@@ -134,6 +134,33 @@ def test_conv2d_matches_xla():
     assert out.shape == (2, 16, 16, 32)
 
 
+def test_quant_conv2d_fused_matches_dense_conv():
+    """Fused dequant conv (im2col -> dequant-GEMM kernel) vs a dense conv
+    on the decoded filter. Beyond-reference capability (the reference's
+    ops/impl/convolution2d_impl.py is dense only)."""
+    from bitblas_tpu import Conv2D, Conv2DConfig, QuantConv2D, \
+        QuantConv2DConfig
+    rng = np.random.default_rng(2)
+    n, cin, h, w_, f, k = 2, 32, 8, 8, 64, 3
+    cfg = QuantConv2DConfig(N=n, C=cin, H=h, W=w_, F=f, K=k, S=1, P=1,
+                            W_dtype="uint4", group_size=-1,
+                            with_scaling=True)
+    op = QuantConv2D(cfg, enable_tuning=False)
+    codes = rng.integers(0, 16, (k, k, cin, f), dtype=np.uint8)
+    scale = (np.abs(rng.standard_normal((f, 1))) * 0.1 + 0.01).astype(
+        np.float16)
+    packed = op.transform_weight(codes, scale=scale)
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin)).astype(np.float16))
+    out = np.asarray(op.forward(x, *packed), np.float32)
+    assert out.shape == (n, h, w_, f)
+
+    dense = Conv2D(Conv2DConfig(N=n, C=cin, H=h, W=w_, F=f, K=k, S=1, P=1))
+    wf = codes.astype(np.float32) * scale.astype(np.float32)[None, None, :, :].transpose(0, 1, 3, 2)
+    exp = np.asarray(dense(x.astype(jnp.float32), jnp.asarray(wf)),
+                     np.float32)
+    assert_close(out, exp, rtol=2e-2, atol=0.2)
+
+
 def test_batch_matmul():
     from bitblas_tpu import BatchMatmul, BatchMatmulConfig
     rng = np.random.default_rng(1)
