@@ -145,26 +145,35 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         q_start = qi * block_q
         kv_start = ki * block_kv
 
-        def step():
-            q = q_ref[0]
-            k = k_ref[0]
-            v = v_ref[0]
-            m_new, l_new, acc_new = _attend_block(
-                q, k, v, m_ref[...], l_ref[...], acc_ref[...],
-                scale=scale, causal=causal, q_start=q_start,
-                kv_start=kv_start, block_q=block_q, block_kv=block_kv,
-                kv_len=seq_len if seq_len % block_kv else None,
-                k_transposed=trans_k)
-            m_ref[...] = m_new
-            l_ref[...] = l_new
-            acc_ref[...] = acc_new
+        def step(masked):
+            def _run():
+                q = q_ref[0]
+                k = k_ref[0]
+                v = v_ref[0]
+                m_new, l_new, acc_new = _attend_block(
+                    q, k, v, m_ref[...], l_ref[...], acc_ref[...],
+                    scale=scale, causal=masked, q_start=q_start,
+                    kv_start=kv_start, block_q=block_q, block_kv=block_kv,
+                    kv_len=seq_len if seq_len % block_kv else None,
+                    k_transposed=trans_k)
+                m_ref[...] = m_new
+                l_ref[...] = l_new
+                acc_ref[...] = acc_new
+            return _run
 
         if causal:
-            # Skip fully-masked KV blocks (static python branch on `causal`,
-            # dynamic predicate on block indices).
-            pl.when(kv_start <= q_start + block_q - 1)(step)
+            # Three dynamic regimes per block (static python branch on
+            # `causal`, dynamic predicates on block indices): fully masked
+            # (skip entirely), diagonal-intersecting (iota mask), and fully
+            # allowed (no mask ops at all — the VPU softmax chain is the
+            # serial bottleneck, so the ~4 mask ops/element matter).
+            live = kv_start <= q_start + block_q - 1
+            diag = kv_start + block_kv - 1 > q_start
+            pl.when(jnp.logical_and(live, diag))(step(True))
+            pl.when(jnp.logical_and(live, jnp.logical_not(diag)))(
+                step(False))
         else:
-            step()
+            step(False)()
 
         @pl.when(ki == nkv - 1)
         def _():
