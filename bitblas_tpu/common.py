@@ -26,15 +26,23 @@ def _machine_fingerprint() -> str:
     import hashlib
     import platform
     model = ""
+    flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "Processor")):
+                if not model and line.startswith(("model name", "Processor")):
                     model = line.split(":", 1)[1].strip()
+                elif not flags and line.startswith(("flags", "Features")):
+                    # Same model string can expose different ISA features
+                    # under different hypervisors — and XLA:CPU AOT entries
+                    # embed the feature set (mismatched loads warn about
+                    # SIGILL). Hash the flags too.
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                if model and flags:
                     break
     except OSError:
         model = platform.processor() or ""
-    tag = f"{platform.machine()}-{model}"
+    tag = f"{platform.machine()}-{model}-{flags}"
     return hashlib.sha1(tag.encode()).hexdigest()[:10]
 
 

@@ -3,7 +3,8 @@
 Interpret-mode tests cannot catch Mosaic lowering gaps (this sweep found
 the NF4 gather and e5m2 uint-cast hardware-only failures, 2026-08-17).
 Run once per libtpu bump. Note: e5m2's +-57344 range overflows f16
-outputs — inf in BOTH kernel and oracle is agreement, not failure.
+outputs — inf in BOTH kernel and oracle is agreement, not failure, so the
+comparison masks positions where both sides are non-finite and equal.
 """
 import numpy as np, jax.numpy as jnp
 from bitblas_tpu.kernels.dequant_matmul import make_dequant_matmul
@@ -14,15 +15,23 @@ from bitblas_tpu.ops.weight_transform import transform_reference_operands
 from bitblas_tpu.testing import random_reference_operands
 from bitblas_tpu.tuner import default_hint, get_arch
 
+GS = dict(with_scaling=True, group_size=128)
 CASES = [
-    ("fp4_e2m1", dict(with_scaling=True, group_size=128)),
+    ("uint4", GS),
+    ("int4", GS),
+    ("int2", GS),
+    ("nf4", GS),
+    ("fp4_e2m1", GS),
     ("e4m3_float8", {}),
     ("e5m2_float8", {}),
-    ("uint2", dict(with_scaling=True, group_size=128)),
-    ("uint1", dict(with_scaling=True, group_size=128)),
+    ("uint2", GS),
+    ("uint1", GS),
     ("int1", {}),
     ("int8", {}),
+    ("int16", {}),
+    ("int32", {}),
 ]
+failures = 0
 for w, kw in CASES:
     try:
         cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
@@ -38,8 +47,19 @@ for w, kw in CASES:
                                None if ops.scales is None
                                else jnp.asarray(ops.scales))
         r = np.asarray(ref, np.float32)
-        den = max(float(np.max(np.abs(r))), 1e-9)
-        rel = float(np.max(np.abs(np.asarray(out, np.float32) - r))) / den
-        print(f"{w:12s}: rel err {rel:.2e} ({hint.short_name()})", flush=True)
+        o = np.asarray(out, np.float32)
+        # Non-finite positions agree iff bit-identical (inf sign included);
+        # compare the rest numerically.
+        both_bad = ~np.isfinite(r) & (o == r)
+        cmp = np.where(both_bad, 0.0, o - np.where(np.isfinite(r), r, 0.0))
+        den = max(float(np.max(np.abs(r[np.isfinite(r)]))), 1e-9)
+        rel = float(np.max(np.abs(cmp))) / den
+        bad = "" if rel < 1e-2 else "  <-- WRONG"
+        failures += bool(bad)
+        print(f"{w:12s}: rel err {rel:.2e} ({hint.short_name()}){bad}",
+              flush=True)
     except Exception as ex:
+        failures += 1
         print(f"{w:12s}: FAIL {str(ex)[:100]}", flush=True)
+print(f"DONE {failures}")
+raise SystemExit(1 if failures else 0)
