@@ -69,6 +69,7 @@ def main():
     global_operator_cache.load_from_database()
 
     pcts = []
+    rows = []
     for m, cfg in configs:
         spec = KernelSpec.from_config(cfg, m)
         ops = random_reference_operands(cfg, m, 0)
@@ -112,18 +113,22 @@ def main():
         # scripts/tpu_ingest_probe.py for the measured ingestion rates.
         roof = max(t_bw, 2 * m * N * K / mxu, N * K / ingest)
 
+        def build_fn(hint):
+            kf = make_dequant_matmul(spec, hint, interpret=interpret)
+            if cfg.with_scaling:
+                return lambda A, W, S, _kf=kf: _kf(A, W, scales=S)
+            return lambda A, W, _kf=kf: _kf(A, W)
+
         best = None
         for hint in hints:
             try:
-                kf = make_dequant_matmul(spec, hint, interpret=interpret)
-                if cfg.with_scaling:
-                    fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)
-                else:
-                    fn = lambda A, W, _kf=kf: _kf(A, W)
+                fn = build_fn(hint)
                 if interpret:
                     sec = roofline_seconds(spec, hint, arch)
                 else:
-                    sec = measure_kernel(fn, args)
+                    # min-of-2 per candidate: a single hiccup must not
+                    # mis-pick the winner (noise is one-sided slow).
+                    sec = min(measure_kernel(fn, args) for _ in range(2))
                 if best is None or sec < best[0]:
                     best = (sec, hint)
             except Exception as ex:  # noqa: BLE001
@@ -131,7 +136,7 @@ def main():
                     f"{str(ex)[:120]}")
         if best is None:
             log(f"FAIL m={m} {cfg.W_dtype}x{cfg.A_dtype} — counted as 0%")
-            pcts.append(0.0)
+            rows.append(None)
             continue
         sec, hint = best
         if not interpret:
@@ -139,20 +144,39 @@ def main():
             # run, never speed one up); re-measure the winner several times
             # and keep the min — the honest estimator of kernel latency.
             try:
-                kf = make_dequant_matmul(spec, hint, interpret=interpret)
-                if cfg.with_scaling:
-                    fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)
-                else:
-                    fn = lambda A, W, _kf=kf: _kf(A, W)
-                for _ in range(5):
+                fn = build_fn(hint)
+                for _ in range(3):
                     sec = min(sec, measure_kernel(fn, args))
             except Exception:  # noqa: BLE001
                 pass
-        pct = 100.0 * roof / sec
+        rows.append(dict(m=m, cfg=cfg, hint=hint, build_fn=build_fn,
+                         args=args, roof=roof, t_bw=t_bw, sec=sec))
+
+    # Deferred re-measure passes: a degraded tunnel window during one row's
+    # first-pass samples would otherwise poison that row for the whole run.
+    # Sweeping all rows again minutes later min-merges across windows.
+    if not interpret:
+        for _ in range(2):
+            for row in rows:
+                if row is None:
+                    continue
+                try:
+                    fn = row["build_fn"](row["hint"])
+                    row["sec"] = min(row["sec"],
+                                     measure_kernel(fn, row["args"]))
+                except Exception:  # noqa: BLE001
+                    pass
+
+    for row in rows:
+        if row is None:
+            pcts.append(0.0)
+            continue
+        cfg, sec = row["cfg"], row["sec"]
+        pct = 100.0 * row["roof"] / sec
         pcts.append(pct)
-        log(f"{cfg.W_dtype}x{cfg.A_dtype} m={m:5d}: {sec*1e6:8.1f}us "
-            f"roof={roof*1e6:7.1f}us (bw {t_bw*1e6:6.1f}us) "
-            f"pct={pct:5.1f}% ({hint.short_name()})")
+        log(f"{cfg.W_dtype}x{cfg.A_dtype} m={row['m']:5d}: {sec*1e6:8.1f}us "
+            f"roof={row['roof']*1e6:7.1f}us (bw {row['t_bw']*1e6:6.1f}us) "
+            f"pct={pct:5.1f}% ({row['hint'].short_name()})")
 
     mean_pct = float(np.mean(pcts)) if pcts else 0.0
     print(json.dumps({
