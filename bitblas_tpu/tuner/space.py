@@ -190,6 +190,14 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                             if vmem_usage(spec, h) > arch.vmem_bytes:
                                 continue
                             hints.append(h)
+                            if spec.family == "nf":
+                                # The nested mux4 LUT saves ~25% of the NF4
+                                # decode ops vs the flat select; let the
+                                # measured tuner choose between them.
+                                hints.append(TileHint(
+                                    block_m=bm, block_n=bn, block_k=bk,
+                                    mma_dtype=mma, decode_mode=dm,
+                                    group_mode=gm, lut_mode="mux4"))
 
     hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
     return hints[:max_candidates]

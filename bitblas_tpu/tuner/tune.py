@@ -58,7 +58,7 @@ def _stratified_candidates(hints: Sequence[TileHint],
     /root/reference/bitblas/base/roller/policy/default.py:37-95)."""
     def family(h: TileHint):
         return (h.block_k >= 2048, h.block_n >= 1024, h.mma_dtype,
-                h.decode_mode, h.group_mode)
+                h.decode_mode, h.group_mode, h.lut_mode)
 
     half = max(topk // 2, 1)
     picked: List[TileHint] = list(hints[:half])

@@ -116,13 +116,17 @@ def main():
         hints = [TileHint(block_m=max(m, 8), block_n=512, block_k=4096,
                           mma_dtype="bfloat16", decode_mode="mask",
                           lut_mode=lm)
-                 for lm in ("select", "gather2d", "gatherlane")]
+                 for lm in ("select", "mux4", "gather2d", "gatherlane")]
         run(nf, m, hints, 11.0, check=True)
     nf = MatmulConfig(M=4096, N=N, K=K, A_dtype="float16", W_dtype="nf4",
                       with_scaling=True, group_size=128, out_dtype="float16")
     hints = [TileHint(block_m=1024, block_n=1024, block_k=bk,
                       mma_dtype="bfloat16", decode_mode="mask", lut_mode=lm)
-             for bk in (512, 1024) for lm in ("select", "gatherlane")]
+             for bk in (512, 1024) for lm in ("select", "mux4", "gatherlane")]
+    hints += [TileHint(block_m=2048, block_n=2048, block_k=512,
+                       mma_dtype="bfloat16", decode_mode="mask",
+                       lut_mode=lm, vmem_limit_bytes=100 * 2**20)
+              for lm in ("select", "mux4")]
     run(nf, 4096, hints, 670.4, reps=2)
 
 
