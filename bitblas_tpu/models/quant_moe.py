@@ -1,0 +1,186 @@
+"""Quantized Mixtral-style MoE FFN on the fused dequant kernels.
+
+The reference (BitBLAS) stops at per-layer GEMMs; MoE models route their
+expert FFNs through repeated quantized matmuls (its vLLM/GPTQ
+integrations, e.g. integration/pytorch/bitblas_quant_linear.py). Here the
+MoE block is in-tree and TPU-first:
+
+* dense GShard-style top-k dispatch — one-hot einsums with a static
+  capacity, no ragged control flow, so the whole block jits and shards;
+* every expert projection is the fused W_UINT4 A_FP16 grouped matmul
+  (kernels/dequant_matmul.py), same device layout as QuantLlama;
+* expert parallelism lives in parallel/moe.py: experts shard over an
+  "ep" mesh axis under shard_map and outputs join with one psum.
+
+Routing follows the standard top-k-with-capacity formulation (GShard /
+Switch): tokens pick their top_k experts by router probability, each
+expert takes at most `capacity` tokens (slot-major priority), overflow
+tokens fall through with zero contribution from the dropped slot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.matmul import Matmul
+from ..ops.matmul_config import MatmulConfig
+
+
+@dataclass
+class MoEConfig:
+    hidden_size: int = 512
+    intermediate_size: int = 1024
+    n_experts: int = 4
+    top_k: int = 2
+    capacity_factor: float = 1.5
+    group_size: int = 128
+    act_dtype: str = "float16"
+
+
+def moe_capacity(cfg: MoEConfig, tokens: int) -> int:
+    """Static per-expert buffer size: ceil(T*k/E * factor), sublane-aligned
+    (multiples of 8 keep the expert matmul M Mosaic-legal)."""
+    c = int(np.ceil(tokens * cfg.top_k / cfg.n_experts * cfg.capacity_factor))
+    return max(8, (c + 7) // 8 * 8)
+
+
+def dispatch_combine(logits: jnp.ndarray, top_k: int, capacity: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Router logits [T, E] -> (dispatch [T, E, C] 0/1, combine [T, E, C]).
+
+    Slot-major priority: all tokens' first choices claim buffer slots
+    before any second choice, matching GShard's position_in_expert
+    cumsum. Pure one-hot algebra — no scatters, static shapes.
+    """
+    T, E = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gate_vals, expert_idx = jax.lax.top_k(probs, top_k)      # [T, k]
+    gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
+
+    onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)  # [T, k, E]
+    flat = onehot.transpose(1, 0, 2).reshape(T * top_k, E)     # slot-major
+    pos = jnp.cumsum(flat, axis=0) - flat                      # [T*k, E]
+    pos_in_e = jnp.sum(pos * flat, axis=-1)                    # [T*k]
+    fits = (pos_in_e < capacity).astype(jnp.float32)
+
+    disp_flat = flat * fits[:, None]                           # [T*k, E]
+    pos_oh = jax.nn.one_hot(pos_in_e.astype(jnp.int32), capacity,
+                            dtype=jnp.float32)                 # [T*k, C]
+    full = disp_flat[:, :, None] * pos_oh[:, None, :]          # [T*k, E, C]
+    gates_flat = gate_vals.transpose(1, 0).reshape(T * top_k)
+    dispatch = full.reshape(top_k, T, E, capacity).sum(0)
+    combine = (gates_flat[:, None, None] * full).reshape(
+        top_k, T, E, capacity).sum(0)
+    return dispatch, combine
+
+
+_EXPERT_PROJS = (("gate", "hidden_size", "intermediate_size"),
+                 ("up", "hidden_size", "intermediate_size"),
+                 ("down", "intermediate_size", "hidden_size"))
+
+
+def make_expert_weights(cfg: MoEConfig, seed: int = 0
+                        ) -> Dict[str, List[tuple]]:
+    """Random per-expert GPTQ-layout operands (codes, scales, zeros) in
+    reference layout — contractive scales, zero point 8 (the QuantLlama
+    fixture conventions; see models/quant_llama.py)."""
+    rng = np.random.default_rng(seed)
+    out: Dict[str, List[tuple]] = {}
+    for name, kin, kout in _EXPERT_PROJS:
+        K, N = getattr(cfg, kin), getattr(cfg, kout)
+        g = cfg.group_size
+        per = []
+        for _ in range(cfg.n_experts):
+            codes = rng.integers(0, 16, (N, K)).astype(np.int8)
+            scales = (np.abs(rng.standard_normal((N, K // g))) * 0.004
+                      + 0.004).astype(np.float16)
+            zeros = np.full((N, K // g), 8.0, np.float16)
+            per.append((codes, scales, zeros))
+        out[name] = per
+    return out
+
+
+class QuantMoELayer:
+    """Single-device MoE FFN; `tokens` (T) is static at construction, like
+    every shape in this library."""
+
+    def __init__(self, cfg: MoEConfig, tokens: int, *, seed: int = 0,
+                 enable_tuning: bool = False):
+        self.cfg = cfg
+        self.tokens = tokens
+        self.capacity = moe_capacity(cfg, tokens)
+        rng = np.random.default_rng(seed + 1)
+        self.router = jnp.asarray(
+            rng.standard_normal((cfg.hidden_size, cfg.n_experts)) * 0.05,
+            jnp.float32)
+        self.ops: Dict[str, Matmul] = {}
+        self.weights: Dict[str, List[tuple]] = {}
+        raw = make_expert_weights(cfg, seed)
+        self._raw = raw          # reference layouts, kept for the oracle
+        for name, kin, kout in _EXPERT_PROJS:
+            K, N = getattr(cfg, kin), getattr(cfg, kout)
+            mcfg = MatmulConfig(M=self.capacity, N=N, K=K,
+                                A_dtype=cfg.act_dtype, W_dtype="uint4",
+                                with_scaling=True, with_zeros=True,
+                                zeros_mode="original",
+                                group_size=cfg.group_size,
+                                out_dtype=cfg.act_dtype)
+            op = Matmul(mcfg, enable_tuning=enable_tuning)
+            self.ops[name] = op
+            self.weights[name] = [
+                op.transform_weight(codes, scale=s, zeros=z)
+                for codes, s, z in raw[name]]
+
+    def _expert_ffn(self, e: int, x: jnp.ndarray) -> jnp.ndarray:
+        def proj(name, inp):
+            W, S, Z = self.weights[name][e]
+            return self.ops[name].forward(inp, W, scale=S, zeros=Z)
+        g = proj("gate", x)
+        u = proj("up", x)
+        h = (jax.nn.silu(g.astype(jnp.float32))
+             * u.astype(jnp.float32)).astype(x.dtype)
+        return proj("down", h)
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x [T, H] -> [T, H]."""
+        assert x.shape[0] == self.tokens, (x.shape, self.tokens)
+        logits = x.astype(jnp.float32) @ self.router
+        dispatch, combine = dispatch_combine(logits, self.cfg.top_k,
+                                             self.capacity)
+        xin = jnp.einsum("tec,th->ech", dispatch.astype(x.dtype), x)
+        outs = jnp.stack([self._expert_ffn(e, xin[e])
+                          for e in range(self.cfg.n_experts)])
+        y = jnp.einsum("tec,ech->th", combine,
+                       outs.astype(jnp.float32))
+        return y.astype(x.dtype)
+
+
+def moe_reference(layer: QuantMoELayer, x: jnp.ndarray) -> jnp.ndarray:
+    """Oracle: same routing algebra, experts as decoded-weight einsums
+    (ops/reference.py semantics) in f32."""
+    from ..ops.reference import dequantize_weight
+    from ..quantization import packing
+    cfg = layer.cfg
+    logits = x.astype(jnp.float32) @ layer.router
+    dispatch, combine = dispatch_combine(logits, cfg.top_k, layer.capacity)
+    xin = jnp.einsum("tec,th->ech", dispatch, x.astype(jnp.float32))
+    outs = []
+    for e in range(cfg.n_experts):
+        ws = {}
+        for name, _, _ in _EXPERT_PROJS:
+            op = layer.ops[name]
+            codes, s, z = layer._raw[name][e]
+            ws[name] = dequantize_weight(
+                op.config, jnp.asarray(packing.general_compress(codes, 4)),
+                jnp.asarray(s), jnp.asarray(z)).astype(jnp.float32)
+        g = xin[e] @ ws["gate"].T
+        u = xin[e] @ ws["up"].T
+        h = jax.nn.silu(g) * u
+        outs.append(h @ ws["down"].T)
+    y = jnp.einsum("tec,ech->th", combine, jnp.stack(outs))
+    return y

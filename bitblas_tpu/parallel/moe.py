@@ -1,0 +1,121 @@
+"""Expert-parallel MoE placement over an "ep" mesh axis.
+
+Experts shard across devices (leading dim of the stacked per-expert
+weights); the router and activations are replicated. Each device computes
+the full dispatch (the router is a tiny dense matmul), slices out its
+local experts' dispatch/combine columns with its axis index, runs the
+fused quantized FFN for its local experts, and joins the partial outputs
+with ONE psum — the dense-dispatch formulation of GShard-style expert
+parallelism (no all_to_all needed while activations are replicated;
+compose with dp/tp axes for the sharded-activation variant).
+
+Reference: the reference library has no parallelism layer (SURVEY.md
+§2.11); this extends the same fused-kernel surface the way
+parallel/layers.py does for TP.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..kernels.dequant_matmul import make_dequant_matmul
+from ..kernels.spec import KernelSpec
+from ..models.quant_moe import (MoEConfig, QuantMoELayer, _EXPERT_PROJS,
+                                dispatch_combine)
+from ..tuner import default_hint, get_arch
+
+
+class EPQuantMoELayer:
+    """Expert-parallel wrapper; built from a single-device QuantMoELayer so
+    tests can assert EP == single-device numerics."""
+
+    def __init__(self, layer: QuantMoELayer, mesh: Mesh, axis: str = "ep",
+                 interpret: Optional[bool] = None):
+        cfg = layer.cfg
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self.tokens = layer.tokens
+        self.capacity = layer.capacity
+        ep = mesh.shape[axis]
+        assert cfg.n_experts % ep == 0, "n_experts must divide ep"
+        self.e_local = cfg.n_experts // ep
+        arch = get_arch()
+        if interpret is None:
+            interpret = arch.is_cpu
+
+        # Per-projection local kernels (full local N/K; experts are whole).
+        self.fns = {}
+        for name, _, _ in _EXPERT_PROJS:
+            mcfg = layer.ops[name].config
+            spec = KernelSpec.from_config(mcfg, self.capacity)
+            hint = default_hint(spec, arch)
+            self.fns[name] = make_dequant_matmul(spec, hint,
+                                                 interpret=interpret)
+
+        # Stack per-expert device-layout weights on a leading expert dim
+        # and shard that dim over the ep axis.
+        def stack_shard(parts):
+            stacked = jnp.stack(parts)
+            spec = P(axis, *([None] * (stacked.ndim - 1)))
+            return jax.device_put(stacked, NamedSharding(mesh, spec))
+
+        self.weights = {}
+        for name, _, _ in _EXPERT_PROJS:
+            Ws, Ss, Zs = zip(*layer.weights[name])
+            self.weights[name] = (stack_shard(Ws), stack_shard(Ss),
+                                  stack_shard(Zs))
+        self.router = jax.device_put(
+            layer.router, NamedSharding(mesh, P(None, None)))
+        self._fn = self._build()
+
+    def _build(self):
+        cfg, axis = self.cfg, self.axis
+        e_local, cap = self.e_local, self.capacity
+        fns = self.fns
+
+        def f(x, router, Wg, Sg, Zg, Wu, Su, Zu, Wd, Sd, Zd):
+            logits = x.astype(jnp.float32) @ router
+            dispatch, combine = dispatch_combine(logits, cfg.top_k, cap)
+            e0 = jax.lax.axis_index(axis) * e_local
+            disp = jax.lax.dynamic_slice_in_dim(dispatch, e0, e_local, 1)
+            comb = jax.lax.dynamic_slice_in_dim(combine, e0, e_local, 1)
+            xin = jnp.einsum("tec,th->ech", disp.astype(x.dtype), x)
+            outs = []
+            for e in range(e_local):
+                g = fns["gate"](xin[e], Wg[e], scales=Sg[e], zeros=Zg[e])
+                u = fns["up"](xin[e], Wu[e], scales=Su[e], zeros=Zu[e])
+                h = (jax.nn.silu(g.astype(jnp.float32))
+                     * u.astype(jnp.float32)).astype(x.dtype)
+                outs.append(fns["down"](h, Wd[e], scales=Sd[e], zeros=Zd[e]))
+            y = jnp.einsum("tec,ech->th", comb,
+                           jnp.stack(outs).astype(jnp.float32))
+            return jax.lax.psum(y.astype(jnp.float32), axis)
+
+        shard_dim = lambda a: P(axis, *([None] * (a.ndim - 1)))
+        w_specs = []
+        for name, _, _ in _EXPERT_PROJS:
+            w_specs.extend(shard_dim(w) for w in self.weights[name])
+        sm = shard_map(
+            f, mesh=self.mesh,
+            in_specs=(P(None, None), P(None, None), *w_specs),
+            out_specs=P(None, None), check_vma=False)
+
+        def fn(x):
+            flat = []
+            for name, _, _ in _EXPERT_PROJS:
+                flat.extend(self.weights[name])
+            return sm(x, self.router, *flat).astype(x.dtype)
+
+        return fn
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert x.shape[0] == self.tokens, (x.shape, self.tokens)
+        return self._fn(x)
