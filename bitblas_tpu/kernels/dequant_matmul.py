@@ -186,6 +186,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     Returns fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
     Device layouts are hint-independent (see module docstring).
     """
+    if hint.decode_mode == "materialize":
+        # Two-pass plan: decode to a dense HBM operand once, then the
+        # vendor-tuned dense dot (kernels/materialize.py — wins at large M
+        # where the fused kernel re-decodes per M tile).
+        from .materialize import make_materialize_matmul
+        return make_materialize_matmul(spec, hint, interpret=interpret)
     M, N_out, K = spec.m, spec.n, spec.k
     N = spec.n_padded   # device layout N (see KernelSpec.n_padded)
     e = spec.elems_per_word

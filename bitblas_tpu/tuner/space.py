@@ -46,6 +46,8 @@ def _dtype_bytes(name: str) -> int:
 
 def vmem_usage(spec: KernelSpec, hint: TileHint) -> int:
     """Rough VMEM working-set estimate (double-buffered inputs)."""
+    if hint.decode_mode == "materialize":
+        return 0  # XLA-managed two-pass plan; no Pallas VMEM budget
     e = spec.elems_per_word
     BM, BN, BK = hint.block_m, hint.block_n, hint.block_k
     a_bytes = BM * BK * _dtype_bytes(spec.a_dtype)
@@ -72,6 +74,26 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
     """Analytic lower-bound time: max(memory, MXU, VPU decode)."""
     M, N, K = spec.m, spec.n_padded, spec.k
     e = spec.elems_per_word
+    if hint.decode_mode == "materialize":
+        # Two-pass: decode pass (HBM-stream the packed weights out as a
+        # dense operand, VPU-decoding on the way) + vendor dense dot.
+        w_packed = K * (N // e) * max(1, spec.storage_bits // 8)
+        mma_b = 1 if hint.mma_dtype == "int8" else 2
+        dense_b = K * N * mma_b
+        dec_ops = 2.0 if spec.family in ("uint", "int") else 3.0
+        t_dec = max((w_packed + dense_b) / arch.hbm_bandwidth,
+                    K * N * dec_ops / arch.vpu_ops)
+        mxu = arch.flops_int8 if hint.mma_dtype == "int8" else arch.flops_bf16
+        a_b = M * K * _dtype_bytes(spec.a_dtype)
+        o_b = M * N * _dtype_bytes(spec.out_dtype)
+        ingest = (arch.mxu_ingest_int8 if hint.mma_dtype == "int8"
+                  else arch.mxu_ingest_bf16)
+        t_dot = max(2 * M * N * K / mxu,
+                    (a_b + dense_b + o_b) / arch.hbm_bandwidth,
+                    K * N / ingest)
+        # the measured vendor dot sustains ~94% of peak — bake the derate
+        # in so fused plans are not unfairly dominated at mid M
+        return t_dec + t_dot / 0.94
     BM = min(hint.block_m, max(M, 8))
     m_tiles = math.ceil(max(M, 8) / BM)
     n_tiles = N // hint.block_n
@@ -198,6 +220,22 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                                     block_m=bm, block_n=bn, block_k=bk,
                                     mma_dtype=mma, decode_mode=dm,
                                     group_mode=gm, lut_mode="mux4"))
+
+    # Two-pass materialize plan (kernels/materialize.py): decode the packed
+    # weights to a dense HBM operand once, then the vendor dense dot. Wins
+    # once M is large enough that the fused kernel's per-M-tile re-decode
+    # exceeds the one-time decode pass; emitted from M>=512 and the tuner
+    # measures it against the fused plans. Tile fields are inert for this
+    # plan (XLA owns tiling) but keep legal values for vmem/display.
+    if M >= 512:
+        from ..kernels.materialize import supports_materialize
+        mat_mmas = ("int8",) if spec.is_int_activation else ("bfloat16",)
+        for mm in mat_mmas:
+            h = TileHint(block_m=min(512, M), block_n=bn_opts[0],
+                         block_k=bk_opts[0], mma_dtype=mm,
+                         decode_mode="materialize")
+            if supports_materialize(spec, h):
+                hints.append(h)
 
     hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
     return hints[:max_candidates]
