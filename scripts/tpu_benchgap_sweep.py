@@ -76,6 +76,21 @@ def main():
                  for bn in (2048, 4096) for bk in (512, 1024, 2048, 4096)]
         run(cfg, m, hints, roof)
 
+    # --- u4 m=16: between the m=1 serial floor and the m=256 whole-K win
+    # (bench row at 71%; VERDICT r1 #1 asks for an explicit sweep) ---
+    u4s = MatmulConfig(M=16, N=N, K=K, A_dtype="float16", W_dtype="uint4",
+                       with_scaling=True, group_size=128,
+                       fast_decoding=False, out_dtype="float16")
+    hints = [TileHint(block_m=16, block_n=bn, block_k=bk,
+                      mma_dtype="float32", decode_mode="telescope")
+             for bn in (128, 256, 512, 1024) for bk in (2048, 4096)]
+    hints += [TileHint(block_m=16, block_n=bn, block_k=4096,
+                       mma_dtype="bfloat16", decode_mode="telescope")
+              for bn in (256, 512)]
+    hints += [TileHint(block_m=16, block_n=512, block_k=4096,
+                       mma_dtype="float32", decode_mode="mask")]
+    run(u4s, 16, hints, 11.2)
+
     # --- u4 m=256: whole-K narrow-N variants around the 51.4us curated ---
     u4 = MatmulConfig(M=256, N=N, K=K, A_dtype="float16", W_dtype="uint4",
                       with_scaling=True, group_size=128,
