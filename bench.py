@@ -43,6 +43,32 @@ def main():
     N = K = 4096
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
 
+    if not interpret:
+        # The shared tunnel/compile service has multi-hour outage windows
+        # (CLAUDE.md). A dead tunnel at bench time would zero every row —
+        # health-gate with a bounded wait (each probe in a subprocess so a
+        # wedged backend init cannot hang the bench itself).
+        import subprocess
+        import time
+        budget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 1800))
+        probe = ("import jax, jax.numpy as jnp;"
+                 "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
+                 "x.block_until_ready(); print('healthy')")
+        t0 = time.time()
+        while time.time() - t0 < budget:
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   timeout=150, capture_output=True,
+                                   text=True)
+                if r.returncode == 0 and "healthy" in r.stdout:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            log(f"bench: tunnel unhealthy, waiting "
+                f"({time.time()-t0:.0f}s/{budget:.0f}s)")
+        else:
+            log("bench: tunnel never became healthy — measuring anyway")
+
     # Curated hints: single source of truth in tuner/curated.py (the
     # sweep-measured winners; scripts/seed_curated_hints.py installs the
     # same table into the operator DB).
@@ -154,8 +180,13 @@ def main():
                 log(f"bench candidate failed: {hint.short_name()}: "
                     f"{str(ex)[:120]}")
         if best is None:
-            log(f"FAIL m={m} {cfg.W_dtype}x{cfg.A_dtype} — counted as 0%")
-            rows.append(None)
+            # Keep the row retryable: the deferred passes below re-attempt
+            # it minutes later (a transient outage must not zero a row).
+            log(f"FAIL m={m} {cfg.W_dtype}x{cfg.A_dtype} — will retry in "
+                f"deferred passes")
+            rows.append(dict(m=m, cfg=cfg, hint=hints[0], build_fn=build_fn,
+                             args=args, roof=roof, t_bw=t_bw, sec=None,
+                             tkw=timing_kwargs(hints[0])))
             continue
         sec, hint = best
         if not interpret:
@@ -183,14 +214,15 @@ def main():
                     continue
                 try:
                     fn = row["build_fn"](row["hint"])
-                    row["sec"] = min(row["sec"],
-                                     measure_kernel(fn, row["args"],
-                                                    **row["tkw"]))
+                    s = measure_kernel(fn, row["args"], **row["tkw"])
+                    row["sec"] = s if row["sec"] is None \
+                        else min(row["sec"], s)
                 except Exception:  # noqa: BLE001
                     pass
 
     for row in rows:
-        if row is None:
+        if row is None or row["sec"] is None:
+            log(f"FAIL row (never measured) — counted as 0%")
             pcts.append(0.0)
             continue
         cfg, sec = row["cfg"], row["sec"]
