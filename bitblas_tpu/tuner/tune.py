@@ -44,12 +44,12 @@ def _measure_candidate(builder: Callable[[TileHint], Callable],
     fn = builder(hint)
     full_dep = False
     if hint.decode_mode == "materialize":
-        # Transparent-XLA plan: inject the carry into the packed weights
-        # (else XLA hoists the decode out of the timing loop) and consume
-        # the full output (else the dense dot can be sliced).
+        # Transparent-XLA plan: the carry MUST ride the packed weights
+        # (else XLA hoists the decode out of the timing loop and the
+        # candidate falsely wins) and the full output must be consumed
+        # (else the dense dot can be sliced) — override any caller inject.
         from ..kernels.materialize import timing_controls
-        mat_inject, full_dep = timing_controls(hint)
-        inject = mat_inject if inject is None else inject
+        inject, full_dep = timing_controls(hint)
     chained = make_chained(fn, args, inject=inject, full_output_dep=full_dep)
     return measure_chained(chained, target_sec=0.03, repeats=2)
 
