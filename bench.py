@@ -109,6 +109,15 @@ def main():
         safe = TileHint(block_m=256, block_n=1024, block_k=1024,
                         mma_dtype="bfloat16", decode_mode="telescope")
         hints = [curated(m, cfg.W_dtype), safe]
+        if cfg.A_dtype == "float16" and m <= 256:
+            # Activation-split plan (kernels/asplit.py): float GEMV on the
+            # int8-MXU telescope — attacks the ingestion-bound small-M rows.
+            from bitblas_tpu.kernels.asplit import supports_asplit
+            for bn, bk in ((2048, 1024), (512, 4096)):
+                h = TileHint(block_m=256, block_n=bn, block_k=bk,
+                             mma_dtype="int8", decode_mode="asplit")
+                if supports_asplit(spec, h):
+                    hints.append(h)
         if m >= 512:
             # Two-pass materialize plan (decode once -> vendor dense dot);
             # measured against the fused winners at large M.
@@ -161,6 +170,9 @@ def main():
             # the decode / slices the dot (kernels/materialize.py note).
             if hint.decode_mode == "materialize":
                 return dict(inject=1, full_output_dep=True)
+            if hint.decode_mode == "asplit":
+                # carry rides A so the XLA quantize prologue stays in-loop
+                return dict(inject=0)
             return {}
 
         best = None

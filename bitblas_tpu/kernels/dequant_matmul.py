@@ -192,6 +192,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         # where the fused kernel re-decodes per M tile).
         from .materialize import make_materialize_matmul
         return make_materialize_matmul(spec, hint, interpret=interpret)
+    if hint.decode_mode == "asplit":
+        # Activation-split plan: exact 2x int8 fixed-point split of float
+        # activations feeding the int8-MXU telescope (kernels/asplit.py —
+        # targets the ingestion-bound small-M float-activation GEMV).
+        from .asplit import make_asplit_matmul
+        return make_asplit_matmul(spec, hint, interpret=interpret)
     M, N_out, K = spec.m, spec.n, spec.k
     N = spec.n_padded   # device layout N (see KernelSpec.n_padded)
     e = spec.elems_per_word

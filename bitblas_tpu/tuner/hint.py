@@ -37,6 +37,12 @@ class TileHint:
     #                 linear combination in the f32 epilogue (fewer VPU ops;
     #                 exact because byte values are bf16-exact and MXU
     #                 products round only at f32 accumulation)
+    #   "materialize" — two-pass plan: decode the packed weights to a dense
+    #                 HBM operand once (XLA pass), then the vendor dense dot
+    #                 (kernels/materialize.py; wins at large M)
+    #   "asplit"    — exact 15-bit hi/lo int8 split of float activations
+    #                 feeding the int8-MXU telescope at 2M rows
+    #                 (kernels/asplit.py; targets ingestion-bound small M)
     decode_mode: str = "mask"
     # Group handling when scales make the k-tile span multiple groups:
     #   "loop"    — one dot + scalar-row epilogue per group

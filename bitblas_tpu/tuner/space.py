@@ -48,6 +48,10 @@ def vmem_usage(spec: KernelSpec, hint: TileHint) -> int:
     """Rough VMEM working-set estimate (double-buffered inputs)."""
     if hint.decode_mode == "materialize":
         return 0  # XLA-managed two-pass plan; no Pallas VMEM budget
+    if hint.decode_mode == "asplit":
+        from ..kernels.asplit import _inner_spec_hint
+        ispec, ihint = _inner_spec_hint(spec, hint)
+        return vmem_usage(ispec, ihint)
     e = spec.elems_per_word
     BM, BN, BK = hint.block_m, hint.block_n, hint.block_k
     a_bytes = BM * BK * _dtype_bytes(spec.a_dtype)
@@ -94,6 +98,13 @@ def roofline_seconds(spec: KernelSpec, hint: TileHint,
         # the measured vendor dot sustains ~94% of peak — bake the derate
         # in so fused plans are not unfairly dominated at mid M
         return t_dec + t_dot / 0.94
+    if hint.decode_mode == "asplit":
+        # Activation-split: the inner int8-telescope kernel at 2M rows plus
+        # a (negligible) XLA quantize prologue / combine epilogue.
+        from ..kernels.asplit import _inner_spec_hint
+        ispec, ihint = _inner_spec_hint(spec, hint)
+        t_q = (3.0 * M * spec.k + 2.0 * M * N) / arch.vpu_ops
+        return roofline_seconds(ispec, ihint, arch) + t_q
     BM = min(hint.block_m, max(M, 8))
     m_tiles = math.ceil(max(M, 8) / BM)
     n_tiles = N // hint.block_n
@@ -236,6 +247,30 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                          decode_mode="materialize")
             if supports_materialize(spec, h):
                 hints.append(h)
+
+    # Activation-split plan (kernels/asplit.py): float activations exactly
+    # split into 2 int8 planes feeding the int8-MXU telescope. Wins in the
+    # ingestion-bound small-M regime (int8 ingests ~1.23x faster than
+    # bf16/f32 and the telescope decode drops to byte shifts); at M>~256
+    # the doubled row count cancels the int8 MXU-rate advantage. Emit the
+    # measured int-act small-M tile families and let the tuner decide.
+    if M <= 256:
+        from ..kernels.asplit import supports_asplit
+        probe = TileHint(mma_dtype="int8", decode_mode="asplit")
+        if supports_asplit(spec, probe):
+            # wide-N mid-K (the measured int-act small-m family) and
+            # narrow-N whole-K (the measured float small-m family), scaled
+            # down when the shape is smaller than the headline sizes
+            bns = sorted({bn for bn in bn_opts if bn >= min(1024, bn_opts[-1])})
+            bks = sorted({bk for bk in bk_opts if bk <= 1024} |
+                         ({min(K, 4096)} if min(K, 4096) in bk_opts else set()))
+            for bn in bns:
+                for bk in (bks[-1], bks[0]) if bks else ():
+                    h = TileHint(block_m=256, block_n=bn, block_k=bk,
+                                 mma_dtype="int8", decode_mode="asplit")
+                    if h not in hints and \
+                            vmem_usage(spec, h) <= arch.vmem_bytes:
+                        hints.append(h)
 
     hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
     return hints[:max_candidates]

@@ -50,6 +50,10 @@ def _measure_candidate(builder: Callable[[TileHint], Callable],
         # (else the dense dot can be sliced) — override any caller inject.
         from ..kernels.materialize import timing_controls
         inject, full_dep = timing_controls(hint)
+    elif hint.decode_mode == "asplit":
+        # The quantize prologue is transparent XLA over A — the carry must
+        # ride A (arg 0) or XLA hoists the prologue out of the timing loop.
+        inject = 0
     chained = make_chained(fn, args, inject=inject, full_output_dep=full_dep)
     return measure_chained(chained, target_sec=0.03, repeats=2)
 
