@@ -151,6 +151,115 @@ def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
     return out.reshape(B, H, D).astype(q.dtype)
 
 
+# -- quantized (int8) KV cache ------------------------------------------------
+#
+# Decode attention is KV-bandwidth-bound (every live token's K and V stream
+# from HBM per step); int8 storage halves that traffic and the cache
+# footprint vs bf16. Per-(token, head) symmetric scales keep the math
+# factorable OUTSIDE the dots:
+#
+#   logits[l]  = (q . k_int[l]) * k_scale[l]        (scale after the QK dot)
+#   out        = sum_l (p[l] * v_scale[l]) * v_int[l]  (scale folds into p)
+#
+# so the attention still runs two dense contractions — no per-element
+# dequant pass materializes. The reference has no KV cache at all (vLLM
+# delegation, SURVEY.md §2.11); this extends the serving layer the same way
+# the int8-quantized collectives do (parallel/serving.py).
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(…, head) int8 quantization over the last (D) axis.
+
+    x [..., D] float -> (codes int8 [..., D], scale f32 [...]) with
+    x ~= codes * scale. Zero rows get scale 0 (codes 0) — exact.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 127.0
+    codes = jnp.where(scale[..., None] > 0, xf / jnp.where(
+        scale[..., None] > 0, scale[..., None], 1.0), 0.0)
+    return jnp.round(codes).astype(jnp.int8), scale
+
+
+def init_quant_kv_cache(cfg: KVCacheConfig) -> Dict[str, jnp.ndarray]:
+    """Slot cache with int8 k/v + f32 per-(token, head) scales."""
+    shape = (cfg.num_layers, cfg.num_slots, cfg.max_seq_len,
+             cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "lengths": jnp.zeros((cfg.num_slots,), jnp.int32),
+    }
+
+
+def append_token_quant(cache_k, cache_v, scale_k, scale_v,
+                       slots: jnp.ndarray, positions: jnp.ndarray,
+                       k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Per-layer decode append with on-the-fly quantization.
+
+    cache_k/v [slots, L, H, D] int8; scale_k/v [slots, L, H] f32;
+    k/v_new [B, H, D] float.
+    """
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    cache_k = cache_k.at[slots, positions].set(kq)
+    cache_v = cache_v.at[slots, positions].set(vq)
+    scale_k = scale_k.at[slots, positions].set(ks)
+    scale_v = scale_v.at[slots, positions].set(vs)
+    return cache_k, cache_v, scale_k, scale_v
+
+
+def write_prompt_quant(cache: Dict[str, jnp.ndarray], layer: int,
+                       slot: jnp.ndarray, k: jnp.ndarray,
+                       v: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Quantized twin of write_prompt: k/v [S, H, D] float (static S)."""
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    cache = dict(cache)
+    cache["k"] = jax.lax.dynamic_update_slice(
+        cache["k"], kq[None, None], (layer, slot, 0, 0, 0))
+    cache["v"] = jax.lax.dynamic_update_slice(
+        cache["v"], vq[None, None], (layer, slot, 0, 0, 0))
+    cache["k_scale"] = jax.lax.dynamic_update_slice(
+        cache["k_scale"], ks[None, None], (layer, slot, 0, 0))
+    cache["v_scale"] = jax.lax.dynamic_update_slice(
+        cache["v_scale"], vs[None, None], (layer, slot, 0, 0))
+    return cache
+
+
+def decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
+                           cache_v: jnp.ndarray, scale_k: jnp.ndarray,
+                           scale_v: jnp.ndarray, slots: jnp.ndarray,
+                           lengths: jnp.ndarray, *,
+                           num_heads: int) -> jnp.ndarray:
+    """Single-token attention against the int8 cache.
+
+    q [B, H, D]; cache_k/v [slots, L, Hkv, D] int8; scale_k/v
+    [slots, L, Hkv] f32; lengths [B]. Returns [B, H, D]. Scales apply to
+    the dot RESULTS (per-token-head symmetric), so both contractions run
+    on the stored codes directly.
+    """
+    B, H, D = q.shape
+    k = cache_k[slots]            # [B, L, Hkv, D] int8
+    v = cache_v[slots]
+    ks = scale_k[slots]           # [B, L, Hkv]
+    vs = scale_v[slots]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, :] / jnp.sqrt(jnp.float32(D))
+    L = k.shape[1]
+    mask = jnp.arange(L)[None, :] < lengths[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    pv = p * vs.transpose(0, 2, 1)[:, :, None, :]   # fold V scales into p
+    out = jnp.einsum("bhgl,blhd->bhgd", pv, v.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
 class BlockAllocator:
     """Host-side free-list over the physical block pool."""
 

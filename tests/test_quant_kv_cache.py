@@ -1,0 +1,105 @@
+"""Quantized (int8 + per-token/head scale) KV cache vs the bf16/f32 paths.
+
+Decode attention is KV-bandwidth-bound; the int8 cache halves traffic and
+footprint (serving/kv_cache.py quantized section). These tests pin the
+numerics: attention over the quantized cache must track the float cache
+within int8 symmetric-quantization tolerance, and the model-level
+decode_step_quant must track decode_step.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bitblas_tpu.models import LlamaConfig, QuantLlama
+from bitblas_tpu.serving.kv_cache import (KVCacheConfig, append_token,
+                                          append_token_quant,
+                                          decode_attention,
+                                          decode_attention_quant,
+                                          init_quant_kv_cache, quantize_kv)
+from bitblas_tpu.testing import assert_close
+
+CFG = LlamaConfig(hidden_size=256, intermediate_size=512, num_heads=4,
+                  num_kv_heads=2, num_layers=2, group_size=128)
+
+
+def test_quantize_kv_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 5, 2, 64)).astype(np.float32)
+    codes, scale = quantize_kv(jnp.asarray(x))
+    rec = np.asarray(codes, np.float32) * np.asarray(scale)[..., None]
+    # symmetric int8: error <= scale/2 = amax/254 per element
+    amax = np.abs(x).max(-1, keepdims=True)
+    assert (np.abs(rec - x) <= amax / 254 + 1e-7).all()
+    # zero rows exact
+    codes0, scale0 = quantize_kv(jnp.zeros((2, 4)))
+    assert np.asarray(scale0).max() == 0 and np.asarray(codes0).max() == 0
+
+
+def test_decode_attention_quant_matches_float():
+    rng = np.random.default_rng(1)
+    B, L, Hkv, H, D = 3, 16, 2, 4, 64
+    slots = jnp.asarray([0, 1, 2], jnp.int32)
+    lengths = jnp.asarray([5, 16, 9], jnp.int32)
+    ck = rng.standard_normal((4, L, Hkv, D)).astype(np.float32)
+    cv = rng.standard_normal((4, L, Hkv, D)).astype(np.float32)
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+
+    ref = decode_attention(jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv),
+                           slots, lengths, num_heads=H, use_flash=False)
+
+    kq, ks = quantize_kv(jnp.asarray(ck))
+    vq, vs = quantize_kv(jnp.asarray(cv))
+    out = decode_attention_quant(jnp.asarray(q), kq, vq, ks, vs, slots,
+                                 lengths, num_heads=H)
+    assert_close(out, ref, rtol=2e-2, atol=0.05)
+
+
+def test_append_token_quant_layout():
+    cache = init_quant_kv_cache(KVCacheConfig(
+        num_slots=4, max_seq_len=8, num_kv_heads=2, head_dim=64,
+        num_layers=1))
+    assert cache["k"].dtype == jnp.int8 and cache["v"].dtype == jnp.int8
+    rng = np.random.default_rng(2)
+    k_new = rng.standard_normal((2, 2, 64)).astype(np.float32)
+    v_new = rng.standard_normal((2, 2, 64)).astype(np.float32)
+    slots = jnp.asarray([1, 3], jnp.int32)
+    pos = jnp.asarray([0, 2], jnp.int32)
+    ck, cv, sk, sv = append_token_quant(
+        cache["k"][0], cache["v"][0], cache["k_scale"][0],
+        cache["v_scale"][0], slots, pos, jnp.asarray(k_new),
+        jnp.asarray(v_new))
+    rec = np.asarray(ck, np.float32)[1, 0] * np.asarray(sk)[1, 0][:, None]
+    assert_close(rec, k_new[0], rtol=2e-2, atol=0.02)
+    # untouched slots stay zero
+    assert np.asarray(ck)[0].max() == 0 and np.asarray(sv)[2].max() == 0
+
+
+def test_decode_step_quant_matches_decode_step():
+    model = QuantLlama(CFG, opt_m=(1, 8, 16))
+    rng = np.random.default_rng(3)
+    S, Lmax, B = 6, 16, 2
+    D, Hkv, Ly = CFG.head_dim, CFG.num_kv_heads, CFG.num_layers
+    x_new = rng.standard_normal((B, 1, CFG.hidden_size)).astype(np.float16)
+
+    # seed both caches with the same random (realistic-scale) history
+    hist_k = rng.standard_normal((Ly, B, S, Hkv, D)).astype(np.float32)
+    hist_v = rng.standard_normal((Ly, B, S, Hkv, D)).astype(np.float32)
+    ck = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.float32)
+    cv = jnp.zeros_like(ck)
+    ck = ck.at[:, :, :S].set(hist_k)
+    cv = cv.at[:, :, :S].set(hist_v)
+    slots = jnp.asarray([0, 1], jnp.int32)
+    lengths = jnp.asarray([S, S], jnp.int32)
+    ref, _, _ = model.decode_step(jnp.asarray(x_new), ck, cv, slots, lengths)
+
+    kq, ks = quantize_kv(jnp.asarray(hist_k))
+    vq, vs = quantize_kv(jnp.asarray(hist_v))
+    cq_k = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.int8).at[:, :, :S].set(kq)
+    cq_v = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.int8).at[:, :, :S].set(vq)
+    sq_k = jnp.zeros((Ly, B, Lmax, Hkv), jnp.float32).at[:, :, :S].set(ks)
+    sq_v = jnp.zeros((Ly, B, Lmax, Hkv), jnp.float32).at[:, :, :S].set(vs)
+    out, cq_k, cq_v, sq_k, sq_v = model.decode_step_quant(
+        jnp.asarray(x_new), cq_k, cq_v, sq_k, sq_v, slots, lengths)
+    assert cq_k.dtype == jnp.int8
+    # int8 KV error propagates through 2 layers of attention + MLP
+    assert_close(out, ref, rtol=5e-2, atol=0.25)
