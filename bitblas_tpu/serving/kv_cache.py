@@ -229,6 +229,62 @@ def write_prompt_quant(cache: Dict[str, jnp.ndarray], layer: int,
     return cache
 
 
+def init_quant_paged_kv_cache(cfg: PagedKVConfig) -> Dict[str, jnp.ndarray]:
+    """Paged cache with int8 k/v + f32 per-(token, head) scales."""
+    shape = (cfg.num_layers, cfg.num_blocks, cfg.block_size,
+             cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+    }
+
+
+def append_token_paged_quant(cache_k, cache_v, scale_k, scale_v,
+                             block_rows: jnp.ndarray, offsets: jnp.ndarray,
+                             k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Quantized twin of append_token_paged (block-pool layout)."""
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    cache_k = cache_k.at[block_rows, offsets].set(kq)
+    cache_v = cache_v.at[block_rows, offsets].set(vq)
+    scale_k = scale_k.at[block_rows, offsets].set(ks)
+    scale_v = scale_v.at[block_rows, offsets].set(vs)
+    return cache_k, cache_v, scale_k, scale_v
+
+
+def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
+                                 cache_v: jnp.ndarray, scale_k: jnp.ndarray,
+                                 scale_v: jnp.ndarray, tables: jnp.ndarray,
+                                 lengths: jnp.ndarray, *,
+                                 num_heads: int) -> jnp.ndarray:
+    """Quantized twin of decode_attention_paged: same scale-on-results math
+    as decode_attention_quant over the gathered block pool."""
+    B, H, D = q.shape
+    bs = cache_k.shape[1]
+    k = cache_k[tables]            # [B, MB, bs, Hkv, D] int8
+    v = cache_v[tables]
+    ks = scale_k[tables]           # [B, MB, bs, Hkv]
+    vs = scale_v[tables]
+    MB = tables.shape[1]
+    Hkv = k.shape[3]
+    k = k.reshape(B, MB * bs, Hkv, D)
+    v = v.reshape(B, MB * bs, Hkv, D)
+    ks = ks.reshape(B, MB * bs, Hkv)
+    vs = vs.reshape(B, MB * bs, Hkv)
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, :] / jnp.sqrt(jnp.float32(D))
+    mask = jnp.arange(MB * bs)[None, :] < lengths[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    pv = p * vs.transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum("bhgl,blhd->bhgd", pv, v.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
 def decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                            cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                            scale_v: jnp.ndarray, slots: jnp.ndarray,

@@ -74,6 +74,26 @@ def test_append_token_quant_layout():
     assert np.asarray(ck)[0].max() == 0 and np.asarray(sv)[2].max() == 0
 
 
+def test_decode_attention_paged_quant_matches_float():
+    from bitblas_tpu.serving.kv_cache import (decode_attention_paged,
+                                              decode_attention_paged_quant)
+    rng = np.random.default_rng(4)
+    B, blocks, bs, Hkv, H, D = 2, 6, 4, 2, 4, 64
+    ck = rng.standard_normal((blocks, bs, Hkv, D)).astype(np.float32)
+    cv = rng.standard_normal((blocks, bs, Hkv, D)).astype(np.float32)
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    tables = jnp.asarray([[0, 2, 4], [1, 3, 5]], jnp.int32)
+    lengths = jnp.asarray([7, 12], jnp.int32)
+    ref = decode_attention_paged(jnp.asarray(q), jnp.asarray(ck),
+                                 jnp.asarray(cv), tables, lengths,
+                                 num_heads=H)
+    kq, ks = quantize_kv(jnp.asarray(ck))
+    vq, vs = quantize_kv(jnp.asarray(cv))
+    out = decode_attention_paged_quant(jnp.asarray(q), kq, vq, ks, vs,
+                                       tables, lengths, num_heads=H)
+    assert_close(out, ref, rtol=2e-2, atol=0.05)
+
+
 def test_decode_step_quant_matches_decode_step():
     model = QuantLlama(CFG, opt_m=(1, 8, 16))
     rng = np.random.default_rng(3)
