@@ -231,3 +231,48 @@ def test_overlap_chunks_decode_matches_single_device():
     np.testing.assert_allclose(np.asarray(pre_tp[0], np.float32),
                                np.asarray(pre_ref[0], np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("tp", [2])
+def test_tp_quant_kv_decode_matches_float(tp):
+    """TP decode over the int8-quantized KV cache tracks the float-cache TP
+    decode within int8-quantization tolerance; caches/scales stay sharded."""
+    from bitblas_tpu.serving.kv_cache import quantize_kv
+
+    mesh = _mesh(tp)
+    src = QuantLlama(CFG, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh)
+
+    B, S, Lmax = 4, 8, 16
+    Hkv, D, Ly = CFG.num_kv_heads, CFG.head_dim, CFG.num_layers
+    rng = np.random.default_rng(5)
+    hist_k = rng.standard_normal((Ly, B, S, Hkv, D)).astype(np.float32)
+    hist_v = rng.standard_normal((Ly, B, S, Hkv, D)).astype(np.float32)
+    ck = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.float32).at[:, :, :S].set(hist_k)
+    cv = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.float32).at[:, :, :S].set(hist_v)
+    x = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.full((B,), S, jnp.int32)
+
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_ref, _, _ = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+
+    kq, ks = quantize_kv(jnp.asarray(hist_k))
+    vq, vs = quantize_kv(jnp.asarray(hist_v))
+    cq_k = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.int8).at[:, :, :S].set(kq)
+    cq_v = jnp.zeros((Ly, B, Lmax, Hkv, D), jnp.int8).at[:, :, :S].set(vq)
+    sq_k = jnp.zeros((Ly, B, Lmax, Hkv), jnp.float32).at[:, :, :S].set(ks)
+    sq_v = jnp.zeros((Ly, B, Lmax, Hkv), jnp.float32).at[:, :, :S].set(vs)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    scale_sh = NamedSharding(mesh, P(None, None, None, "tp"))
+    y_q, cq_k, cq_v, sq_k, sq_v = tpm.decode_step_quant(
+        x, jax.device_put(cq_k, tpm.kv_cache_sharding()),
+        jax.device_put(cq_v, tpm.kv_cache_sharding()),
+        jax.device_put(sq_k, scale_sh), jax.device_put(sq_v, scale_sh),
+        slots, lengths)
+    assert cq_k.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(y_q, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=5e-2, atol=0.3)
