@@ -52,26 +52,45 @@ class ContinuousBatchingEngine:
     device steps. Works on CPU-interpret and real TPUs alike."""
 
     def __init__(self, model, num_slots: int, max_seq_len: int,
-                 cache_sharding=None):
+                 cache_sharding=None, kv_quant: bool = False):
         """cache_sharding: optional jax Sharding for the [L, slots, S, Hkv,
         D] KV tensors (e.g. TPQuantLlama.kv_cache_sharding() to shard on
-        kv_heads over a TP mesh)."""
+        kv_heads over a TP mesh). kv_quant=True stores the cache as int8
+        codes + per-(token, head) f32 scales (kv_cache.py quantized
+        section — halves KV HBM traffic and footprint); the model must
+        expose decode_step_quant (QuantLlama and TPQuantLlama do)."""
         self.model = model
         self.cfg = model.cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
+        self.kv_quant = kv_quant
         self.alloc = SlotAllocator(num_slots)
         self.active: Dict[int, Request] = {}
         self.pending: List[Request] = []
         self.finished: List[Request] = []
 
         c = self.cfg
-        self.caches_k = jnp.zeros(
-            (c.num_layers, num_slots, max_seq_len, c.num_kv_heads, c.head_dim),
-            jnp.bfloat16)
+        kv_shape = (c.num_layers, num_slots, max_seq_len, c.num_kv_heads,
+                    c.head_dim)
+        self.caches_k = jnp.zeros(kv_shape,
+                                  jnp.int8 if kv_quant else jnp.bfloat16)
         if cache_sharding is not None:
             self.caches_k = jax.device_put(self.caches_k, cache_sharding)
         self.caches_v = jnp.zeros_like(self.caches_k)
+        if kv_quant:
+            # scales shard on the same kv_heads axis when the cache does
+            self.scales_k = jnp.zeros(kv_shape[:-1], jnp.float32)
+            if cache_sharding is not None:
+                try:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    spec = cache_sharding.spec
+                    self.scales_k = jax.device_put(
+                        self.scales_k,
+                        NamedSharding(cache_sharding.mesh,
+                                      PartitionSpec(*spec[:-1])))
+                except AttributeError:
+                    pass
+            self.scales_v = jnp.zeros_like(self.scales_k)
         self.lengths = np.zeros((num_slots,), np.int32)
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
 
@@ -125,16 +144,47 @@ class ContinuousBatchingEngine:
                 ck = jax.lax.dynamic_update_slice(ck, k, (0, slot, 0, 0, 0))
                 cv = jax.lax.dynamic_update_slice(cv, v, (0, slot, 0, 0, 0))
                 return ck, cv
+
+            @_ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def _write_q(ck, cv, sk, sv, k, v, slot):
+                from .kv_cache import quantize_kv
+                kq, ksc = quantize_kv(k)
+                vq, vsc = quantize_kv(v)
+                ck = jax.lax.dynamic_update_slice(ck, kq[:, None],
+                                                  (0, slot, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vq[:, None],
+                                                  (0, slot, 0, 0, 0))
+                sk = jax.lax.dynamic_update_slice(sk, ksc[:, None],
+                                                  (0, slot, 0, 0))
+                sv = jax.lax.dynamic_update_slice(sv, vsc[:, None],
+                                                  (0, slot, 0, 0))
+                return ck, cv, sk, sv
             self._cache_writer = _write
-        self.caches_k, self.caches_v = self._cache_writer(
-            self.caches_k, self.caches_v, jnp.stack(list(ks)),
-            jnp.stack(list(vs)), jnp.int32(req.slot))
+            self._cache_writer_q = _write_q
+        if self.kv_quant:
+            (self.caches_k, self.caches_v, self.scales_k,
+             self.scales_v) = self._cache_writer_q(
+                self.caches_k, self.caches_v, self.scales_k, self.scales_v,
+                jnp.stack(list(ks)), jnp.stack(list(vs)),
+                jnp.int32(req.slot))
+        else:
+            self.caches_k, self.caches_v = self._cache_writer(
+                self.caches_k, self.caches_v, jnp.stack(list(ks)),
+                jnp.stack(list(vs)), jnp.int32(req.slot))
         self.lengths[req.slot] = S
         self.last_hidden = self.last_hidden.at[req.slot].set(
             hidden[0, S - 1].astype(self.last_hidden.dtype))
 
     def _make_decode_step(self):
         model = self.model
+
+        if self.kv_quant:
+            def step_q(x, caches_k, caches_v, scales_k, scales_v, slots,
+                       lengths):
+                return model.decode_step_quant(
+                    x[:, None, :], caches_k, caches_v, scales_k, scales_v,
+                    slots, lengths)
+            return step_q
 
         def step(x, caches_k, caches_v, slots, lengths):
             # x [num_slots, hidden] -> one token step for every slot.
@@ -151,8 +201,15 @@ class ContinuousBatchingEngine:
             return 0
         slots = jnp.arange(self.num_slots, dtype=jnp.int32)
         lengths = jnp.asarray(self.lengths)
-        hidden, self.caches_k, self.caches_v = self._decode_step(
-            self.last_hidden, self.caches_k, self.caches_v, slots, lengths)
+        if self.kv_quant:
+            (hidden, self.caches_k, self.caches_v, self.scales_k,
+             self.scales_v) = self._decode_step(
+                self.last_hidden, self.caches_k, self.caches_v,
+                self.scales_k, self.scales_v, slots, lengths)
+        else:
+            hidden, self.caches_k, self.caches_v = self._decode_step(
+                self.last_hidden, self.caches_k, self.caches_v, slots,
+                lengths)
         self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
 
         finished_slots = []

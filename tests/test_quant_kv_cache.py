@@ -94,6 +94,33 @@ def test_decode_attention_paged_quant_matches_float():
     assert_close(out, ref, rtol=2e-2, atol=0.05)
 
 
+def test_engine_kv_quant_tracks_float_engine():
+    """The continuous-batching engine with kv_quant=True produces final
+    hiddens close to the float-cache engine on identical request streams."""
+    from bitblas_tpu.serving import ContinuousBatchingEngine, Request
+
+    model = QuantLlama(CFG, opt_m=(1, 4, 8, 16))
+    outs = {}
+    for quant in (False, True):
+        engine = ContinuousBatchingEngine(model, num_slots=3, max_seq_len=32,
+                                          kv_quant=quant)
+        rng = np.random.default_rng(7)
+        for i in range(4):
+            S = int(rng.integers(2, 9))
+            engine.submit(Request(
+                uid=i,
+                prompt=rng.standard_normal(
+                    (S, CFG.hidden_size)).astype(np.float16),
+                max_new=int(rng.integers(2, 4))))
+        finished = engine.run_to_completion(max_steps=100)
+        assert len(finished) == 4 and all(r.done for r in finished)
+        if quant:
+            assert engine.caches_k.dtype == jnp.int8
+        outs[quant] = {r.uid: r.final_hidden for r in finished}
+    for uid in outs[False]:
+        assert_close(outs[True][uid], outs[False][uid], rtol=5e-2, atol=0.3)
+
+
 def test_decode_step_quant_matches_decode_step():
     model = QuantLlama(CFG, opt_m=(1, 8, 16))
     rng = np.random.default_rng(3)
