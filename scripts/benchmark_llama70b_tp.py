@@ -81,22 +81,36 @@ def main():
             sec = measure_proj(n, k, m)
             log(f"tp={tp} {name:6s} [{k}x{n}] m={m}: {sec*1e6:7.1f}us")
             t_compute += sec
+        # Attention KV streaming: every live token's K and V for the LOCAL
+        # kv heads cross HBM per decode step (flash-decode reads length-
+        # proportional blocks). Perfectly tp-sharded, so it only helps the
+        # scaling ratio; int8-quantized KV (serving/kv_cache.py) halves it.
+        ctx = int(__import__("os").environ.get("BITBLAS_TPU_70B_CTX", 2048))
+        kvl = max(KV_HEADS // tp, 1)
+        kv_bytes = 2 * ctx * kvl * HEAD_DIM * m          # K+V, bf16
+        arch = get_arch()
+        t_attn = kv_bytes * 2 / arch.hbm_bandwidth
+        t_attn_q = kv_bytes * 1 / arch.hbm_bandwidth     # int8 codes
         # 2 ring all-reduces per layer of [m, hidden] f16
         b = m * HIDDEN * 2
         t_comm = 2 * (2 * (tp - 1) / tp) * b / ICI_BW
         # int8-quantized collectives (parallel/serving._quantized_allreduce):
         # all-gather of int8 shards = (tp-1)/tp * B/2 bytes per reduce.
         t_comm_q = 2 * ((tp - 1) / tp) * (b / 2) / ICI_BW
-        t_layer = t_compute + t_comm
+        t_layer = t_compute + t_attn + t_comm
         tok_s = m / (t_layer * LAYERS)
-        tok_s_q = m / ((t_compute + t_comm_q) * LAYERS)
+        tok_s_q = m / ((t_compute + t_attn_q + t_comm_q) * LAYERS)
         results[tp] = dict(t_compute_us=t_compute * 1e6,
+                           t_attn_us=t_attn * 1e6,
+                           t_attn_int8kv_us=t_attn_q * 1e6,
                            t_comm_us=t_comm * 1e6,
                            t_comm_int8_us=t_comm_q * 1e6,
-                           tok_s=tok_s, tok_s_int8_comm=tok_s_q, chips=tp)
-        log(f"tp={tp}: layer compute {t_compute*1e6:.1f}us + comm "
+                           ctx=ctx,
+                           tok_s=tok_s, tok_s_int8=tok_s_q, chips=tp)
+        log(f"tp={tp}: layer compute {t_compute*1e6:.1f}us + attn(ctx={ctx}) "
+            f"{t_attn*1e6:.1f}us (int8-kv {t_attn_q*1e6:.1f}us) + comm "
             f"{t_comm*1e6:.1f}us (int8 {t_comm_q*1e6:.1f}us) -> "
-            f"{tok_s:.1f} tok/s ({tok_s_q:.1f} int8-comm, batch {m})")
+            f"{tok_s:.1f} tok/s ({tok_s_q:.1f} int8 kv+comm, batch {m})")
 
     # scaling efficiency tp=4 -> tp=16: ideal = 4x per-chip-count throughput
     if 4 in results and 16 in results:
