@@ -344,3 +344,151 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
         return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
 
     return fn
+
+
+def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
+                            dim: int, kv_heads: int = None,
+                            block_kv: int = 512, out_dtype=jnp.float16,
+                            interpret: bool = False):
+    """Length-masked decode attention over the int8-quantized KV cache.
+
+    fn(q, k_cache, v_cache, k_scale, v_scale, lengths[, slots]) with
+    q [B, H, D] float, caches [rows, Smax, Hkv, D] int8, scales
+    [rows, Smax, Hkv] f32 (serving/kv_cache.py quantized layout),
+    lengths [B]. Returns [B, H, D].
+
+    Same length-proportional block skipping as make_flash_decode, with
+    HALF the KV bytes crossing HBM (int8 codes; decode attention is
+    KV-bandwidth-bound). Scales apply to dot results inside the online
+    softmax: K scales multiply the logit columns before the running max,
+    V scales fold into the softmax weights before the PV dot — the same
+    factorization as serving.kv_cache.decode_attention_quant.
+    """
+    kv_heads = kv_heads or heads
+    assert heads % kv_heads == 0
+    assert dim % 128 == 0, "flash decode needs lane-aligned head dim"
+    group = heads // kv_heads
+    scale = 1.0 / math.sqrt(dim)
+    block_kv = _legal_block(block_kv, max_seq_len)
+    nkv = pl.cdiv(max_seq_len, block_kv)
+    grid = (batch * heads, nkv)
+    f16 = jnp.dtype(jnp.float16)
+    kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
+                                 not interpret) else out_dtype
+    log2e = 1.4426950408889634
+
+    def q_map(bh, ki, lens, slots):
+        del lens, slots, ki
+        return (bh, 0, 0)
+
+    def kv_map(bh, ki, lens, slots):
+        b = bh // heads
+        last = jnp.maximum(lens[b] - 1, 0) // block_kv
+        return (slots[b], jnp.minimum(ki, last), (bh % heads) // group)
+
+    def sc_map(bh, ki, lens, slots):
+        # scales arrive pre-transposed [rows, Hkv, Smax] so the block's
+        # lane dim is the (128-aligned) kv-position axis
+        b = bh // heads
+        last = jnp.maximum(lens[b] - 1, 0) // block_kv
+        return (slots[b], (bh % heads) // group, jnp.minimum(ki, last))
+
+    def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+               o_ref, m_ref, l_ref, acc_ref):
+        del slot_ref
+        bh = pl.program_id(0)
+        ki = pl.program_id(1)
+        b = bh // heads
+        length = len_ref[b]
+
+        @pl.when(ki == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        kv_start = ki * block_kv
+
+        @pl.when(kv_start < length)
+        def _attend():
+            q = q_ref[0].astype(jnp.float32)              # [8, D]
+            k = k_ref[0].astype(jnp.float32)              # [BKV, D]
+            v = v_ref[0].astype(jnp.float32)
+            ksc = ks_ref[0, 0].astype(jnp.float32)        # [BKV]
+            vsc = vs_ref[0, 0].astype(jnp.float32)
+            vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            v = jnp.where(vrow < length, v, jnp.zeros_like(v))
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * ksc[None, :] * (scale * log2e)
+            kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (8, block_kv), 1)
+            s = jnp.where(kj < length, s, NEG_INF)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_ref[...], m_cur)
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_ref[...] - m_new)
+            l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1,
+                                                      keepdims=True)
+            pv = jax.lax.dot_general(
+                p * vsc[None, :], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = m_new
+
+        @pl.when(ki == nkv - 1)
+        def _():
+            denom = jnp.maximum(l_ref[...], 1e-30)
+            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, dim), q_map),
+                pl.BlockSpec((1, block_kv, dim), kv_map),
+                pl.BlockSpec((1, block_kv, dim), kv_map),
+                pl.BlockSpec((1, 1, block_kv), sc_map),
+                pl.BlockSpec((1, 1, block_kv), sc_map),
+            ],
+            out_specs=pl.BlockSpec((1, 8, dim), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((8, 1), jnp.float32),
+                pltpu.VMEM((8, 1), jnp.float32),
+                pltpu.VMEM((8, dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch * heads, 8, dim), kernel_out),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * max_seq_len * dim,
+            bytes_accessed=batch * max_seq_len * kv_heads * dim * 2,
+            transcendentals=batch * heads * max_seq_len,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(q, k_cache, v_cache, k_scale, v_scale, lengths, slots=None):
+        B, H, D = q.shape
+        assert (B, H, D) == (batch, heads, dim), (q.shape,)
+        rows, Smax = k_cache.shape[0], k_cache.shape[1]
+        assert Smax == max_seq_len, (k_cache.shape,)
+        if slots is None:
+            slots = jnp.arange(B, dtype=jnp.int32)
+            assert rows == B, (k_cache.shape, B)
+        q8 = jnp.zeros((B * H, 8, D), jnp.float32).at[:, 0, :].set(
+            q.astype(jnp.float32).reshape(B * H, D))
+        k2 = k_cache.reshape(rows, Smax, kv_heads * D)
+        v2 = v_cache.reshape(rows, Smax, kv_heads * D)
+        # [rows, Smax, Hkv] -> [rows, Hkv, Smax]: the scale blocks' lane
+        # dim must be the kv axis (O(rows*Smax*Hkv*4B) XLA transpose per
+        # step — negligible next to the KV stream itself)
+        ks2 = k_scale.transpose(0, 2, 1)
+        vs2 = v_scale.transpose(0, 2, 1)
+        out = call(jnp.asarray(lengths, jnp.int32),
+                   jnp.asarray(slots, jnp.int32), q8, k2, v2, ks2, vs2)
+        return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
+
+    return fn

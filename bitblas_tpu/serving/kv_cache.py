@@ -288,16 +288,30 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
 def decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                            cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                            scale_v: jnp.ndarray, slots: jnp.ndarray,
-                           lengths: jnp.ndarray, *,
-                           num_heads: int) -> jnp.ndarray:
+                           lengths: jnp.ndarray, *, num_heads: int,
+                           use_flash: bool = None) -> jnp.ndarray:
     """Single-token attention against the int8 cache.
 
     q [B, H, D]; cache_k/v [slots, L, Hkv, D] int8; scale_k/v
     [slots, L, Hkv] f32; lengths [B]. Returns [B, H, D]. Scales apply to
     the dot RESULTS (per-token-head symmetric), so both contractions run
     on the stored codes directly.
+
+    With a lane-aligned head dim the int8 flash-decode kernel attends
+    straight out of the slot cache (length-proportional reads at HALF the
+    bytes of the bf16 path); the XLA path remains for odd dims.
     """
     B, H, D = q.shape
+    if use_flash is None:
+        use_flash = D % 128 == 0
+    if use_flash:
+        from ..kernels.flash import make_flash_decode_quant
+        from ..tuner import get_arch
+        fn = make_flash_decode_quant(
+            batch=B, heads=H, max_seq_len=cache_k.shape[1], dim=D,
+            kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            interpret=get_arch().is_cpu)
+        return fn(q, cache_k, cache_v, scale_k, scale_v, lengths, slots)
     k = cache_k[slots]            # [B, L, Hkv, D] int8
     v = cache_v[slots]
     ks = scale_k[slots]           # [B, L, Hkv]

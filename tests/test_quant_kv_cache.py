@@ -54,6 +54,26 @@ def test_decode_attention_quant_matches_float():
     assert_close(out, ref, rtol=2e-2, atol=0.05)
 
 
+def test_flash_decode_quant_matches_xla_path():
+    """The int8 flash-decode kernel (lane-aligned D) must match the XLA
+    quantized-attention path bit-for-tolerance, including slot indirection
+    and per-sequence length masking."""
+    rng = np.random.default_rng(6)
+    B, rows, L, Hkv, H, D = 3, 5, 64, 2, 4, 128
+    ck = rng.standard_normal((rows, L, Hkv, D)).astype(np.float32)
+    cv = rng.standard_normal((rows, L, Hkv, D)).astype(np.float32)
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    slots = jnp.asarray([4, 0, 2], jnp.int32)
+    lengths = jnp.asarray([3, 64, 17], jnp.int32)
+    kq, ks = quantize_kv(jnp.asarray(ck))
+    vq, vs = quantize_kv(jnp.asarray(cv))
+    ref = decode_attention_quant(jnp.asarray(q), kq, vq, ks, vs, slots,
+                                 lengths, num_heads=H, use_flash=False)
+    out = decode_attention_quant(jnp.asarray(q), kq, vq, ks, vs, slots,
+                                 lengths, num_heads=H, use_flash=True)
+    assert_close(out, ref, rtol=2e-3, atol=1e-3)
+
+
 def test_append_token_quant_layout():
     cache = init_quant_kv_cache(KVCacheConfig(
         num_slots=4, max_seq_len=8, num_kv_heads=2, head_dim=64,
