@@ -61,5 +61,40 @@ for w, kw in CASES:
     except Exception as ex:
         failures += 1
         print(f"{w:12s}: FAIL {str(ex)[:100]}", flush=True)
+# asplit plan (kernels/asplit.py) across the sub-byte int/uint formats:
+# the inner int8 telescope at asplit tile shapes is a distinct Mosaic
+# lowering surface from the default-hint sweep above.
+from bitblas_tpu.kernels.asplit import supports_asplit
+from bitblas_tpu.tuner import TileHint
+
+ASPLIT = TileHint(block_m=256, block_n=512, block_k=512,
+                  mma_dtype="int8", decode_mode="asplit")
+for w, kw in [("uint4", GS), ("int4", {}), ("uint2", GS), ("int2", {}),
+              ("uint1", GS)]:
+    try:
+        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
+                           W_dtype=w, out_dtype="float16", **kw)
+        spec = KernelSpec.from_config(cfg, 16)
+        if not supports_asplit(spec, ASPLIT):
+            continue
+        ops = random_reference_operands(cfg, 16, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        kf = make_dequant_matmul(spec, ASPLIT)
+        s = None if dw.scales is None else jnp.asarray(dw.scales)
+        out = kf(jnp.asarray(ops.A), jnp.asarray(dw.qweight), scales=s)
+        ref = matmul_reference(cfg, ops.A, ops.qweight,
+                               None if ops.scales is None
+                               else jnp.asarray(ops.scales))
+        r = np.asarray(ref, np.float32)
+        o = np.asarray(out, np.float32)
+        rel = float(np.max(np.abs(o - r))) / max(float(np.max(np.abs(r))),
+                                                 1e-9)
+        bad = "" if rel < 1e-2 else "  <-- WRONG"
+        failures += bool(bad)
+        print(f"asplit {w:8s}: rel err {rel:.2e}{bad}", flush=True)
+    except Exception as ex:
+        failures += 1
+        print(f"asplit {w:8s}: FAIL {str(ex)[:100]}", flush=True)
+
 print(f"DONE {failures}")
 raise SystemExit(1 if failures else 0)
