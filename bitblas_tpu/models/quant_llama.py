@@ -367,3 +367,51 @@ class QuantLlama:
                    * up.astype(jnp.float32)).astype(x.dtype)
             x = x + layer.proj("down", act)[:, None, :]
         return x, caches_k, caches_v
+
+    def decode_step_paged_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
+                                caches_v: jnp.ndarray, scales_k: jnp.ndarray,
+                                scales_v: jnp.ndarray, tables: jnp.ndarray,
+                                block_rows: jnp.ndarray,
+                                offsets: jnp.ndarray, lengths: jnp.ndarray):
+        """decode_step_paged against the int8-quantized block pool.
+
+        caches_k/v [L, blocks, bs, Hkv, D] int8; scales_k/v
+        [L, blocks, bs, Hkv] f32. Returns (hidden, ck, cv, sk, sv).
+        """
+        from ..serving.kv_cache import (append_token_paged_quant,
+                                        decode_attention_paged_quant)
+
+        cfg = self.cfg
+        B = x.shape[0]
+        positions = lengths[:, None]
+        for li, layer in enumerate(self.layers):
+            h = rmsnorm(x, layer.attn_norm)
+            h2 = h.reshape(B, cfg.hidden_size)
+            q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
+            k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)[:, 0]
+            k = rope(k, positions, cfg.rope_theta)[:, 0]
+            v = v[:, 0]
+            ck, cv, sk, sv = append_token_paged_quant(
+                caches_k[li], caches_v[li], scales_k[li], scales_v[li],
+                block_rows, offsets, k, v)
+            caches_k = caches_k.at[li].set(ck)
+            caches_v = caches_v.at[li].set(cv)
+            scales_k = scales_k.at[li].set(sk)
+            scales_v = scales_v.at[li].set(sv)
+            attn = decode_attention_paged_quant(q, ck, cv, sk, sv, tables,
+                                                lengths + 1,
+                                                num_heads=cfg.num_heads)
+            attn = attn.reshape(B, cfg.hidden_size)
+            x = x + layer.proj("o", attn)[:, None, :]
+            h = rmsnorm(x, layer.mlp_norm)
+            h2 = h.reshape(B, cfg.hidden_size)
+            gate = layer.proj("gate", h2)
+            up = layer.proj("up", h2)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.proj("down", act)[:, None, :]
+        return x, caches_k, caches_v, scales_k, scales_v

@@ -254,7 +254,8 @@ class PagedContinuousBatchingEngine:
 
     def __init__(self, model, num_slots: int, num_blocks: int,
                  block_size: int = 16, max_blocks_per_slot: int = 64,
-                 cache_sharding=None, prefix_caching: bool = True):
+                 cache_sharding=None, prefix_caching: bool = True,
+                 kv_quant: bool = False):
         from .kv_cache import BlockAllocator
         self.model = model
         self.cfg = model.cfg
@@ -262,6 +263,7 @@ class PagedContinuousBatchingEngine:
         self.block_size = block_size
         self.max_blocks = max_blocks_per_slot
         self.prefix_caching = prefix_caching
+        self.kv_quant = kv_quant
         self.slot_alloc = SlotAllocator(num_slots)
         # Physical block 0 is reserved: it is the filler id in masked table
         # entries AND the write target for inactive slots' appends (their
@@ -274,18 +276,33 @@ class PagedContinuousBatchingEngine:
         self.finished: List[Request] = []
 
         c = self.cfg
-        self.caches_k = jnp.zeros(
-            (c.num_layers, num_blocks, block_size, c.num_kv_heads,
-             c.head_dim), jnp.bfloat16)
+        kv_shape = (c.num_layers, num_blocks, block_size, c.num_kv_heads,
+                    c.head_dim)
+        self.caches_k = jnp.zeros(kv_shape,
+                                  jnp.int8 if kv_quant else jnp.bfloat16)
         if cache_sharding is not None:
             self.caches_k = jax.device_put(self.caches_k, cache_sharding)
         self.caches_v = jnp.zeros_like(self.caches_k)
+        if kv_quant:
+            self.scales_k = jnp.zeros(kv_shape[:-1], jnp.float32)
+            if cache_sharding is not None:
+                try:
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    spec = cache_sharding.spec
+                    self.scales_k = jax.device_put(
+                        self.scales_k,
+                        NamedSharding(cache_sharding.mesh,
+                                      PartitionSpec(*spec[:-1])))
+                except AttributeError:
+                    pass
+            self.scales_v = jnp.zeros_like(self.scales_k)
         self.lengths = np.zeros((num_slots,), np.int32)
         # block 0 stays a valid physical id for masked/unused table slots
         self.tables = np.zeros((num_slots, max_blocks_per_slot), np.int32)
         self.slot_blocks: Dict[int, List[int]] = {}
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
-        self._decode_step = jax.jit(model.decode_step_paged)
+        self._decode_step = jax.jit(model.decode_step_paged_quant
+                                    if kv_quant else model.decode_step_paged)
         self._prefills = {}
         # Prefix caching: full prompt-prefix blocks are content-addressed
         # (hash chain over the prompt) and shared between requests via
@@ -434,13 +451,53 @@ class PagedContinuousBatchingEngine:
                 return jax.lax.fori_loop(0, nb, body, (ck, cv))
             self._paged_writer = _pwrite
 
+            @_ft.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                         static_argnames=("nb",))
+            def _pwrite_q(ck, cv, sk, sv, k, v, blocks_a, mask_a, nb):
+                from .kv_cache import quantize_kv
+                L, bsz = ck.shape[0], ck.shape[2]
+                pad = nb * bsz - k.shape[1]
+                if pad > 0:
+                    pw = ((0, 0), (0, pad), (0, 0), (0, 0))
+                    k = jnp.pad(k, pw)
+                    v = jnp.pad(v, pw)
+                kq, ksc = quantize_kv(k[:, :nb * bsz])
+                vq, vsc = quantize_kv(v[:, :nb * bsz])
+                kq = kq.reshape(L, nb, bsz, *kq.shape[2:])
+                vq = vq.reshape(L, nb, bsz, *vq.shape[2:])
+                ksc = ksc.reshape(L, nb, bsz, ksc.shape[-1])
+                vsc = vsc.reshape(L, nb, bsz, vsc.shape[-1])
+
+                def body(i, carry):
+                    ck, cv, sk, sv = carry
+
+                    def upd(c, t, idx):
+                        return jax.lax.dynamic_update_slice(
+                            c, t[:, i][:, None].astype(c.dtype), idx)
+                    i5 = (0, blocks_a[i], 0, 0, 0)
+                    i4 = (0, blocks_a[i], 0, 0)
+                    return jax.lax.cond(
+                        mask_a[i],
+                        lambda a: (upd(a[0], kq, i5), upd(a[1], vq, i5),
+                                   upd(a[2], ksc, i4), upd(a[3], vsc, i4)),
+                        lambda a: a, (ck, cv, sk, sv))
+                return jax.lax.fori_loop(0, nb, body, (ck, cv, sk, sv))
+            self._paged_writer_q = _pwrite_q
+
         nb = len(blocks)
         mask_np = np.asarray([bool(write_mask[i]) and i * bs < S
                               for i in range(nb)])
-        self.caches_k, self.caches_v = self._paged_writer(
-            self.caches_k, self.caches_v, jnp.stack(list(ks)),
-            jnp.stack(list(vs)), jnp.asarray(blocks, jnp.int32),
-            jnp.asarray(mask_np), nb=nb)
+        if self.kv_quant:
+            (self.caches_k, self.caches_v, self.scales_k,
+             self.scales_v) = self._paged_writer_q(
+                self.caches_k, self.caches_v, self.scales_k, self.scales_v,
+                jnp.stack(list(ks)), jnp.stack(list(vs)),
+                jnp.asarray(blocks, jnp.int32), jnp.asarray(mask_np), nb=nb)
+        else:
+            self.caches_k, self.caches_v = self._paged_writer(
+                self.caches_k, self.caches_v, jnp.stack(list(ks)),
+                jnp.stack(list(vs)), jnp.asarray(blocks, jnp.int32),
+                jnp.asarray(mask_np), nb=nb)
         self.lengths[req.slot] = S
         self.last_hidden = self.last_hidden.at[req.slot].set(
             hidden[0, S - 1].astype(self.last_hidden.dtype))
@@ -467,10 +524,18 @@ class PagedContinuousBatchingEngine:
         block_idx = lengths // bs
         block_rows = self.tables[np.arange(self.num_slots), block_idx]
         offsets = lengths % bs
-        hidden, self.caches_k, self.caches_v = self._decode_step(
-            self.last_hidden[:, None, :], self.caches_k, self.caches_v,
-            jnp.asarray(self.tables), jnp.asarray(block_rows),
-            jnp.asarray(offsets), jnp.asarray(lengths))
+        if self.kv_quant:
+            (hidden, self.caches_k, self.caches_v, self.scales_k,
+             self.scales_v) = self._decode_step(
+                self.last_hidden[:, None, :], self.caches_k, self.caches_v,
+                self.scales_k, self.scales_v, jnp.asarray(self.tables),
+                jnp.asarray(block_rows), jnp.asarray(offsets),
+                jnp.asarray(lengths))
+        else:
+            hidden, self.caches_k, self.caches_v = self._decode_step(
+                self.last_hidden[:, None, :], self.caches_k, self.caches_v,
+                jnp.asarray(self.tables), jnp.asarray(block_rows),
+                jnp.asarray(offsets), jnp.asarray(lengths))
         self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
 
         for slot, req in list(self.active.items()):

@@ -141,6 +141,36 @@ def test_engine_kv_quant_tracks_float_engine():
         assert_close(outs[True][uid], outs[False][uid], rtol=5e-2, atol=0.3)
 
 
+def test_paged_engine_kv_quant_tracks_float_engine():
+    """The paged engine with kv_quant=True (int8 block pool + scale planes)
+    tracks the float paged engine, including prefix-cache block sharing."""
+    from bitblas_tpu.serving.engine import (PagedContinuousBatchingEngine,
+                                            Request)
+
+    model = QuantLlama(CFG, opt_m=(1, 4, 8, 16))
+    outs = {}
+    for quant in (False, True):
+        eng = PagedContinuousBatchingEngine(model, num_slots=3,
+                                            num_blocks=32, block_size=4,
+                                            kv_quant=quant)
+        rng = np.random.default_rng(8)
+        shared_prefix = rng.standard_normal(
+            (4, CFG.hidden_size)).astype(np.float16)
+        for i in range(4):
+            tail = rng.standard_normal(
+                (int(rng.integers(1, 5)), CFG.hidden_size)).astype(np.float16)
+            eng.submit(Request(uid=i,
+                               prompt=np.concatenate([shared_prefix, tail]),
+                               max_new=int(rng.integers(2, 4))))
+        finished = eng.run_to_completion(max_steps=100)
+        assert len(finished) == 4 and all(r.done for r in finished)
+        if quant:
+            assert eng.caches_k.dtype == jnp.int8
+        outs[quant] = {r.uid: r.final_hidden for r in finished}
+    for uid in outs[False]:
+        assert_close(outs[True][uid], outs[False][uid], rtol=5e-2, atol=0.3)
+
+
 def test_decode_step_quant_matches_decode_step():
     model = QuantLlama(CFG, opt_m=(1, 8, 16))
     rng = np.random.default_rng(3)
