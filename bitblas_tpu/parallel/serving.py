@@ -564,6 +564,91 @@ class TPQuantLlama:
         return sm(x, caches_k, caches_v, tables, block_rows, offsets,
                   lengths, *flat)
 
+    def decode_step_paged_quant(self, x, caches_k, caches_v, scales_k,
+                                scales_v, tables, block_rows, offsets,
+                                lengths):
+        """Paged + int8-quantized cache: codes [L, blocks, bs, Hkv, D] and
+        scale planes [L, blocks, bs, Hkv], both kv_heads-sharded."""
+        cfg = self.cfg
+        B = x.shape[0]
+        axis = self.axis
+        tp = self.tp
+        hl = cfg.num_heads // tp
+        kvl = cfg.num_kv_heads // tp
+        D = cfg.head_dim
+        kern = {name: self._kernel(name, B) for name in _FUSED}
+
+        def device_step(x, ck, cv, sk, sv, tables, block_rows, offsets,
+                        lengths, *flat):
+            from ..serving.kv_cache import (append_token_paged_quant,
+                                            decode_attention_paged_quant)
+            it = iter(flat)
+            weights = [{name: (next(it), next(it), next(it))
+                        for name in _FUSED}
+                       for _ in range(cfg.num_layers)]
+            positions = lengths[:, None]
+            for li in range(cfg.num_layers):
+                attn_norm, mlp_norm = self.norms[li]
+                w = weights[li]
+                h = rmsnorm(x, attn_norm)
+                h2 = h.reshape(B, cfg.hidden_size)
+                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
+                                  zeros=w["qkv"][2])
+                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
+                           qkv[:, (hl + kvl) * D:])
+                q = rope(q.reshape(B, 1, hl, D), positions,
+                         cfg.rope_theta)[:, 0]
+                k = rope(k.reshape(B, 1, kvl, D), positions,
+                         cfg.rope_theta)[:, 0]
+                v = v.reshape(B, kvl, D)
+                ckl, cvl, skl, svl = append_token_paged_quant(
+                    ck[li], cv[li], sk[li], sv[li], block_rows, offsets,
+                    k, v)
+                ck = ck.at[li].set(ckl)
+                cv = cv.at[li].set(cvl)
+                sk = sk.at[li].set(skl)
+                sv = sv.at[li].set(svl)
+                attn = decode_attention_paged_quant(
+                    q, ckl, cvl, skl, svl, tables, lengths + 1,
+                    num_heads=hl)
+                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
+                                   *w["o"], axis)
+                x = x + o.astype(x.dtype)[:, None, :]
+                h = rmsnorm(x, mlp_norm)
+                h2 = h.reshape(B, cfg.hidden_size)
+                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
+                                    zeros=w["gateup"][2])
+                il = cfg.intermediate_size // tp
+                gate, up = gu[:, :il], gu[:, il:]
+                act = (jax.nn.silu(gate.astype(jnp.float32))
+                       * up.astype(jnp.float32)).astype(x.dtype)
+                d = self._row_proj(kern["down"], "down", act, *w["down"],
+                                   axis)
+                x = x + d.astype(x.dtype)[:, None, :]
+            return x, ck, cv, sk, sv
+
+        flat, w_specs = [], []
+        for li in range(cfg.num_layers):
+            for name in _FUSED:
+                W, S, Z = self.weights[li][name]
+                flat += [W, S, Z]
+                if name in _COLUMN:
+                    w_specs += [P(None, axis), P(None, None, axis),
+                                P(None, None, axis)]
+                else:
+                    w_specs += [P(axis, None), P(axis, None, None),
+                                P(axis, None, None)]
+        kv_spec = P(None, None, None, axis, None)
+        ks_spec = P(None, None, None, axis)
+        sm = shard_map(
+            device_step, mesh=self.mesh,
+            in_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec, P(), P(),
+                      P(), P(), *w_specs),
+            out_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec),
+            check_vma=False)
+        return sm(x, caches_k, caches_v, scales_k, scales_v, tables,
+                  block_rows, offsets, lengths, *flat)
+
     # -- prefill ----------------------------------------------------------------
     def make_prefill(self, seq_len: int):
         """Replicated-activation prefill through the TP projections; returns

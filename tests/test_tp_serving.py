@@ -276,3 +276,33 @@ def test_tp_quant_kv_decode_matches_float(tp):
     np.testing.assert_allclose(np.asarray(y_q, np.float32),
                                np.asarray(y_ref, np.float32),
                                rtol=5e-2, atol=0.3)
+
+
+def test_tp_paged_kv_quant_engine():
+    """Paged engine with kv_quant=True over a TP mesh (sharded int8 block
+    pool + scale planes) completes requests with finite outputs and tracks
+    the float paged TP engine."""
+    from bitblas_tpu.serving.engine import PagedContinuousBatchingEngine
+
+    mesh = _mesh(2)
+    src = QuantLlama(CFG, opt_m=(1, 4, 8, 16))
+    tpm = TPQuantLlama(src, mesh)
+    outs = {}
+    for quant in (False, True):
+        eng = PagedContinuousBatchingEngine(
+            tpm, num_slots=3, num_blocks=32, block_size=4,
+            cache_sharding=tpm.kv_cache_sharding(),  # same 5D spec paged
+            kv_quant=quant)
+        rng = np.random.default_rng(9)
+        for i in range(3):
+            eng.submit(Request(
+                uid=i,
+                prompt=rng.standard_normal(
+                    (int(rng.integers(2, 7)), CFG.hidden_size)
+                ).astype(np.float16),
+                max_new=2))
+        fin = eng.run_to_completion(max_steps=60)
+        assert len(fin) == 3 and all(r.done for r in fin)
+        outs[quant] = {r.uid: r.final_hidden for r in fin}
+    for uid in outs[False]:
+        assert_close(outs[True][uid], outs[False][uid], rtol=5e-2, atol=0.3)
