@@ -557,3 +557,45 @@ class PagedContinuousBatchingEngine:
                 break
             self.step()
         return self.finished
+
+
+class DataParallelEngineGroup:
+    """Continuous batching across hosts/replicas (BASELINE.json: the DCN
+    tier of the serving stack).
+
+    Each replica is its own engine over its own model/mesh slice — the
+    TPU-native layout keeps KV caches strictly replica-local, so the only
+    cross-host traffic is requests in and results out (host-side Python,
+    riding DCN in a real deployment). This group is that router: it admits
+    each request to the least-loaded replica, steps every replica per tick,
+    and aggregates completions. Works with any engine class above
+    (slot/paged, float or kv_quant, single-device or TP-sharded).
+    """
+
+    def __init__(self, engines):
+        assert engines, "need at least one replica engine"
+        self.engines = list(engines)
+
+    def _load(self, eng) -> int:
+        return len(eng.active) + len(eng.pending)
+
+    def submit(self, req: Request):
+        eng = min(self.engines, key=self._load)
+        eng.submit(req)
+
+    def step(self) -> int:
+        return sum(eng.step() for eng in self.engines)
+
+    @property
+    def finished(self):
+        out = []
+        for eng in self.engines:
+            out.extend(eng.finished)
+        return out
+
+    def run_to_completion(self, max_steps: int = 10_000):
+        for _ in range(max_steps):
+            if not any(eng.active or eng.pending for eng in self.engines):
+                break
+            self.step()
+        return self.finished

@@ -171,6 +171,31 @@ def test_paged_engine_kv_quant_tracks_float_engine():
         assert_close(outs[True][uid], outs[False][uid], rtol=5e-2, atol=0.3)
 
 
+def test_data_parallel_engine_group():
+    """Router tier: requests balanced over replica engines (mixed float and
+    kv_quant replicas — the group is engine-agnostic), all complete."""
+    from bitblas_tpu.serving import (ContinuousBatchingEngine,
+                                     DataParallelEngineGroup, Request)
+
+    model = QuantLlama(CFG, opt_m=(1, 4, 8, 16))
+    group = DataParallelEngineGroup([
+        ContinuousBatchingEngine(model, num_slots=2, max_seq_len=32),
+        ContinuousBatchingEngine(model, num_slots=2, max_seq_len=32,
+                                 kv_quant=True),
+    ])
+    rng = np.random.default_rng(10)
+    for i in range(6):
+        group.submit(Request(
+            uid=i,
+            prompt=rng.standard_normal(
+                (int(rng.integers(2, 7)), CFG.hidden_size)).astype(np.float16),
+            max_new=2))
+    fin = group.run_to_completion(max_steps=100)
+    assert len(fin) == 6 and all(r.done for r in fin)
+    # both replicas took work
+    assert all(len(e.finished) >= 1 for e in group.engines)
+
+
 def test_decode_step_quant_matches_decode_step():
     model = QuantLlama(CFG, opt_m=(1, 8, 16))
     rng = np.random.default_rng(3)
