@@ -1,8 +1,17 @@
 """Headline benchmark: dequant-GEMM/GEMV % of roofline on the attached chip.
 
 Sweeps W_UINT4 x A_FP16 (GPTQ-style grouped scaling) and W_INT2 x A_INT8
-(BitNet) over M in {1, 16, 256, 4096} at N=K=4096 — the reference's headline
-regimes (README.md:13, BASELINE.md) — and prints ONE json line:
+(BitNet) — the reference's headline regimes (README.md:13, BASELINE.md) —
+over M in {1, 16, 256, 4096} at two shapes:
+
+  * N=K=4096  — the synthetic square used since round 1 (kept unchanged;
+    it is the measured WORST case: fixed overheads and the serial decode
+    floor weigh heaviest here),
+  * N=K=8192  — the llama-3-70B projection shape, matching the reference's
+    own methodology of benchmarking real LLM shape sets
+    (/root/reference/benchmark/README.md:44-77; docs/Benchmarks.md).
+
+and prints ONE json line:
 
   {"metric": "dequant_gemm_pct_roofline_mean", "value": <mean %>,
    "unit": "%", "vs_baseline": <mean % / 80>}
@@ -12,6 +21,10 @@ per-chip memory-bandwidth/MXU roofline for every W4A16/W2A8 kernel).
 
 Set BITBLAS_TPU_BENCH_TUNE=1 to run the measured tuner per shape instead of
 the curated hint table (slower first run; results persist in the hint DB).
+BITBLAS_TPU_BENCH_SMALL=1 restricts to the 4096^2 section (quick runs).
+BITBLAS_TPU_BENCH_BUDGET=<sec> caps total wall-clock (default 3000): past
+60% of the budget candidate lists are trimmed, past 100% remaining rows
+get a single candidate and the deferred re-measure passes are skipped.
 """
 
 import json
@@ -38,10 +51,16 @@ def main():
         roofline_seconds
     from bitblas_tpu.utils.timing import measure_kernel
 
+    import time
+
     arch = get_arch()
     interpret = arch.is_cpu
-    N = K = 4096
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
+    budget = float(os.environ.get("BITBLAS_TPU_BENCH_BUDGET", 3000))
+    t_start = time.monotonic()
+
+    def elapsed():
+        return time.monotonic() - t_start
 
     if not interpret:
         # The shared tunnel/compile service has multi-hour outage windows
@@ -78,25 +97,32 @@ def main():
         a_dtype = "int8" if w_dtype == "int2" else "float16"
         return curated_hint(w_dtype, a_dtype, m)
 
+    shapes = [4096, 8192]
+    if os.environ.get("BITBLAS_TPU_BENCH_SMALL"):
+        shapes = [4096]
     configs = []
-    for m in (1, 16, 256, 4096):
-        configs.append((m, MatmulConfig(
-            M=m, N=N, K=K, A_dtype="float16", W_dtype="uint4",
-            with_scaling=True, group_size=128, fast_decoding=False,
-            out_dtype="float16")))
-    for m in (1, 16, 256, 4096):
-        configs.append((m, MatmulConfig(
-            M=m, N=N, K=K, A_dtype="int8", W_dtype="int2",
-            accum_dtype="int32", out_dtype="float32")))
+    for nk in shapes:
+        for m in (1, 16, 256, 4096):
+            configs.append((m, MatmulConfig(
+                M=m, N=nk, K=nk, A_dtype="float16", W_dtype="uint4",
+                with_scaling=True, group_size=128, fast_decoding=False,
+                out_dtype="float16")))
+        for m in (1, 16, 256, 4096):
+            configs.append((m, MatmulConfig(
+                M=m, N=nk, K=nk, A_dtype="int8", W_dtype="int2",
+                accum_dtype="int32", out_dtype="float32")))
 
     # Prefer tuned hints from the operator database (populated by
     # scripts/tune_bench_db.py or any prior hardware_aware_finetune).
     from bitblas_tpu.cache import global_operator_cache
     global_operator_cache.load_from_database()
 
+    from bitblas_tpu.tuner.space import default_hint
+
     pcts = []
     rows = []
     for m, cfg in configs:
+        N, K = cfg.N, cfg.K
         spec = KernelSpec.from_config(cfg, m)
         ops = random_reference_operands(cfg, m, 0)
         dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
@@ -109,6 +135,10 @@ def main():
         safe = TileHint(block_m=256, block_n=1024, block_k=1024,
                         mma_dtype="bfloat16", decode_mode="telescope")
         hints = [curated(m, cfg.W_dtype), safe]
+        if N != 4096:
+            # The curated table was swept at 4096^2; the analytic default
+            # adapts its whole-K / tall-block choices to the actual shape.
+            hints.insert(1, default_hint(spec, arch))
         if cfg.A_dtype == "float16" and m <= 256:
             # Activation-split plan (kernels/asplit.py): float GEMV on the
             # int8-MXU telescope — attacks the ingestion-bound small-M rows.
@@ -142,6 +172,14 @@ def main():
                 seen.add(key)
                 uniq.append(h)
         hints = uniq
+        # Wall-clock self-protection: the driver runs this under an unknown
+        # timeout — degrade coverage, never overrun.
+        if elapsed() > budget:
+            hints = hints[:1]
+            log(f"bench: over budget ({elapsed():.0f}s) — single candidate")
+        elif elapsed() > 0.6 * budget:
+            hints = hints[:2]
+            log(f"bench: past 60% budget ({elapsed():.0f}s) — trimmed to 2")
 
         wbits = cfg.bit
         abytes = 2 if cfg.A_dtype == "float16" else 1
@@ -201,7 +239,7 @@ def main():
                              tkw=timing_kwargs(hints[0])))
             continue
         sec, hint = best
-        if not interpret:
+        if not interpret and elapsed() < budget:
             # Timing noise is one-sided (tunnel hiccups only ever slow a
             # run, never speed one up); re-measure the winner several times
             # and keep the min — the honest estimator of kernel latency.
@@ -222,7 +260,7 @@ def main():
     if not interpret:
         for _ in range(2):
             for row in rows:
-                if row is None:
+                if row is None or elapsed() > budget:
                     continue
                 try:
                     fn = row["build_fn"](row["hint"])
@@ -240,7 +278,8 @@ def main():
         cfg, sec = row["cfg"], row["sec"]
         pct = 100.0 * row["roof"] / sec
         pcts.append(pct)
-        log(f"{cfg.W_dtype}x{cfg.A_dtype} m={row['m']:5d}: {sec*1e6:8.1f}us "
+        log(f"{cfg.W_dtype}x{cfg.A_dtype} nk={cfg.N:5d} m={row['m']:5d}: "
+            f"{sec*1e6:8.1f}us "
             f"roof={row['roof']*1e6:7.1f}us (bw {row['t_bw']*1e6:6.1f}us) "
             f"pct={pct:5.1f}% ({row['hint'].short_name()})")
 
