@@ -57,6 +57,8 @@ def main():
     interpret = arch.is_cpu
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
     budget = float(os.environ.get("BITBLAS_TPU_BENCH_BUDGET", 3000))
+    # t_start is (re)set after the tunnel health gate below — waiting for a
+    # sick tunnel must not eat the measurement budget.
     t_start = time.monotonic()
 
     def elapsed():
@@ -69,12 +71,12 @@ def main():
         # wedged backend init cannot hang the bench itself).
         import subprocess
         import time
-        budget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 1800))
+        hbudget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 1800))
         probe = ("import jax, jax.numpy as jnp;"
                  "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
                  "x.block_until_ready(); print('healthy')")
         t0 = time.time()
-        while time.time() - t0 < budget:
+        while time.time() - t0 < hbudget:
             try:
                 r = subprocess.run([sys.executable, "-c", probe],
                                    timeout=150, capture_output=True,
@@ -84,9 +86,10 @@ def main():
             except subprocess.TimeoutExpired:
                 pass
             log(f"bench: tunnel unhealthy, waiting "
-                f"({time.time()-t0:.0f}s/{budget:.0f}s)")
+                f"({time.time()-t0:.0f}s/{hbudget:.0f}s)")
         else:
             log("bench: tunnel never became healthy — measuring anyway")
+        t_start = time.monotonic()  # measurement budget starts post-gate
 
     # Curated hints: single source of truth in tuner/curated.py (the
     # sweep-measured winners; scripts/seed_curated_hints.py installs the
