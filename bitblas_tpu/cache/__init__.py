@@ -87,9 +87,32 @@ class OperatorCache:
                     "operator": type(op).__name__,
                     "config": type(config).__name__,
                 })
-                _atomic_write_json(os.path.join(d, "hints.json"),
-                                   {str(m): h.to_dict()
-                                    for m, h in op.hints.items()})
+                # hints.json is a read-modify-write: two processes tuning
+                # different m-buckets of the same config must not drop each
+                # other's buckets (cross-process twin of the RLock). The
+                # merge runs under an fcntl lock. Measured/externally
+                # installed buckets (tuned_hints) win over what's on disk;
+                # analytic defaults only fill buckets nobody measured.
+                tuned = {str(m): h.to_dict()
+                         for m, h in getattr(op, "tuned_hints", {}).items()}
+                allh = {str(m): h.to_dict() for m, h in op.hints.items()}
+                lockpath = os.path.join(d, ".lock")
+                with open(lockpath, "w") as lf:
+                    try:
+                        import fcntl
+                        fcntl.flock(lf, fcntl.LOCK_EX)
+                    except ImportError:  # pragma: no cover - non-POSIX
+                        pass
+                    merged = {}
+                    try:
+                        with open(os.path.join(d, "hints.json")) as f:
+                            merged = json.load(f)
+                    except (OSError, ValueError):
+                        pass
+                    merged.update(tuned)
+                    for k, v in allh.items():
+                        merged.setdefault(k, v)
+                    _atomic_write_json(os.path.join(d, "hints.json"), merged)
 
     def load_from_database(self, database_path: Optional[str] = None,
                            target: Optional[str] = None) -> int:

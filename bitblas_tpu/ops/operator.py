@@ -55,6 +55,9 @@ class Operator:
         # bucket -> (hint, callable, jitted callable)
         self._kernels: Dict[int, Tuple[TileHint, Callable, Callable]] = {}
         self._latency: Dict[int, float] = {}
+        # buckets whose hints are measured / externally installed (not
+        # analytic defaults) — the ones worth persisting to the hint DB
+        self._pinned: set = set()
 
     # -- abstract hooks ------------------------------------------------------
     @property
@@ -90,6 +93,7 @@ class Operator:
             if m not in self.m_buckets:
                 continue
             self._install(m, self._make_spec(m), hint)
+            self._pinned.add(m)
         for m in self.m_buckets:
             if m not in self._kernels:
                 spec = self._make_spec(m)
@@ -111,6 +115,7 @@ class Operator:
                 topk=topk,
                 inject=self._tune_inject_index())
             self._install(m, spec, result.hint)
+            self._pinned.add(m)
             self._latency[m] = result.latency
             logger.info("%s m=%d tuned: %s (%.1f us)", self.name, m,
                         result.hint.short_name(), result.latency * 1e6)
@@ -139,6 +144,13 @@ class Operator:
     @property
     def hints(self) -> Dict[int, TileHint]:
         return {m: h for m, (h, _, _) in self._kernels.items()}
+
+    @property
+    def tuned_hints(self) -> Dict[int, TileHint]:
+        """Only the measured / externally installed buckets (the subset the
+        hint DB persists; analytic defaults are reconstructible)."""
+        return {m: h for m, (h, _, _) in self._kernels.items()
+                if m in self._pinned}
 
     # -- profiling ------------------------------------------------------------
     def profile_latency(self, m: Optional[int] = None) -> float:

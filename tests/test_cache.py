@@ -146,3 +146,37 @@ def test_cache_spin_lock_concurrency(tmp_path):
     final = OperatorCache()
     n = final.load_from_database(str(tmp_path), target="cpu_interpret")
     assert n >= 1
+
+
+def test_cross_process_bucket_merge(tmp_path):
+    """Two caches (standing in for two processes) tune DIFFERENT m-buckets
+    of the SAME config; saving the second must not drop the first's bucket.
+    Measured buckets win over the disk copy; analytic defaults only fill
+    buckets nobody measured (save_into_database merge under fcntl lock)."""
+    from bitblas_tpu.tuner import TileHint
+
+    cfg = MatmulConfig(M=[1, 16], N=256, K=256, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128)
+    h1 = TileHint(block_m=8, block_n=128, block_k=256,
+                  mma_dtype="float32", decode_mode="select")
+    h16 = TileHint(block_m=16, block_n=256, block_k=128,
+                   mma_dtype="bfloat16", decode_mode="telescope")
+
+    op_a = Matmul(cfg, enable_tuning=False)
+    op_a.apply_hints({1: h1})          # "process A" measured bucket 1
+    cache_a = OperatorCache()
+    cache_a.add(cfg, op_a)
+    cache_a.save_into_database(str(tmp_path), target="cpu_interpret")
+
+    op_b = Matmul(cfg, enable_tuning=False)
+    op_b.apply_hints({16: h16})        # "process B" measured bucket 16
+    cache_b = OperatorCache()
+    cache_b.add(cfg, op_b)
+    cache_b.save_into_database(str(tmp_path), target="cpu_interpret")
+
+    merged = OperatorCache()
+    assert merged.load_from_database(str(tmp_path),
+                                     target="cpu_interpret") == 1
+    got = merged.get(cfg)
+    assert got.hints[1] == h1, "process B's save dropped A's tuned bucket"
+    assert got.hints[16] == h16
