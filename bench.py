@@ -87,6 +87,7 @@ def main():
                 pass
             log(f"bench: tunnel unhealthy, waiting "
                 f"({time.time()-t0:.0f}s/{hbudget:.0f}s)")
+            time.sleep(10)  # a fast-failing probe must not spin-spawn
         else:
             log("bench: tunnel never became healthy — measuring anyway")
         t_start = time.monotonic()  # measurement budget starts post-gate
@@ -199,7 +200,10 @@ def main():
         # scripts/tpu_ingest_probe.py for the measured ingestion rates.
         roof = max(t_bw, 2 * m * N * K / mxu, N * K / ingest)
 
-        def build_fn(hint):
+        def build_fn(hint, spec=spec, cfg=cfg):
+            # Default-arg binding: the deferred passes below call build_fn
+            # AFTER the config loop finishes — late-bound spec/cfg would
+            # silently rebuild every row with the LAST config.
             kf = make_dequant_matmul(spec, hint, interpret=interpret)
             if cfg.with_scaling:
                 return lambda A, W, S, _kf=kf: _kf(A, W, scales=S)

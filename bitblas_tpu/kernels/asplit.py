@@ -107,11 +107,7 @@ def make_asplit_matmul(spec: KernelSpec, hint: TileHint, *,
         res = (O[:M] * 128.0 + O[M:]) * (s * (1.0 / _QMAX))
         if spec.with_bias and bias is not None:
             res = res + bias.reshape(1, -1)[:, :N_out].astype(jnp.float32)
-        odt = jnp.dtype(out_dtype)
-        if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
-            # saturating narrow-int outputs (dequant_matmul._finish choice)
-            info = jnp.iinfo(odt)
-            res = jnp.clip(jnp.round(res), info.min, info.max)
-        return res.astype(out_dtype)
+        from ..quantization.numerics import saturate_cast
+        return saturate_cast(res, out_dtype)
 
     return fn

@@ -109,8 +109,13 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
             if block_kv <= 128:
                 block_kv = 128
                 break
-        assert seq_len % block_kv == 0, \
-            f"ntn needs a 128-multiple kv block dividing S={seq_len}"
+        if seq_len % block_kv:
+            # Head-interleaved K^T lane layout: no legal 128-multiple block
+            # divides S, so this shape cannot tile on TPU. The FlashAtten
+            # op catches this and falls back to its XLA oracle.
+            raise ValueError(
+                f"ntn layout needs seq_len % 128 == 0 on TPU (got "
+                f"S={seq_len}); pad S, use nnn, or use the XLA fallback")
     else:
         block_kv = _legal_block(block_kv, seq_len)
     nq = pl.cdiv(seq_len, block_q)
@@ -123,14 +128,27 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     # Index maps address heads inside the fused last dim: Q/out on
     # [B, S, H*D] (column block h), K/V on [B, S, Hkv*D]; trans_k K on
     # [B, D, Hkv*S] (column block kvh*nkv + ki).
+    # Causal: clamp ki to the last block intersecting the diagonal for this
+    # q block, so fully-masked steps re-reference the previous block and
+    # Mosaic skips the DMA — upper-triangle K/V blocks never cross HBM
+    # (at s=2048 d=128 the un-clamped KV stream rivals the causal FLOP
+    # time, so this is ~free bandwidth back). Same trick as the decode
+    # kernel's length clamp.
+    def _ki_live(qi, ki):
+        if not causal:
+            return ki
+        last = (qi * block_q + block_q - 1) // block_kv
+        return jnp.minimum(ki, last)
+
     def q_map(bh, qi, ki):
         return (bh // heads, qi, bh % heads)
 
     def kv_map(bh, qi, ki):
-        return (bh // heads, ki, (bh % heads) // group)
+        return (bh // heads, _ki_live(qi, ki), (bh % heads) // group)
 
     def kt_map(bh, qi, ki):
-        return (bh // heads, 0, ((bh % heads) // group) * nkv + ki)
+        return (bh // heads, 0,
+                ((bh % heads) // group) * nkv + _ki_live(qi, ki))
 
     def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         ki = pl.program_id(2)
@@ -387,11 +405,13 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         return (slots[b], jnp.minimum(ki, last), (bh % heads) // group)
 
     def sc_map(bh, ki, lens, slots):
-        # scales arrive pre-transposed [rows, Hkv, Smax] so the block's
-        # lane dim is the (128-aligned) kv-position axis
+        # scales arrive pre-transposed [rows, Hkv, 1, Smax]: lane dim is
+        # the (128-aligned) kv-position axis; the size-1 dim -2 keeps the
+        # sublane block full-dim (Mosaic: sublane blocks must be 8-multiples
+        # or the full dim — a (1,1,BKV) block over [rows,Hkv,Smax] is not)
         b = bh // heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], (bh % heads) // group, jnp.minimum(ki, last))
+        return (slots[b], (bh % heads) // group, 0, jnp.minimum(ki, last))
 
     def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                o_ref, m_ref, l_ref, acc_ref):
@@ -414,8 +434,8 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             q = q_ref[0].astype(jnp.float32)              # [8, D]
             k = k_ref[0].astype(jnp.float32)              # [BKV, D]
             v = v_ref[0].astype(jnp.float32)
-            ksc = ks_ref[0, 0].astype(jnp.float32)        # [BKV]
-            vsc = vs_ref[0, 0].astype(jnp.float32)
+            ksc = ks_ref[0, 0, 0].astype(jnp.float32)     # [BKV]
+            vsc = vs_ref[0, 0, 0].astype(jnp.float32)
             vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
             v = jnp.where(vrow < length, v, jnp.zeros_like(v))
             s = jax.lax.dot_general(
@@ -451,8 +471,8 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
                 pl.BlockSpec((1, 8, dim), q_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
-                pl.BlockSpec((1, 1, block_kv), sc_map),
-                pl.BlockSpec((1, 1, block_kv), sc_map),
+                pl.BlockSpec((1, 1, 1, block_kv), sc_map),
+                pl.BlockSpec((1, 1, 1, block_kv), sc_map),
             ],
             out_specs=pl.BlockSpec((1, 8, dim), q_map),
             scratch_shapes=[
@@ -482,11 +502,12 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             q.astype(jnp.float32).reshape(B * H, D))
         k2 = k_cache.reshape(rows, Smax, kv_heads * D)
         v2 = v_cache.reshape(rows, Smax, kv_heads * D)
-        # [rows, Smax, Hkv] -> [rows, Hkv, Smax]: the scale blocks' lane
-        # dim must be the kv axis (O(rows*Smax*Hkv*4B) XLA transpose per
-        # step — negligible next to the KV stream itself)
-        ks2 = k_scale.transpose(0, 2, 1)
-        vs2 = v_scale.transpose(0, 2, 1)
+        # [rows, Smax, Hkv] -> [rows, Hkv, 1, Smax]: the scale blocks' lane
+        # dim must be the kv axis, and the size-1 dim -2 keeps sublane
+        # blocks full-dim (O(rows*Smax*Hkv*4B) XLA transpose per step —
+        # negligible next to the KV stream itself)
+        ks2 = k_scale.transpose(0, 2, 1)[:, :, None, :]
+        vs2 = v_scale.transpose(0, 2, 1)[:, :, None, :]
         out = call(jnp.asarray(lengths, jnp.int32),
                    jnp.asarray(slots, jnp.int32), q8, k2, v2, ks2, vs2)
         return out[:, 0, :].reshape(B, H, D).astype(out_dtype)

@@ -180,14 +180,7 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
     def _finish(res, bias):
         if spec.with_bias and bias is not None:
             res = res.astype(jnp.float32) + bias.astype(jnp.float32)
-        odt = jnp.dtype(out_dtype)
-        if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
-            # saturating narrow-int outputs (dequant_matmul._finish choice)
-            info = jnp.iinfo(odt)
-            if not jnp.issubdtype(res.dtype, jnp.integer):
-                res = jnp.round(res)
-            res = jnp.clip(res, info.min, info.max)
-        res = res.astype(out_dtype)
+        res = numerics.saturate_cast(res, out_dtype)
         return res[:, :N_out] if N != N_out else res
 
     if int_dot:

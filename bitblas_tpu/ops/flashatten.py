@@ -111,7 +111,17 @@ class FlashAtten:
             out_dtype=as_jax_dtype(c.Out_dtype), interpret=self.interpret)
 
     def _build(self):
-        self._fn = self._make(self.block_q, self.block_kv)
+        try:
+            self._fn = self._make(self.block_q, self.block_kv)
+        except ValueError as ex:
+            # Un-tileable shape (e.g. ntn with seq_len % 128 != 0): serve
+            # the op through the XLA oracle instead of crashing — XLA's
+            # fused attention is the honest fallback on TPU.
+            from ..common import get_logger
+            get_logger().warning(
+                "FlashAtten %s: flash kernel unavailable (%s); using the "
+                "XLA attention path", self.name, str(ex)[:120])
+            self._fn = self.ref_program
         self._jfn = jax.jit(self._fn)
 
     def _example_args(self):

@@ -132,13 +132,7 @@ def cast_output(out: jnp.ndarray, out_dtype: str) -> jnp.ndarray:
     """Accumulator -> out dtype. Narrow-int outputs saturate (round-to-
     nearest for float accumulators, clamp to the dtype range) — matches the
     kernel's documented semantics (kernels/dequant_matmul.py epilogue)."""
-    odt = jnp.dtype(as_jax_dtype(out_dtype))
-    if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
-        info = jnp.iinfo(odt)
-        if not jnp.issubdtype(out.dtype, jnp.integer):
-            out = jnp.round(out)
-        out = jnp.clip(out, info.min, info.max)
-    return out.astype(odt)
+    return numerics.saturate_cast(out, as_jax_dtype(out_dtype))
 
 
 def matmul_reference(

@@ -59,7 +59,7 @@ def retile_packed_for_column_shards(qweight, config: MatmulConfig,
     if config.is_native_compute():
         return qweight   # [K, N] values, no padding — even slices are exact
     N = config.N
-    assert N % tp == 0, f"N={N} must divide tp={tp}"
+    assert N % tp == 0, f"tp={tp} must divide N={N}"
     npad = padded_n(config)
     if config.bit >= 8:
         # 8-bit dequant layout is [K, npad] int8 values (padded to a 128

@@ -288,3 +288,17 @@ def fast_decode_uint_to_bf16(field: jnp.ndarray, bits: int) -> jnp.ndarray:
     """
     bits16 = jnp.uint16(0x4300) | field.astype(jnp.uint16)
     return _bitcast(bits16, jnp.bfloat16) - jnp.bfloat16(128.0)
+
+
+def saturate_cast(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Accumulator -> output dtype; narrow-int outputs saturate (round-to-
+    nearest for float accumulators, clamp to the dtype range). Single home
+    for the epilogue semantics shared by the fused kernel, the asplit /
+    materialize plans, and the reference oracle."""
+    odt = jnp.dtype(out_dtype)
+    if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
+        info = jnp.iinfo(odt)
+        if not jnp.issubdtype(x.dtype, jnp.integer):
+            x = jnp.round(x)
+        x = jnp.clip(x, info.min, info.max)
+    return x.astype(odt)

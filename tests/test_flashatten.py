@@ -125,3 +125,12 @@ def test_flash_decode_slot_mapped():
                                use_flash=False)
     assert_close(np.asarray(out_flash, np.float32),
                  np.asarray(out_ref, np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_ntn_untileable_seq_falls_back_to_xla():
+    """ntn with seq_len % 128 != 0 cannot tile on TPU (head-interleaved
+    K^T lane layout); the op must serve through the XLA oracle instead of
+    crashing at build time."""
+    cfg = FlashAttenConfig(batch=1, heads=2, seq_len=300, dim=128,
+                           layout="ntn")
+    run_case(cfg)
