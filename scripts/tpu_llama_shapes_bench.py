@@ -6,7 +6,9 @@ squares; bench.py's 4096^2 headline is the measured worst case
 (docs/Benchmarks.md). This sweeps the llama-3-70B projection shape
 (N=K=8192) for both headline formats over the full M sweep with the curated/
 default hints plus the materialize candidate, printing rows in bench.py's
-format so they can be promoted into bench.py with measured hints.
+format so they can be promoted into bench.py with measured hints. Winners
+are persisted into the operator hint DB so bench.py's 8192 rows (and any
+library dispatch at these shapes) start from the measured-best hint.
 """
 import sys
 
@@ -15,6 +17,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+from bitblas_tpu.kernels.asplit import supports_asplit
 from bitblas_tpu.kernels.dequant_matmul import make_dequant_matmul
 from bitblas_tpu.kernels.materialize import supports_materialize
 from bitblas_tpu.kernels.spec import KernelSpec
@@ -76,6 +79,13 @@ def main():
                                decode_mode="materialize")
                 if supports_materialize(spec, mat):
                     hints.append(mat)
+            if a == "float16" and m <= 256:
+                # activation-split GEMV on the int8 MXU (bench.py parity)
+                for bn, bk in ((2048, 1024), (512, 4096)):
+                    h = TileHint(block_m=256, block_n=bn, block_k=bk,
+                                 mma_dtype="int8", decode_mode="asplit")
+                    if supports_asplit(spec, h):
+                        hints.append(h)
             seen, uniq = set(), []
             for h in hints:
                 key = h.short_name() + h.decode_mode + h.group_mode
@@ -83,23 +93,56 @@ def main():
                     seen.add(key)
                     uniq.append(h)
 
+            best = None
             for hint in uniq:
                 try:
                     kf = make_dequant_matmul(spec, hint)
                     fn = (lambda A, W, S, _kf=kf: _kf(A, W, scales=S)) \
                         if cfg.with_scaling else \
                         (lambda A, W, _kf=kf: _kf(A, W))
-                    tkw = dict(inject=1, full_output_dep=True) \
-                        if hint.decode_mode == "materialize" else {}
+                    if hint.decode_mode == "materialize":
+                        tkw = dict(inject=1, full_output_dep=True)
+                    elif hint.decode_mode == "asplit":
+                        tkw = dict(inject=0)  # keep the quantize prologue
+                    else:
+                        tkw = {}
                     sec = min(measure_kernel(fn, args, **tkw)
                               for _ in range(2))
                     log(f"{w}x{a} N=K=8192 m={m:5d}: {sec*1e6:8.1f}us "
                         f"roof={roof*1e6:7.1f}us pct={100*roof/sec:5.1f}% "
                         f"({hint.short_name()}_{hint.decode_mode})")
+                    if best is None or sec < best[0]:
+                        best = (sec, hint)
                 except Exception as ex:  # noqa: BLE001
                     log(f"{w}x{a} m={m} {hint.short_name()}"
                         f"_{hint.decode_mode} FAILED: {str(ex)[:140]}")
+            if best is not None:
+                _persist_winner(cfg, m, best[1])
+    _save_db()
+
+
+def _persist_winner(cfg, m, hint):
+    """Install a measured winner into the on-disk operator hint DB (the
+    same mechanism as scripts/seed_curated_hints.py) so bench.py's 8192
+    rows and library dispatch start from it."""
+    from bitblas_tpu import Matmul
+    from bitblas_tpu.cache import global_operator_cache
+    op = global_operator_cache.get(cfg)
+    if op is None:
+        op = Matmul(cfg, enable_tuning=False, from_database=True)
+        global_operator_cache.add(cfg, op)
+    op.apply_hints({m: hint})
+    log(f"DB <- {cfg.W_dtype}x{cfg.A_dtype} N={cfg.N} m={m}: "
+        f"{hint.short_name()}_{hint.decode_mode}")
+
+
+def _save_db():
+    from bitblas_tpu.cache import global_operator_cache
+    global_operator_cache.save_into_database()
+    log("hint DB saved")
 
 
 if __name__ == "__main__":
+    from bitblas_tpu.cache import global_operator_cache
+    global_operator_cache.load_from_database()
     main()
