@@ -139,7 +139,7 @@ class OperatorCache:
                 op = op_cls(config, target=target, enable_tuning=False,
                             from_database=True)
                 op.apply_hints({int(m): TileHint.from_dict(h)
-                                for m, h in hints.items()})
+                                for m, h in hints.items()}, pin=False)
                 self.add(config, op)
                 loaded += 1
             except Exception as ex:  # noqa: BLE001

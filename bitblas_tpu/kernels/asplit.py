@@ -52,12 +52,16 @@ _QMAX = 16256.0
 def supports_asplit(spec: KernelSpec, hint: TileHint) -> bool:
     """Whether the activation-split plan exists for this spec/hint.
 
-    Float activations × sub-byte int/uint weights only — exactly the specs
-    whose int-activation twin runs the integer-exact tele_i8 path.
+    Half-precision activations × sub-byte int/uint weights only — exactly
+    the specs whose int-activation twin runs the integer-exact tele_i8
+    path. float32 activations are excluded: the 15-bit fixed-point split
+    is strictly more accurate than an 8/11-bit bf16/f16 mantissa but
+    strictly LESS than f32's 24 — the latency-only tuner must never be
+    able to trade f32 callers' precision for speed.
     """
     if spec.native or spec.is_int_activation:
         return False
-    if spec.a_dtype not in ("float16", "bfloat16", "float32"):
+    if spec.a_dtype not in ("float16", "bfloat16"):
         return False
     if hint.mma_dtype != "int8":
         return False

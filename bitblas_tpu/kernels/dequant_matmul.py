@@ -561,17 +561,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
                         jnp.float32)
                 else:
                     res = res + b_ref[...].astype(acc_dtype)
-            odt = jnp.dtype(kernel_out_dtype)
-            if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
-                # Narrow-int outputs (reference README.md:80-83 advertises
-                # INT8-out int paths) use SATURATING semantics: float
-                # accumulators round to nearest, then clamp to the dtype
-                # range. (The reference's C cast wraps — wrap-around on an
-                # overflowing dot is never the intent; documented choice.)
-                info = jnp.iinfo(odt)
-                if not jnp.issubdtype(res.dtype, jnp.integer):
-                    res = jnp.round(res)
-                res = jnp.clip(res, info.min, info.max)
+            # Narrow-int outputs (reference README.md:80-83 advertises
+            # INT8-out int paths) use SATURATING semantics (numerics.
+            # saturate — the shared epilogue home; the reference's C cast
+            # wraps, but wrap-around on an overflowing dot is never the
+            # intent; documented choice).
+            res = numerics.saturate(res, kernel_out_dtype)
             out_ref[...] = _cast(res, kernel_out_dtype)
 
     # Inside a larger jit graph XLA caps a kernel's scoped VMEM at 16 MB by

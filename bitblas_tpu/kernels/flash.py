@@ -99,6 +99,16 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     assert heads % kv_heads == 0
     group = heads // kv_heads
     scale = 1.0 / math.sqrt(dim)
+    if not interpret and dim % 128 and (heads > 1 or kv_heads > 1):
+        # The fused-head views put a dim-wide block on a heads*dim-wide
+        # lane axis; Mosaic needs lane blocks to be 128-multiples or the
+        # full dim. FlashAtten._build catches this and serves the XLA
+        # attention instead (a Mosaic lowering crash would otherwise
+        # surface at the first forward() inside jit).
+        raise ValueError(
+            f"flash prefill needs dim % 128 == 0 for multi-head fused "
+            f"layouts on TPU (got dim={dim}, heads={heads}); the XLA "
+            f"fallback serves this shape")
     block_q = _legal_block(block_q, seq_len)
     if trans_k:
         # K^T blocks take S on the lane axis, head-interleaved: the block
@@ -451,8 +461,14 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             alpha = jnp.exp2(m_ref[...] - m_new)
             l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1,
                                                       keepdims=True)
+            # Pad lanes of a partial tail scale block are unspecified — a
+            # NaN there survives `p * vsc` even at p == 0 (0 * NaN = NaN).
+            # K scales are covered by the NEG_INF logit mask above; the V
+            # scale product must be masked explicitly (kj is 2D — 1D iota
+            # does not lower in Mosaic).
+            pw = jnp.where(kj < length, p * vsc[None, :], 0.0)
             pv = jax.lax.dot_general(
-                p * vsc[None, :], v, (((1,), (0,)), ((), ())),
+                pw, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             acc_ref[...] = acc_ref[...] * alpha + pv
             m_ref[...] = m_new

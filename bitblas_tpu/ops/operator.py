@@ -87,13 +87,22 @@ class Operator:
         fn = self._build_kernel(spec, hint)
         self._kernels[m] = (hint, fn, jax.jit(fn))
 
-    def apply_hints(self, hints: Dict[int, TileHint]) -> None:
-        """Install externally provided hints (cache load path)."""
+    def apply_hints(self, hints: Dict[int, TileHint], *,
+                    pin: bool = True) -> None:
+        """Install externally provided hints. `pin=True` (measured winners
+        installed by tune scripts) marks the buckets as tuned so a later DB
+        save re-persists them as measured; the DB *load* path passes
+        pin=False — hints merely loaded from disk must not masquerade as
+        this process's measurements, or a stale loader would overwrite a
+        concurrent tuner's fresher winner at save time (the fcntl merge
+        lets `tuned` win precisely because it is supposed to mean
+        "measured here")."""
         for m, hint in hints.items():
             if m not in self.m_buckets:
                 continue
             self._install(m, self._make_spec(m), hint)
-            self._pinned.add(m)
+            if pin:
+                self._pinned.add(m)
         for m in self.m_buckets:
             if m not in self._kernels:
                 spec = self._make_spec(m)

@@ -290,15 +290,22 @@ def fast_decode_uint_to_bf16(field: jnp.ndarray, bits: int) -> jnp.ndarray:
     return _bitcast(bits16, jnp.bfloat16) - jnp.bfloat16(128.0)
 
 
-def saturate_cast(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
-    """Accumulator -> output dtype; narrow-int outputs saturate (round-to-
-    nearest for float accumulators, clamp to the dtype range). Single home
-    for the epilogue semantics shared by the fused kernel, the asplit /
-    materialize plans, and the reference oracle."""
+def saturate(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Round+clamp an accumulator for a narrow-int output dtype (round-to-
+    nearest for float accumulators, clamp to the dtype range); identity for
+    everything else. Single home for the saturating-epilogue semantics
+    shared by the fused kernel, the asplit / materialize plans, and the
+    reference oracle. Does NOT cast — Pallas kernels route the final cast
+    through their Mosaic-safe helper."""
     odt = jnp.dtype(out_dtype)
     if jnp.issubdtype(odt, jnp.integer) and odt.itemsize < 4:
         info = jnp.iinfo(odt)
         if not jnp.issubdtype(x.dtype, jnp.integer):
             x = jnp.round(x)
         x = jnp.clip(x, info.min, info.max)
-    return x.astype(odt)
+    return x
+
+
+def saturate_cast(x: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """saturate() then cast to the output dtype."""
+    return saturate(x, out_dtype).astype(jnp.dtype(out_dtype))

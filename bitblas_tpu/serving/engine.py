@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .kv_cache import init_kv_scales
+
 
 @dataclasses.dataclass
 class Request:
@@ -79,17 +81,7 @@ class ContinuousBatchingEngine:
         self.caches_v = jnp.zeros_like(self.caches_k)
         if kv_quant:
             # scales shard on the same kv_heads axis when the cache does
-            self.scales_k = jnp.zeros(kv_shape[:-1], jnp.float32)
-            if cache_sharding is not None:
-                try:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    spec = cache_sharding.spec
-                    self.scales_k = jax.device_put(
-                        self.scales_k,
-                        NamedSharding(cache_sharding.mesh,
-                                      PartitionSpec(*spec[:-1])))
-                except AttributeError:
-                    pass
+            self.scales_k = init_kv_scales(kv_shape, cache_sharding)
             self.scales_v = jnp.zeros_like(self.scales_k)
         self.lengths = np.zeros((num_slots,), np.int32)
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
@@ -284,17 +276,7 @@ class PagedContinuousBatchingEngine:
             self.caches_k = jax.device_put(self.caches_k, cache_sharding)
         self.caches_v = jnp.zeros_like(self.caches_k)
         if kv_quant:
-            self.scales_k = jnp.zeros(kv_shape[:-1], jnp.float32)
-            if cache_sharding is not None:
-                try:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    spec = cache_sharding.spec
-                    self.scales_k = jax.device_put(
-                        self.scales_k,
-                        NamedSharding(cache_sharding.mesh,
-                                      PartitionSpec(*spec[:-1])))
-                except AttributeError:
-                    pass
+            self.scales_k = init_kv_scales(kv_shape, cache_sharding)
             self.scales_v = jnp.zeros_like(self.scales_k)
         self.lengths = np.zeros((num_slots,), np.int32)
         # block 0 stays a valid physical id for masked/unused table slots

@@ -167,6 +167,28 @@ def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
 # the int8-quantized collectives do (parallel/serving.py).
 
 
+def init_kv_scales(kv_shape: Tuple[int, ...],
+                   cache_sharding=None) -> jnp.ndarray:
+    """Zero-init int8-KV scales for a cache of `kv_shape` ([..., D] —
+    scales drop the trailing head_dim axis), sharded like the cache minus
+    that axis when a NamedSharding is given. Shared by the slot and paged
+    engines (serving/engine.py)."""
+    scales = jnp.zeros(kv_shape[:-1], jnp.float32)
+    if cache_sharding is not None:
+        try:
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = cache_sharding.spec
+            scales = jax.device_put(
+                scales, NamedSharding(cache_sharding.mesh,
+                                      PartitionSpec(*spec[:-1])))
+        except AttributeError:
+            from ..common import get_logger
+            get_logger().warning(
+                "kv_quant: cache_sharding has no mesh/spec attributes — "
+                "KV scales stay unsharded (replicated)")
+    return scales
+
+
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-(…, head) int8 quantization over the last (D) axis.
 

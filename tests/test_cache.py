@@ -180,3 +180,43 @@ def test_cross_process_bucket_merge(tmp_path):
     got = merged.get(cfg)
     assert got.hints[1] == h1, "process B's save dropped A's tuned bucket"
     assert got.hints[16] == h16
+
+
+def test_loaded_hints_do_not_masquerade_as_measured(tmp_path):
+    """A process that merely LOADED hints from the DB must not re-persist
+    them as measured: a stale loader saving after a concurrent tuner would
+    otherwise overwrite the tuner's fresher winner (apply_hints pin=False
+    on the load path; the fcntl merge lets `tuned` win by design)."""
+    from bitblas_tpu.tuner import TileHint
+
+    cfg = MatmulConfig(M=[1, 16], N=256, K=256, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128)
+    stale = TileHint(block_m=8, block_n=128, block_k=256,
+                     mma_dtype="float32", decode_mode="select")
+    fresh = TileHint(block_m=16, block_n=256, block_k=128,
+                     mma_dtype="bfloat16", decode_mode="telescope")
+
+    op_a = Matmul(cfg, enable_tuning=False)
+    op_a.apply_hints({1: stale})
+    cache_a = OperatorCache()
+    cache_a.add(cfg, op_a)
+    cache_a.save_into_database(str(tmp_path), target="cpu_interpret")
+
+    # "process B" loads the stale DB copy ...
+    cache_b = OperatorCache()
+    cache_b.load_from_database(str(tmp_path), target="cpu_interpret")
+    op_b = cache_b.get(cfg)
+    assert op_b.hints[1] == stale
+    assert 1 not in op_b.tuned_hints, "loaded hint pinned as measured"
+
+    # ... meanwhile "process A" re-tunes bucket 1 and saves a fresh winner
+    op_a.apply_hints({1: fresh})
+    cache_a.save_into_database(str(tmp_path), target="cpu_interpret")
+
+    # B saving later must NOT clobber A's fresh measurement with its
+    # stale loaded copy.
+    cache_b.save_into_database(str(tmp_path), target="cpu_interpret")
+    merged = OperatorCache()
+    merged.load_from_database(str(tmp_path), target="cpu_interpret")
+    assert merged.get(cfg).hints[1] == fresh, \
+        "stale loaded hint overwrote the fresher measured winner"

@@ -225,3 +225,28 @@ def test_decode_step_quant_matches_decode_step():
     assert cq_k.dtype == jnp.int8
     # int8 KV error propagates through 2 layers of attention + MLP
     assert_close(out, ref, rtol=5e-2, atol=0.25)
+
+
+def test_flash_decode_quant_partial_tail_block():
+    """max_seq_len not a multiple of block_kv: the partial tail scale
+    block's pad lanes are unspecified (NaN in interpret mode) and must not
+    poison the PV dot (0 * NaN = NaN) for sequences reaching the tail."""
+    from bitblas_tpu.kernels.flash import make_flash_decode_quant
+
+    rng = np.random.default_rng(9)
+    B, rows, L, Hkv, H, D = 2, 3, 320, 2, 4, 128
+    ck = rng.standard_normal((rows, L, Hkv, D)).astype(np.float32)
+    cv = rng.standard_normal((rows, L, Hkv, D)).astype(np.float32)
+    q = rng.standard_normal((B, H, D)).astype(np.float32)
+    slots = jnp.asarray([2, 0], jnp.int32)
+    lengths = jnp.asarray([320, 5], jnp.int32)  # seq 0 reaches the tail
+    kq, ks = quantize_kv(jnp.asarray(ck))
+    vq, vs = quantize_kv(jnp.asarray(cv))
+    ref = decode_attention_quant(jnp.asarray(q), kq, vq, ks, vs, slots,
+                                 lengths, num_heads=H, use_flash=False)
+    fn = make_flash_decode_quant(batch=B, heads=H, max_seq_len=L, dim=D,
+                                 kv_heads=Hkv, block_kv=128,
+                                 out_dtype=jnp.float32, interpret=True)
+    out = fn(jnp.asarray(q), kq, vq, ks, vs, lengths, slots=slots)
+    assert np.isfinite(np.asarray(out)).all(), "NaN leaked from pad lanes"
+    assert_close(out, ref, rtol=2e-3, atol=1e-3)
