@@ -18,3 +18,9 @@ from .quant_llama import (  # noqa: F401
     rmsnorm,
     rope,
 )
+from .hf_import import (  # noqa: F401
+    LMHead,
+    QuantLlamaLM,
+    llama_config_from_hf,
+    load_quant_llama_from_hf_gptq,
+)

@@ -1,0 +1,182 @@
+"""Import a HuggingFace-transformers GPTQ llama checkpoint into QuantLlama.
+
+The reference integrates with AutoGPTQ checkpoints through a torch module
+swap (/root/reference/integration/pytorch/bitblas_quant_linear.py:33-220:
+`BitBLASQuantLinear` consumes CudaOldQuantLinear tensors in place). The
+TPU-native equivalent is a one-shot offline import: map the HF state-dict
+names (`model.layers.{i}.self_attn.q_proj.qweight` ...) onto QuantLlama's
+seven fused projections, repack every GPTQ tensor bundle into the device
+slot layout (graph.repack_gptq_layer), and return a ready-to-serve model —
+after import there is no torch anywhere on the hot path.
+
+Accepts torch tensors, numpy arrays, or jax arrays as state-dict values.
+Rejects act-order (`desc_act=True`) checkpoints loudly: their `g_idx` is a
+K-permutation that the grouped-scale kernel layout does not represent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import get_logger
+from ..graph import repack_gptq_layer
+from ..ops.matmul_config import MatmulConfig
+from .quant_llama import LlamaConfig, QuantLlama, rmsnorm
+
+logger = get_logger()
+
+# HF projection name -> (our name, in-dim attr, out-dim attr)
+_HF_PROJS = (
+    ("self_attn.q_proj", "q"),
+    ("self_attn.k_proj", "k"),
+    ("self_attn.v_proj", "v"),
+    ("self_attn.o_proj", "o"),
+    ("mlp.gate_proj", "gate"),
+    ("mlp.up_proj", "up"),
+    ("mlp.down_proj", "down"),
+)
+
+
+def _np(t) -> np.ndarray:
+    """torch / jax / numpy -> numpy (torch tensors detach via .cpu())."""
+    if hasattr(t, "detach"):  # torch
+        t = t.detach().cpu()
+        try:
+            return t.numpy()
+        except TypeError:  # numpy-incompatible dtype (torch.bfloat16)
+            return t.float().numpy()
+    return np.asarray(t)
+
+
+def llama_config_from_hf(hf_config, *, group_size: int = 128,
+                         act_dtype: str = "float16") -> LlamaConfig:
+    """Map a transformers LlamaConfig (object or plain dict) onto ours."""
+    def get(name, default=None):
+        if isinstance(hf_config, Mapping):
+            return hf_config.get(name, default)
+        return getattr(hf_config, name, default)
+
+    heads = get("num_attention_heads")
+    return LlamaConfig(
+        hidden_size=get("hidden_size"),
+        intermediate_size=get("intermediate_size"),
+        num_heads=heads,
+        num_kv_heads=get("num_key_value_heads", heads) or heads,
+        num_layers=get("num_hidden_layers"),
+        vocab_size=get("vocab_size"),
+        group_size=group_size,
+        act_dtype=act_dtype,
+        rope_theta=float(get("rope_theta", 10000.0)),
+    )
+
+
+def _check_g_idx(state: Mapping, key: str, K: int, group_size: int) -> None:
+    g_idx = state.get(f"{key}.g_idx")
+    if g_idx is None:
+        return
+    expect = np.arange(K, dtype=np.int64) // group_size
+    if not np.array_equal(_np(g_idx).astype(np.int64), expect):
+        raise ValueError(
+            f"{key}: non-sequential g_idx (act-order / desc_act checkpoint)."
+            f" The TPU grouped-scale layout needs sequential groups; "
+            f"re-quantize with desc_act=False or pre-permute K offline")
+
+
+def load_quant_llama_from_hf_gptq(
+    state: Mapping[str, object],
+    hf_config,
+    *,
+    bits: int = 4,
+    group_size: int = 128,
+    gptq_v2: bool = False,
+    opt_m=(1, 16, 256),
+    enable_tuning: bool = False,
+) -> Tuple[QuantLlama, "LMHead"]:
+    """Build a QuantLlama trunk + LMHead from a HF GPTQ llama state dict.
+
+    `state` maps HF names to tensors: per layer the GPTQ bundles
+    (`...q_proj.qweight/qzeros/scales` [+ optional trivial g_idx]) and the
+    two RMSNorm weights; globally `model.embed_tokens.weight`,
+    `model.norm.weight`, `lm_head.weight`. Returns (trunk, lm_head) —
+    `QuantLlamaLM` composes them into tokens->logits.
+    """
+    if bits != 4:
+        raise ValueError(f"GPTQ llama import supports 4-bit (got {bits})")
+    cfg = llama_config_from_hf(hf_config, group_size=group_size)
+    model = QuantLlama(cfg, opt_m=opt_m, enable_tuning=enable_tuning)
+
+    for i, layer in enumerate(model.layers):
+        base = f"model.layers.{i}"
+        for hf_name, ours in _HF_PROJS:
+            key = f"{base}.{hf_name}"
+            op = layer.ops[ours]
+            mcfg: MatmulConfig = op.config
+            if f"{key}.bias" in state:
+                raise ValueError(f"{key}: bias present — llama projections "
+                                 f"are bias-free; refusing to drop it")
+            _check_g_idx(state, key, mcfg.K, group_size)
+            packed = repack_gptq_layer(
+                mcfg, _np(state[f"{key}.qweight"]),
+                _np(state[f"{key}.scales"]),
+                _np(state[f"{key}.qzeros"]), gptq_v2=gptq_v2)
+            layer.weights[ours] = (jnp.asarray(packed["qweight"]),
+                                   jnp.asarray(packed["scales"]),
+                                   jnp.asarray(packed["zeros"]))
+        layer.attn_norm = jnp.asarray(
+            _np(state[f"{base}.input_layernorm.weight"]), jnp.float32)
+        layer.mlp_norm = jnp.asarray(
+            _np(state[f"{base}.post_attention_layernorm.weight"]),
+            jnp.float32)
+        logger.info("imported layer %d/%d", i + 1, cfg.num_layers)
+
+    head = LMHead(
+        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
+                          jnp.dtype(cfg.act_dtype)),
+        final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
+        lm_head=jnp.asarray(_np(state["lm_head.weight"]), jnp.float32),
+    )
+    return model, head
+
+
+@dataclass
+class LMHead:
+    """The unquantized ends of the model: token embedding, final RMSNorm,
+    and the lm_head projection (HF GPTQ checkpoints leave all three in
+    float — reference integration keeps them as torch nn modules)."""
+    embed: jnp.ndarray       # [V, H] act dtype
+    final_norm: jnp.ndarray  # [H]
+    lm_head: jnp.ndarray     # [V, H] f32
+
+    def embed_tokens(self, token_ids: jnp.ndarray) -> jnp.ndarray:
+        return jnp.take(self.embed, token_ids, axis=0)
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        h = rmsnorm(hidden.astype(jnp.float32), self.final_norm)
+        return h @ self.lm_head.T
+
+
+class QuantLlamaLM:
+    """tokens -> logits: LMHead.embed -> QuantLlama trunk -> LMHead.logits.
+
+    The hidden-state trunk stays the serving surface (engines stream
+    hidden vectors); this wrapper is the end-to-end checkpoint-parity and
+    evaluation entry (perplexity, logit-match tests)."""
+
+    def __init__(self, model: QuantLlama, head: LMHead):
+        self.model = model
+        self.head = head
+
+    def __call__(self, token_ids: jnp.ndarray,
+                 positions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if token_ids.ndim == 1:
+            token_ids = token_ids[None]
+        B, S = token_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        x = self.head.embed_tokens(token_ids)
+        x = self.model(x, positions)
+        return self.head.logits(x)

@@ -177,6 +177,33 @@ def unpack_qzeros_v2(qzeros: np.ndarray, bits: int) -> np.ndarray:
     return np.bitwise_and(fields, (1 << bits) - 1).astype(np.int8)
 
 
+def pack_autogptq(intweight_kn: np.ndarray, zeros_gn: np.ndarray,
+                  scales_gn: np.ndarray, bits: int = 4, *,
+                  v2: bool = False):
+    """Inverse of unpack_qweight/unpack_qzeros: produce AutoGPTQ
+    CudaOldQuantLinear storage tensors from natural-layout fields.
+
+    intweight_kn [K, N] uint codes, zeros/scales [K/g, N]. Returns
+    (qweight int32 [K*bits/32, N], qzeros int32 [K/g, N*bits/32],
+    scales f16 [K/g, N]) — the tensor conventions of
+    /root/reference/integration/pytorch/bitblas_quant_linear.py. Used to
+    synthesize checkpoint fixtures and to round-trip repack tests.
+    """
+    e32 = 32 // bits
+    K, N = intweight_kn.shape
+    assert K % e32 == 0 and N % e32 == 0
+    iw = intweight_kn.astype(np.uint32).reshape(K // e32, e32, N)
+    shifts = (np.arange(e32, dtype=np.uint32) * bits)[None, :, None]
+    qweight = np.bitwise_or.reduce(iw << shifts, axis=1)
+    z = zeros_gn.astype(np.int64) - (0 if v2 else 1)  # v1 stores zeros-1
+    z = (z & ((1 << bits) - 1)).astype(np.uint32)
+    z = z.reshape(z.shape[0], N // e32, e32)
+    zshifts = (np.arange(e32, dtype=np.uint32) * bits)[None, None, :]
+    qzeros = np.bitwise_or.reduce(z << zshifts, axis=2)
+    return (qweight.astype(np.int32), qzeros.astype(np.int32),
+            scales_gn.astype(np.float16))
+
+
 # ---------------------------------------------------------------------------
 # TPU device layout: slot-strided N packing
 # ---------------------------------------------------------------------------
