@@ -23,4 +23,5 @@ from .hf_import import (  # noqa: F401
     QuantLlamaLM,
     llama_config_from_hf,
     load_quant_llama_from_hf_gptq,
+    perplexity,
 )

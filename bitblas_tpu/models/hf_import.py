@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, Mapping, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -180,3 +181,29 @@ class QuantLlamaLM:
         x = self.head.embed_tokens(token_ids)
         x = self.model(x, positions)
         return self.head.logits(x)
+
+
+def perplexity(lm, token_ids, *, chunk: int = 0) -> float:
+    """Causal-LM perplexity of `lm` (any tokens->logits callable, e.g.
+    QuantLlamaLM) over token_ids [B, S]: exp(mean next-token NLL).
+
+    The BASELINE parity bar for checkpoint imports is "perplexity match"
+    against the source framework (reference runs its e2e eval through the
+    torch integration); this is the measurement half of that contract.
+    `chunk` > 0 splits the batch to bound device memory on long evals.
+    """
+    token_ids = jnp.asarray(token_ids)
+    if token_ids.ndim == 1:
+        token_ids = token_ids[None]
+    B = token_ids.shape[0]
+    step = B if chunk <= 0 else chunk
+    total, count = 0.0, 0
+    for s in range(0, B, step):
+        toks = token_ids[s:s + step]
+        logits = lm(toks[:, :-1]).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = toks[:, 1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+        total += float(jnp.sum(nll))
+        count += int(np.prod(tgt.shape))
+    return float(np.exp(total / max(count, 1)))

@@ -7,6 +7,7 @@ pass. Reference behavior studied from
 /root/reference/integration/pytorch/bitblas_quant_linear.py.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -136,3 +137,42 @@ def test_config_mapping():
     cfg = llama_config_from_hf(HF_CFG, group_size=G)
     assert cfg.num_kv_heads == 2 and cfg.num_layers == 2
     assert cfg.head_dim == 64 and cfg.group_size == G
+
+
+def test_perplexity_uniform_logits_equals_vocab():
+    """A uniform-logits LM has perplexity exactly vocab_size; a peaked LM
+    on the true next token approaches 1."""
+    from bitblas_tpu.models import perplexity
+
+    V = 32
+    toks = np.arange(16, dtype=np.int32)[None] % V
+
+    ppl_u = perplexity(lambda t: jnp.zeros((*t.shape, V)), toks)
+    assert abs(ppl_u - V) < 1e-3
+
+    def peaked(t):
+        nxt = np.asarray(toks)[:, 1:t.shape[1] + 1]
+        return 50.0 * jax.nn.one_hot(jnp.asarray(nxt), V)
+    ppl_p = perplexity(peaked, toks)
+    assert ppl_p < 1.01
+
+
+def test_perplexity_on_imported_model_chunked():
+    rng = np.random.default_rng(4)
+    state, _ = _make_state(rng)
+    model, head = load_quant_llama_from_hf_gptq(state, HF_CFG,
+                                                group_size=G,
+                                                opt_m=(1, 8, 16))
+    from bitblas_tpu.models import perplexity
+    # temper the random lm_head so logits (and hence ppl) stay in a sane
+    # range — random-weight models otherwise produce astronomically
+    # confident wrong predictions
+    head.lm_head = head.lm_head * 0.02
+    lm = QuantLlamaLM(model, head)
+    toks = rng.integers(0, 64, (4, 9)).astype(np.int32)
+    p1 = perplexity(lm, toks)
+    p2 = perplexity(lm, toks, chunk=2)
+    assert np.isfinite(p1) and p1 > 0
+    # chunking changes the dispatched m-bucket (different kernel tiles),
+    # so demand agreement only to bf16-kernel-grade noise in log space
+    assert abs(np.log(p1) - np.log(p2)) < 5e-3, (p1, p2)
