@@ -176,3 +176,37 @@ def test_perplexity_on_imported_model_chunked():
     # chunking changes the dispatched m-bucket (different kernel tiles),
     # so demand agreement only to bf16-kernel-grade noise in log space
     assert abs(np.log(p1) - np.log(p2)) < 5e-3, (p1, p2)
+
+
+def test_imported_model_serves_under_tp():
+    """The imported trunk must plug straight into TP serving: TP decode on
+    a 2-device mesh matches the single-device imported model."""
+    from jax.sharding import Mesh
+    from bitblas_tpu.parallel.serving import TPQuantLlama
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    rng = np.random.default_rng(5)
+    state, _ = _make_state(rng)
+    model, _ = load_quant_llama_from_hf_gptq(state, HF_CFG, group_size=G,
+                                             opt_m=(4,))
+    mesh = Mesh(np.array(devs[:2]).reshape(2), ("tp",))
+    tpm = TPQuantLlama(model, mesh)
+
+    cfg = model.cfg
+    B, S = 4, 8
+    ck = jnp.asarray(rng.standard_normal(
+        (cfg.num_layers, B, 16, cfg.num_kv_heads, cfg.head_dim)),
+        jnp.bfloat16)
+    cv = jnp.zeros_like(ck)
+    x = jnp.asarray(rng.standard_normal((B, 1, cfg.hidden_size)),
+                    jnp.float16)
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.full((B,), S, jnp.int32)
+    out_ref, _, _ = model.decode_step(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    out_tp, _, _ = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+    assert_close(np.asarray(out_tp, np.float32),
+                 np.asarray(out_ref, np.float32), rtol=5e-2, atol=0.05)
