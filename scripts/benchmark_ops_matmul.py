@@ -14,11 +14,18 @@ import sys
 from bitblas_tpu import Matmul, MatmulConfig
 from bitblas_tpu.benchmark import OperatorBenchmarkBase
 
-# (N, K) pairs — llama/bloom/opt projection shapes (benchmark/README.md).
+# (N, K) pairs — the reference's full M0-M7/V0-V12 LLM shape table
+# (/root/reference/benchmark/README.md:44-77: square calibration + BLOOM +
+# OPT + LLAMA/LLAMA-2 projections; the M rows run these at m=8192, the V
+# rows at m=1 — both covered by --m).
 LLM_SHAPES = [
-    (4096, 4096), (11008, 4096), (4096, 11008),       # llama-2-7b
-    (8192, 8192), (28672, 8192), (8192, 28672),       # llama-2-70b
-    (14336, 14336), (57344, 14336), (14336, 57344),   # bloom-176b
+    (16384, 16384),                                   # M0/V0 calibration
+    (43008, 14336), (14336, 14336),                   # bloom-176b V1/V2
+    (57344, 14336), (14336, 57344),                   # bloom-176b V3/V4
+    (9216, 9216), (36864, 9216), (9216, 36864),       # opt-175b V5-V7
+    (22016, 8192), (8192, 22016),                     # llama V8/V9
+    (8192, 8192), (28672, 8192), (8192, 28672),       # llama-2-70b V10-V12
+    (4096, 4096), (11008, 4096), (4096, 11008),       # llama-2-7b extras
 ]
 
 DTYPE_SETS = [
