@@ -7,6 +7,18 @@ W_INT2 x A_INT8 fused kernel, with matching outputs.
 Usage: PYTHONPATH=.:$PYTHONPATH python examples/bitnet_qat_training.py
 """
 
+# --cpu: run on the host CPU (8 virtual devices) instead of the TPU —
+# the axon plugin ignores JAX_PLATFORMS, so this must be set in-process
+# before the first jax use (CLAUDE.md environment note).
+import sys as _sys
+if "--cpu" in _sys.argv:
+    _sys.argv.remove("--cpu")
+    import os as _os
+    _os.environ.setdefault("XLA_FLAGS",
+                           "--xla_force_host_platform_device_count=8")
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
