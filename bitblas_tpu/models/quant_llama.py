@@ -215,9 +215,12 @@ class QuantLlama:
         flash = None
         if seq_len >= 256 and seq_len % 128 == 0:
             from ..tuner import get_arch
+            from ..tuner.curated import flash_block_hint
+            bq, bkv = flash_block_hint(seq_len, cfg.head_dim, True)
             flash = make_flash_attention(
                 batch=1, heads=cfg.num_heads, seq_len=seq_len,
                 dim=cfg.head_dim, kv_heads=cfg.num_kv_heads, causal=True,
+                block_q=bq, block_kv=bkv,
                 out_dtype=jnp.dtype(cfg.act_dtype),
                 interpret=get_arch().is_cpu)
 

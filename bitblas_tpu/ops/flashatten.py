@@ -97,7 +97,9 @@ class FlashAtten:
         self.arch = get_arch(target)
         self.interpret = self.arch.is_cpu
         self.kernel_name_generator = FlashAttenKernelNameGenerator(config)
-        self.block_q, self.block_kv = 512, 1024
+        from ..tuner.curated import flash_block_hint
+        self.block_q, self.block_kv = flash_block_hint(
+            config.seq_len, config.dim, config.is_causal)
         self._build()
         if enable_tuning and not self.interpret:
             self.hardware_aware_finetune()

@@ -47,3 +47,17 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int) -> Optional[TileHint]:
         return TileHint(block_m=1024, block_n=4096, block_k=512,
                         mma_dtype="bfloat16", decode_mode="telescope")
     return None
+
+
+def flash_block_hint(seq_len: int, dim: int,
+                     causal: bool) -> "tuple[int, int]":
+    """(block_q, block_kv) for the flash prefill kernel — the single knob
+    pair the on-chip sweep tunes (scripts/tpu_flash_tune.py). Consumed by
+    FlashAtten's construction default and QuantLlama.make_prefill so a
+    measured winner propagates to every prefill site. Values below are the
+    pre-measurement defaults (v5e; r1 sweep preferred large kv blocks);
+    update from the flash-tune stage output."""
+    del dim, causal
+    if seq_len >= 2048:
+        return 512, 1024
+    return min(512, seq_len), min(1024, seq_len)
