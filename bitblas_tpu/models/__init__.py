@@ -25,3 +25,4 @@ from .hf_import import (  # noqa: F401
     load_quant_llama_from_hf_gptq,
     perplexity,
 )
+from .quantize_hf import quantize_llama_from_hf_fp16  # noqa: F401

@@ -1,0 +1,182 @@
+"""Quantize a float HF llama checkpoint into QuantLlama (RTN or GPTQ).
+
+Completes the checkpoint story end-to-end inside the framework: where
+`models.hf_import` ingests checkpoints that AutoGPTQ already quantized
+(the only route the reference supports —
+/root/reference/integration/pytorch/bitblas_quant_linear.py:33-220), this
+module *creates* the quantized model from the original fp16/bf16 weights:
+
+    state = {k: v for k, v in hf_model.state_dict().items()}   # torch ok
+    model, head = quantize_llama_from_hf_fp16(
+        state, hf_model.config, method="gptq", calib_tokens=tok_batches)
+    lm = QuantLlamaLM(model, head)
+
+GPTQ calibration is sequential (Frantar et al.): layer i's Hessians are
+collected from activations produced by the already-quantized layers 0..i-1,
+so quantization error does not compound blindly. The calibration forward
+below mirrors `quant_llama.layer_forward` (same rmsnorm/rope/GQA math) but
+runs dense f32 matmuls on the *dequantized* codes — quantization is a
+one-shot offline transform; no kernels are built until the final pack.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import get_logger
+from ..quantization.gptq import (HessianAccumulator, gptq_quantize,
+                                 rtn_quantize)
+from .hf_import import _np, llama_config_from_hf, LMHead
+from .quant_llama import QuantLlama, rmsnorm, rope
+
+logger = get_logger()
+
+_HF_PROJS = (
+    ("self_attn.q_proj", "q"),
+    ("self_attn.k_proj", "k"),
+    ("self_attn.v_proj", "v"),
+    ("self_attn.o_proj", "o"),
+    ("mlp.gate_proj", "gate"),
+    ("mlp.up_proj", "up"),
+    ("mlp.down_proj", "down"),
+)
+
+
+def _attention(cfg, q, k, v):
+    """Naive causal GQA attention in f32 — the calibration-path twin of
+    quant_llama.layer_forward's fallback branch."""
+    B, S, _, _ = q.shape
+    group = cfg.num_heads // cfg.num_kv_heads
+    k = jnp.repeat(k, group, axis=2)
+    v = jnp.repeat(v, group, axis=2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(cfg.head_dim)
+    qi = jnp.arange(S)[:, None]
+    kj = jnp.arange(S)[None, :]
+    s = jnp.where(qi >= kj, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, -1)
+
+
+def quantize_llama_from_hf_fp16(
+    state: Mapping[str, object],
+    hf_config,
+    *,
+    bits: int = 4,
+    group_size: int = 128,
+    method: str = "rtn",
+    calib_tokens: Optional[np.ndarray] = None,
+    symmetric: bool = False,
+    percdamp: float = 0.01,
+    opt_m=(1, 16, 256),
+    enable_tuning: bool = False,
+) -> Tuple[QuantLlama, LMHead]:
+    """Quantize an fp16/bf16 HF llama `state` dict -> (QuantLlama, LMHead).
+
+    method="rtn" needs no data; method="gptq" requires `calib_tokens`
+    [B, S] int token ids (a few hundred rows of representative text). The
+    embedding, final norm and lm_head stay float, exactly as GPTQ
+    checkpoints leave them (hf_import.LMHead).
+    """
+    if method not in ("rtn", "gptq"):
+        raise ValueError(f"method must be 'rtn' or 'gptq', got {method!r}")
+    if bits != 4:
+        raise ValueError("QuantLlama packs uint4 projections; for other "
+                         "widths quantize per-tensor via quantization.gptq "
+                         "and feed a matching MatmulConfig/Linear")
+    cfg = llama_config_from_hf(hf_config, group_size=group_size)
+    model = QuantLlama(cfg, opt_m=opt_m, enable_tuning=enable_tuning)
+    head = LMHead(
+        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
+                          jnp.dtype(cfg.act_dtype)),
+        final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
+        lm_head=jnp.asarray(_np(state["lm_head.weight"]), jnp.float32),
+    )
+
+    x = positions = None
+    if method == "gptq":
+        if calib_tokens is None:
+            raise ValueError("method='gptq' requires calib_tokens [B, S]")
+        toks = jnp.asarray(np.asarray(calib_tokens))
+        if toks.ndim == 1:
+            toks = toks[None]
+        B, S = toks.shape
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        x = head.embed_tokens(toks).astype(jnp.float32)
+
+    def quant(w_fp: np.ndarray, acc: Optional[HessianAccumulator]):
+        if method == "gptq":
+            return gptq_quantize(w_fp, acc.hessian, bits=bits,
+                                 group_size=group_size, symmetric=symmetric,
+                                 percdamp=percdamp)
+        return rtn_quantize(w_fp, bits=bits, group_size=group_size,
+                            symmetric=symmetric)
+
+    for i, layer in enumerate(model.layers):
+        base = f"model.layers.{i}"
+        fpw = {}
+        for hf_name, ours in _HF_PROJS:
+            key = f"{base}.{hf_name}.weight"
+            if f"{base}.{hf_name}.bias" in state:
+                raise ValueError(f"{base}.{hf_name}: bias present — llama "
+                                 f"projections are bias-free")
+            fpw[ours] = _np(state[key]).astype(np.float32)
+        attn_norm = jnp.asarray(
+            _np(state[f"{base}.input_layernorm.weight"]), jnp.float32)
+        mlp_norm = jnp.asarray(
+            _np(state[f"{base}.post_attention_layernorm.weight"]),
+            jnp.float32)
+
+        qws = {}
+        if method == "rtn":
+            for name, w in fpw.items():
+                qws[name] = quant(w, None)
+        else:
+            # Sequential GPTQ: Hessians from the quantized-prefix stream.
+            B, S = positions.shape
+            h = rmsnorm(x, attn_norm)
+            acc = HessianAccumulator(cfg.hidden_size)
+            acc.update(np.asarray(h))
+            dq = {}
+            for name in ("q", "k", "v"):
+                qws[name] = quant(fpw[name], acc)
+                dq[name] = jnp.asarray(qws[name].dequantize())
+            q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
+            attn = _attention(cfg, q, k, v)
+            acc_o = HessianAccumulator(cfg.hidden_size)
+            acc_o.update(np.asarray(attn))
+            qws["o"] = quant(fpw["o"], acc_o)
+            x = x + attn @ jnp.asarray(qws["o"].dequantize()).T
+            h2 = rmsnorm(x, mlp_norm)
+            acc_gu = HessianAccumulator(cfg.hidden_size)
+            acc_gu.update(np.asarray(h2))
+            for name in ("gate", "up"):
+                qws[name] = quant(fpw[name], acc_gu)
+            gate = h2 @ jnp.asarray(qws["gate"].dequantize()).T
+            up = h2 @ jnp.asarray(qws["up"].dequantize()).T
+            act = jax.nn.silu(gate) * up
+            acc_d = HessianAccumulator(cfg.intermediate_size)
+            acc_d.update(np.asarray(act))
+            qws["down"] = quant(fpw["down"], acc_d)
+            x = x + act @ jnp.asarray(qws["down"].dequantize()).T
+
+        for name, qw in qws.items():
+            op = layer.ops[name]
+            W, Sc, Z = op.transform_weight(
+                qw.codes.astype(np.int8),
+                scale=qw.scales.astype(np.float16),
+                zeros=qw.zeros.astype(np.float16))
+            layer.weights[name] = (W, Sc, Z)
+        layer.attn_norm = attn_norm
+        layer.mlp_norm = mlp_norm
+        logger.info("quantized layer %d/%d (%s)", i + 1, cfg.num_layers,
+                    method)
+
+    return model, head

@@ -28,6 +28,12 @@ from .numerics import (  # noqa: F401
     pack_fields,
     unpack_fields,
 )
+from .gptq import (  # noqa: F401
+    HessianAccumulator,
+    QuantizedWeight,
+    gptq_quantize,
+    rtn_quantize,
+)
 from .packing import (  # noqa: F401
     bias_signed_weight,
     general_compress,
