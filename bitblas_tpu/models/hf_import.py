@@ -182,6 +182,73 @@ class QuantLlamaLM:
         x = self.model(x, positions)
         return self.head.logits(x)
 
+    def generate(self, prompt_tokens, max_new_tokens: int = 32, *,
+                 temperature: float = 0.0, top_k: int = 0,
+                 eos_token_id: Optional[int] = None, seed: int = 0,
+                 max_seq_len: Optional[int] = None) -> np.ndarray:
+        """Autoregressive token generation for one sequence.
+
+        Prefill runs through `QuantLlama.make_prefill` (flash-attention
+        when the prompt is long enough), then each new token goes through
+        the KV-cache `decode_step` — the same single-token path the
+        serving engines batch. temperature=0 is greedy; temperature>0
+        samples the softmax (optionally truncated to the top_k logits).
+        Returns the full token sequence [S + new] as int32 numpy.
+
+        Batched/continuous serving belongs to `serving.engine`; this is
+        the single-stream convenience loop (the reference delegates this
+        entirely to HF `model.generate` around its torch integration).
+        """
+        toks = np.asarray(prompt_tokens).reshape(-1).astype(np.int32)
+        S = toks.shape[0]
+        if S < 1:
+            raise ValueError("prompt_tokens must hold at least one token")
+        cfg = self.model.cfg
+        lmax = max_seq_len or (S + max_new_tokens)
+        if lmax < S + max_new_tokens:
+            raise ValueError(f"max_seq_len={lmax} < prompt {S} + "
+                             f"max_new_tokens {max_new_tokens}")
+        rng = np.random.default_rng(seed)
+
+        prefill = self.model.make_prefill(S)
+        positions = jnp.arange(S)[None]
+        hidden, ks, vs = prefill(self.head.embed_tokens(jnp.asarray(
+            toks)[None]), positions)
+        L = cfg.num_layers
+        caches_k = jnp.zeros((L, 1, lmax, cfg.num_kv_heads, cfg.head_dim),
+                             hidden.dtype)
+        caches_v = jnp.zeros_like(caches_k)
+        for li in range(L):
+            caches_k = caches_k.at[li, 0, :S].set(ks[li].astype(hidden.dtype))
+            caches_v = caches_v.at[li, 0, :S].set(vs[li].astype(hidden.dtype))
+
+        def sample(logits_row: np.ndarray) -> int:
+            if temperature <= 0.0:
+                return int(np.argmax(logits_row))
+            z = logits_row.astype(np.float64) / temperature
+            if top_k > 0 and top_k < z.shape[0]:
+                kth = np.partition(z, -top_k)[-top_k]
+                z = np.where(z >= kth, z, -np.inf)
+            z -= z.max()
+            p = np.exp(z)
+            p /= p.sum()
+            return int(rng.choice(z.shape[0], p=p))
+
+        slots = jnp.zeros((1,), jnp.int32)
+        out = list(toks)
+        last_hidden = hidden[:, -1:]
+        for _ in range(max_new_tokens):
+            logits = np.asarray(self.head.logits(last_hidden))[0, -1]
+            nxt = sample(logits)
+            out.append(nxt)
+            if eos_token_id is not None and nxt == eos_token_id:
+                break
+            lengths = jnp.asarray([len(out) - 1], jnp.int32)
+            x = self.head.embed_tokens(jnp.asarray([[nxt]]))
+            last_hidden, caches_k, caches_v = self.model.decode_step(
+                x, caches_k, caches_v, slots, lengths)
+        return np.asarray(out, np.int32)
+
 
 def perplexity(lm, token_ids, *, chunk: int = 0) -> float:
     """Causal-LM perplexity of `lm` (any tokens->logits callable, e.g.
