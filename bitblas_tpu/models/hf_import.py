@@ -223,16 +223,8 @@ class QuantLlamaLM:
             caches_v = caches_v.at[li, 0, :S].set(vs[li].astype(hidden.dtype))
 
         def sample(logits_row: np.ndarray) -> int:
-            if temperature <= 0.0:
-                return int(np.argmax(logits_row))
-            z = logits_row.astype(np.float64) / temperature
-            if top_k > 0 and top_k < z.shape[0]:
-                kth = np.partition(z, -top_k)[-top_k]
-                z = np.where(z >= kth, z, -np.inf)
-            z -= z.max()
-            p = np.exp(z)
-            p /= p.sum()
-            return int(rng.choice(z.shape[0], p=p))
+            return sample_token(logits_row, temperature=temperature,
+                                top_k=top_k, rng=rng)
 
         slots = jnp.zeros((1,), jnp.int32)
         out = list(toks)
@@ -248,6 +240,25 @@ class QuantLlamaLM:
             last_hidden, caches_k, caches_v = self.model.decode_step(
                 x, caches_k, caches_v, slots, lengths)
         return np.asarray(out, np.int32)
+
+
+def sample_token(logits_row: np.ndarray, *, temperature: float = 0.0,
+                 top_k: int = 0, rng=None) -> int:
+    """Sample one token id from a [V] logits row. temperature<=0 is
+    greedy; otherwise softmax sampling, optionally truncated to the
+    top_k logits. Shared by `QuantLlamaLM.generate` and the token-level
+    serving engine."""
+    if temperature <= 0.0:
+        return int(np.argmax(logits_row))
+    z = np.asarray(logits_row, dtype=np.float64) / temperature
+    if top_k > 0 and top_k < z.shape[0]:
+        kth = np.partition(z, -top_k)[-top_k]
+        z = np.where(z >= kth, z, -np.inf)
+    z -= z.max()
+    p = np.exp(z)
+    p /= p.sum()
+    rng = rng or np.random.default_rng()
+    return int(rng.choice(z.shape[0], p=p))
 
 
 def perplexity(lm, token_ids, *, chunk: int = 0) -> float:

@@ -7,6 +7,8 @@ from .engine import (  # noqa: F401
     PagedContinuousBatchingEngine,
     Request,
     SlotAllocator,
+    TokenContinuousBatchingEngine,
+    TokenRequest,
 )
 from .kv_cache import (  # noqa: F401
     KVCacheConfig,

@@ -581,3 +581,162 @@ class DataParallelEngineGroup:
                 break
             self.step()
         return self.finished
+
+
+@dataclasses.dataclass
+class TokenRequest(Request):
+    """A `Request` whose prompt arrived as token ids and whose output is
+    sampled token ids (`out_tokens`). Built by
+    `TokenContinuousBatchingEngine.submit_tokens` — `prompt` holds the
+    embedded tokens so the base slot/prefill machinery applies unchanged."""
+    tokens: np.ndarray = None
+    temperature: float = 0.0
+    top_k: int = 0
+    eos_token_id: Optional[int] = None
+    seed: int = 0
+    out_tokens: List[int] = dataclasses.field(default_factory=list)
+
+
+class TokenContinuousBatchingEngine(ContinuousBatchingEngine):
+    """Token-in/token-out continuous batching: the LM head joins the loop.
+
+    The base engine streams hidden states (each slot's previous hidden is
+    fed back as the next input — fine for kernel benchmarking, not a
+    language model). This subclass closes the loop the way a serving stack
+    does: after every decode step the batch of last hiddens goes through
+    `head.logits`, each active request samples its next token
+    (greedy / temperature / top_k, per-request seeded rng), completion
+    honors `eos_token_id`, and the sampled tokens' embeddings become the
+    next step's inputs. `head` duck-types models.hf_import.LMHead
+    (`embed_tokens` + `logits`).
+
+    The reference delegates all of this to vLLM around its torch layers
+    (/root/reference/integration/vLLM/README.md); here it is first-class.
+    """
+
+    def __init__(self, model, head, num_slots: int, max_seq_len: int,
+                 **kw):
+        super().__init__(model, num_slots, max_seq_len, **kw)
+        self.head = head
+        self._rngs: Dict[int, np.random.Generator] = {}
+
+    # -- request intake ----------------------------------------------------------
+    def submit_tokens(self, uid: int, tokens, max_new: int = 16, *,
+                      temperature: float = 0.0, top_k: int = 0,
+                      eos_token_id: Optional[int] = None,
+                      seed: int = 0) -> TokenRequest:
+        toks = np.asarray(tokens).reshape(-1).astype(np.int32)
+        if toks.size < 1:
+            raise ValueError("prompt must hold at least one token")
+        if max_new < 1:
+            raise ValueError("max_new must be >= 1")
+        embeds = np.asarray(self.head.embed_tokens(jnp.asarray(toks)),
+                            np.float16)
+        req = TokenRequest(uid=uid, prompt=embeds, max_new=max_new,
+                           tokens=toks, temperature=temperature,
+                           top_k=top_k, eos_token_id=eos_token_id,
+                           seed=seed)
+        self.submit(req)
+        return req
+
+    # -- sampling ----------------------------------------------------------------
+    def _sample(self, req: TokenRequest, logits_row: np.ndarray) -> int:
+        from ..models.hf_import import sample_token
+        rng = self._rngs.get(req.uid)
+        if rng is None:
+            rng = self._rngs[req.uid] = np.random.default_rng(req.seed)
+        return sample_token(logits_row, temperature=req.temperature,
+                            top_k=req.top_k, rng=rng)
+
+    def _emit_token(self, req: TokenRequest) -> bool:
+        """Sample req's next token from its slot's last hidden; return
+        True when the request is complete (eos / budget)."""
+        slot = req.slot
+        logits = np.asarray(self.head.logits(
+            self.last_hidden[slot][None].astype(jnp.float32)))[0]
+        tok = self._sample(req, logits)
+        req.out_tokens.append(tok)
+        req.generated += 1
+        done = (req.generated >= req.max_new
+                or self.lengths[slot] >= self.max_seq_len
+                or (req.eos_token_id is not None
+                    and tok == req.eos_token_id))
+        if not done:
+            self.last_hidden = self.last_hidden.at[slot].set(
+                self.head.embed_tokens(jnp.asarray(tok)).astype(
+                    self.last_hidden.dtype))
+        return done
+
+    def _finish(self, req: TokenRequest) -> None:
+        slot = req.slot
+        req.done = True
+        req.final_hidden = np.asarray(self.last_hidden[slot], np.float32)
+        self.finished.append(req)
+        self._rngs.pop(req.uid, None)
+        self.active.pop(slot, None)
+        self.lengths[slot] = 0
+        self.last_hidden = self.last_hidden.at[slot].set(0.0)
+        self.alloc.release(slot)
+
+    # -- lifecycle overrides -------------------------------------------------------
+    def _admit(self):
+        # Base loop, plus: the prompt's final hidden immediately yields the
+        # first sampled token (no decode step spent on it); a request whose
+        # budget is 1 token (or that hits eos at once) never occupies the
+        # batch.
+        while self.pending:
+            slot = self.alloc.alloc()
+            if slot is None:
+                return
+            req = self.pending.pop(0)
+            req.slot = slot
+            self._prefill(req)
+            if isinstance(req, TokenRequest) and self._emit_token(req):
+                self._finish(req)
+            else:
+                self.active[slot] = req
+
+    def step(self) -> int:
+        self._admit()
+        if not self.active:
+            return 0
+        slots = jnp.arange(self.num_slots, dtype=jnp.int32)
+        lengths = jnp.asarray(self.lengths)
+        if self.kv_quant:
+            (hidden, self.caches_k, self.caches_v, self.scales_k,
+             self.scales_v) = self._decode_step(
+                self.last_hidden, self.caches_k, self.caches_v,
+                self.scales_k, self.scales_v, slots, lengths)
+        else:
+            hidden, self.caches_k, self.caches_v = self._decode_step(
+                self.last_hidden, self.caches_k, self.caches_v, slots,
+                lengths)
+        self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
+
+        # One batched head pass for every slot, then per-request sampling.
+        logits = np.asarray(self.head.logits(
+            self.last_hidden[:, None, :].astype(jnp.float32)))[:, 0]
+        continue_slots: List[int] = []
+        continue_toks: List[int] = []
+        finished: List[TokenRequest] = []
+        for slot, req in list(self.active.items()):
+            self.lengths[slot] += 1
+            req.generated += 1
+            tok = self._sample(req, logits[slot])
+            req.out_tokens.append(tok)
+            if (req.generated >= req.max_new
+                    or self.lengths[slot] >= self.max_seq_len
+                    or (req.eos_token_id is not None
+                        and tok == req.eos_token_id)):
+                finished.append(req)
+            else:
+                continue_slots.append(slot)
+                continue_toks.append(tok)
+        for req in finished:
+            self._finish(req)
+        if continue_slots:
+            emb = self.head.embed_tokens(jnp.asarray(continue_toks))
+            self.last_hidden = self.last_hidden.at[
+                jnp.asarray(continue_slots)].set(
+                emb.astype(self.last_hidden.dtype))
+        return len(self.active)
