@@ -53,44 +53,50 @@ def main():
 
     import time
 
+    # ---- tunnel health gate, BEFORE any backend init -----------------------
+    # The shared tunnel/compile service has multi-hour outage windows
+    # (CLAUDE.md) and a dead tunnel wedges jax.devices() itself, so the gate
+    # must run before get_arch(). Each probe is a subprocess (its own
+    # timeout) that also reports the platform — on a CPU-only host the
+    # first probe answers "healthy cpu" immediately and no gating applies.
+    import subprocess
+    hbudget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 3600))
+    probe = ("import jax, jax.numpy as jnp;"
+             "d = jax.devices();"
+             "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
+             "x.block_until_ready(); print('healthy', d[0].platform)")
+    t0 = time.time()
+    while time.time() - t0 < hbudget:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=150, capture_output=True,
+                               text=True)
+            if r.returncode == 0 and "healthy" in r.stdout:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"bench: tunnel unhealthy, waiting "
+            f"({time.time()-t0:.0f}s/{hbudget:.0f}s)")
+        time.sleep(10)  # a fast-failing probe must not spin-spawn
+    else:
+        # Do NOT attempt to measure against a dead tunnel: the first
+        # remote compile would hang until the caller's timeout and any
+        # number produced would be garbage. Exit loudly with no JSON
+        # line — an absent measurement is honest; a zero or a stale
+        # replay is not. (Observed 10h+ outages; CLAUDE.md.)
+        log("bench: tunnel never became healthy after "
+            f"{hbudget:.0f}s — refusing to emit numbers for a dead "
+            "chip; re-run when the tunnel recovers")
+        sys.exit(2)
+
     arch = get_arch()
     interpret = arch.is_cpu
     tune = bool(os.environ.get("BITBLAS_TPU_BENCH_TUNE"))
     budget = float(os.environ.get("BITBLAS_TPU_BENCH_BUDGET", 3000))
-    # t_start is (re)set after the tunnel health gate below — waiting for a
-    # sick tunnel must not eat the measurement budget.
-    t_start = time.monotonic()
+    t_start = time.monotonic()  # measurement budget starts post-gate
 
     def elapsed():
         return time.monotonic() - t_start
-
-    if not interpret:
-        # The shared tunnel/compile service has multi-hour outage windows
-        # (CLAUDE.md). A dead tunnel at bench time would zero every row —
-        # health-gate with a bounded wait (each probe in a subprocess so a
-        # wedged backend init cannot hang the bench itself).
-        import subprocess
-        import time
-        hbudget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 1800))
-        probe = ("import jax, jax.numpy as jnp;"
-                 "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
-                 "x.block_until_ready(); print('healthy')")
-        t0 = time.time()
-        while time.time() - t0 < hbudget:
-            try:
-                r = subprocess.run([sys.executable, "-c", probe],
-                                   timeout=150, capture_output=True,
-                                   text=True)
-                if r.returncode == 0 and "healthy" in r.stdout:
-                    break
-            except subprocess.TimeoutExpired:
-                pass
-            log(f"bench: tunnel unhealthy, waiting "
-                f"({time.time()-t0:.0f}s/{hbudget:.0f}s)")
-            time.sleep(10)  # a fast-failing probe must not spin-spawn
-        else:
-            log("bench: tunnel never became healthy — measuring anyway")
-        t_start = time.monotonic()  # measurement budget starts post-gate
 
     # Curated hints: single source of truth in tuner/curated.py (the
     # sweep-measured winners; scripts/seed_curated_hints.py installs the
