@@ -97,3 +97,35 @@ def test_kv_quant_token_engine_runs(lm):
     eng.run_to_completion()
     assert req.done and len(req.out_tokens) == 4
     assert all(0 <= t < V for t in req.out_tokens)
+
+
+def test_token_engine_over_tp_mesh_matches_single_device(lm):
+    """The token engine runs unchanged over a TP-sharded model + KV cache
+    (TPQuantLlama duck-types decode_step/make_prefill) and reproduces the
+    single-device token stream."""
+    import jax
+    from jax.sharding import Mesh
+    from bitblas_tpu.parallel.serving import TPQuantLlama
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.array(devs[:2]).reshape(2), ("tp",))
+    tpm = TPQuantLlama(lm.model, mesh)
+
+    prompts = [np.arange(5, dtype=np.int32),
+               (np.arange(4, dtype=np.int32) + 9)]
+    ref = _engine(lm)
+    ref_reqs = [ref.submit_tokens(uid=i, tokens=p, max_new=4)
+                for i, p in enumerate(prompts)]
+    ref.run_to_completion()
+
+    eng = TokenContinuousBatchingEngine(
+        tpm, lm.head, num_slots=2, max_seq_len=64,
+        cache_sharding=tpm.kv_cache_sharding())
+    reqs = [eng.submit_tokens(uid=i, tokens=p, max_new=4)
+            for i, p in enumerate(prompts)]
+    eng.run_to_completion()
+    for r, rr in zip(reqs, ref_reqs):
+        assert r.done
+        assert r.out_tokens == rr.out_tokens, r.uid
