@@ -1,0 +1,150 @@
+"""Speculative decoding: a cheap draft model proposes, the target verifies.
+
+Decode is HBM-bandwidth-bound — every generated token re-streams the
+quantized weights for M=1. Speculation turns `gamma` draft tokens into ONE
+target pass at M = prefix+gamma, which streams the target's weights once
+per *burst* instead of once per token; on TPU the extra rows ride the MXU
+at the same weight-ingest cost (CLAUDE.md: skinny extra rows are nearly
+free). Typical drafts: the same checkpoint quantized harder (e.g. the
+int2/BitNet path drafting for the uint4 target), or a smaller model.
+
+Acceptance follows Leviathan et al. 2023:
+  * temperature=0 (greedy): accept draft tokens while they equal the
+    target argmax — the output is PROVABLY identical to target-only
+    greedy decoding (the property the tests pin).
+  * temperature>0: standard rejection sampling — accept with probability
+    min(1, p_target/p_draft); on rejection, resample from the residual
+    max(0, p_t - p_d) distribution. The output distribution equals
+    target-only sampling.
+
+v1 verifies with a bucketed full forward over the current sequence (one
+weight stream per burst, recomputed prefix attention); a KV-cached
+multi-token verify step is the production follow-up and slots behind the
+same interface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class SpecStats:
+    """Acceptance telemetry: `accepted`/`proposed` is the expected speedup
+    lever; `target_calls` vs tokens generated is the realized ratio."""
+    proposed: int = 0
+    accepted: int = 0
+    target_calls: int = 0
+    draft_calls: int = 0
+    tokens: int = 0
+    rounds: List[int] = field(default_factory=list)
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / max(self.proposed, 1)
+
+
+def _softmax(z: np.ndarray, temperature: float) -> np.ndarray:
+    z = z.astype(np.float64) / max(temperature, 1e-8)
+    z = z - z.max()
+    p = np.exp(z)
+    return p / p.sum()
+
+
+def speculative_generate(target_lm, draft_lm, prompt_tokens,
+                         max_new_tokens: int = 32, *, gamma: int = 4,
+                         temperature: float = 0.0,
+                         eos_token_id: Optional[int] = None, seed: int = 0,
+                         return_stats: bool = False):
+    """Generate with draft/verify speculation.
+
+    target_lm / draft_lm: tokens->logits callables over [B, S] int arrays
+    (e.g. `QuantLlamaLM`). Returns the full token sequence [S + new] int32
+    (and the `SpecStats` when return_stats=True).
+    """
+    if gamma < 1:
+        raise ValueError("gamma must be >= 1")
+    toks = list(np.asarray(prompt_tokens).reshape(-1).astype(np.int32))
+    if not toks:
+        raise ValueError("prompt_tokens must hold at least one token")
+    budget = max_new_tokens
+    rng = np.random.default_rng(seed)
+    stats = SpecStats()
+
+    def logits_tail(lm, seq: List[int], n: int) -> np.ndarray:
+        """Last n rows of lm's next-token logits over seq ([n, V] f32)."""
+        out = np.asarray(lm(jnp.asarray(np.asarray(seq, np.int32))[None]),
+                         np.float32)
+        return out[0, -n:]
+
+    def pick(p_row: np.ndarray) -> int:
+        if temperature <= 0.0:
+            return int(np.argmax(p_row))
+        return int(rng.choice(p_row.shape[0],
+                              p=_softmax(p_row, temperature)))
+
+    done = False
+    while budget > 0 and not done:
+        g = min(gamma, budget)
+        # -- draft proposes g tokens autoregressively ----------------------
+        draft_seq = list(toks)
+        draft_probs = []
+        for _ in range(g):
+            row = logits_tail(draft_lm, draft_seq, 1)[0]
+            stats.draft_calls += 1
+            t = pick(row)
+            draft_seq.append(t)
+            draft_probs.append(
+                None if temperature <= 0.0 else _softmax(row, temperature))
+        proposal = draft_seq[len(toks):]
+        stats.proposed += g
+
+        # -- one target pass scores all g proposals (+ the bonus slot):
+        # tgt[i] are the logits AFTER toks + proposal[:i]; tgt[g] is the
+        # bonus position after all g proposals.
+        tgt = logits_tail(target_lm, draft_seq, g + 1)
+        stats.target_calls += 1
+
+        n_accept = 0
+        replacement = None
+        for i, t in enumerate(proposal):
+            if temperature <= 0.0:
+                ok = int(np.argmax(tgt[i])) == t
+                if not ok:
+                    replacement = int(np.argmax(tgt[i]))
+            else:
+                p_t = _softmax(tgt[i], temperature)
+                p_d = draft_probs[i]
+                ok = rng.random() < min(1.0, p_t[t] / max(p_d[t], 1e-12))
+                if not ok:
+                    residual = np.maximum(p_t - p_d, 0.0)
+                    s = residual.sum()
+                    residual = residual / s if s > 0 else p_t
+                    replacement = int(rng.choice(residual.shape[0],
+                                                 p=residual))
+            if not ok:
+                break
+            n_accept += 1
+        stats.accepted += n_accept
+
+        new = list(proposal[:n_accept])
+        if n_accept < g:
+            new.append(replacement)          # corrected token (free)
+        elif budget - len(new) > 0:
+            new.append(pick(tgt[g]))         # bonus token from the target
+        new = new[:budget]
+        for t in new:
+            toks.append(int(t))
+            budget -= 1
+            stats.tokens += 1
+            if eos_token_id is not None and t == eos_token_id:
+                done = True
+                break
+        stats.rounds.append(len(new))
+
+    out = np.asarray(toks, np.int32)
+    return (out, stats) if return_stats else out
