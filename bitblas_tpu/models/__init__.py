@@ -26,4 +26,8 @@ from .hf_import import (  # noqa: F401
     perplexity,
 )
 from .quantize_hf import quantize_llama_from_hf_fp16  # noqa: F401
-from .speculative import SpecStats, speculative_generate  # noqa: F401
+from .speculative import (  # noqa: F401
+    SpecStats,
+    speculative_generate,
+    speculative_generate_cached,
+)

@@ -278,6 +278,53 @@ class QuantLlama:
             x = x + layer.proj("down", act)[:, None, :]
         return x, caches_k, caches_v
 
+    def decode_chunk(self, x: jnp.ndarray, caches_k: jnp.ndarray,
+                     caches_v: jnp.ndarray, slots: jnp.ndarray,
+                     lengths: jnp.ndarray):
+        """Append T tokens per slot in ONE pass (chunked prefill /
+        speculative-verify building block).
+
+        x [B, T, H]; caches as in decode_step; lengths [B] = tokens already
+        cached per slot. Token i lands at position lengths[b]+i and attends
+        its prefix plus chunk tokens <= i (causal within the chunk). Returns
+        (hidden [B, T, H], caches_k, caches_v). T=1 degenerates to
+        decode_step's math; the projections run at M=B*T so the quantized
+        weights stream from HBM once per CHUNK, not once per token — the
+        whole point of batching decode-side work on TPU.
+        """
+        from ..serving.kv_cache import append_chunk, chunk_attention
+
+        cfg = self.cfg
+        B, T, _ = x.shape
+        positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
+        for li, layer in enumerate(self.layers):
+            h = rmsnorm(x, layer.attn_norm)
+            h2 = h.reshape(B * T, cfg.hidden_size)
+            q = layer.proj("q", h2).reshape(B, T, cfg.num_heads,
+                                            cfg.head_dim)
+            k = layer.proj("k", h2).reshape(B, T, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            v = layer.proj("v", h2).reshape(B, T, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
+            ck, cv = append_chunk(caches_k[li], caches_v[li], slots,
+                                  lengths, k, v)
+            caches_k = caches_k.at[li].set(ck)
+            caches_v = caches_v.at[li].set(cv)
+            attn = chunk_attention(q, ck, cv, slots, lengths,
+                                   num_heads=cfg.num_heads)
+            attn = attn.reshape(B * T, cfg.hidden_size)
+            x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
+            h = rmsnorm(x, layer.mlp_norm)
+            h2 = h.reshape(B * T, cfg.hidden_size)
+            gate = layer.proj("gate", h2)
+            up = layer.proj("up", h2)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.proj("down", act).reshape(B, T, cfg.hidden_size)
+        return x, caches_k, caches_v
+
     def decode_step_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
                           caches_v: jnp.ndarray, scales_k: jnp.ndarray,
                           scales_v: jnp.ndarray, slots: jnp.ndarray,

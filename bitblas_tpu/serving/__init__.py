@@ -12,8 +12,10 @@ from .engine import (  # noqa: F401
 )
 from .kv_cache import (  # noqa: F401
     KVCacheConfig,
+    append_chunk,
     append_token,
     append_token_quant,
+    chunk_attention,
     decode_attention,
     decode_attention_quant,
     init_kv_cache,

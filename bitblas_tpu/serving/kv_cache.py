@@ -77,6 +77,51 @@ def append_token(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
     return cache_k, cache_v
 
 
+def append_chunk(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                 slots: jnp.ndarray, starts: jnp.ndarray,
+                 k_new: jnp.ndarray, v_new: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-layer multi-token append: cache_k/v [slots, L, H, D]; slots [B];
+    starts [B]; k/v_new [B, T, H, D] landing at positions starts[b]+0..T-1
+    (caller guarantees starts[b] + T <= L)."""
+    B, T = k_new.shape[:2]
+    pos = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]
+    cache_k = cache_k.at[slots[:, None], pos].set(
+        k_new.astype(cache_k.dtype))
+    cache_v = cache_v.at[slots[:, None], pos].set(
+        v_new.astype(cache_v.dtype))
+    return cache_k, cache_v
+
+
+def chunk_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
+                    cache_v: jnp.ndarray, slots: jnp.ndarray,
+                    starts: jnp.ndarray, *, num_heads: int) -> jnp.ndarray:
+    """T-token causal attention against the cache (chunk already appended).
+
+    q [B, T, H, D]; cache_k/v [slots, L, Hkv, D]; query i of request b
+    attends cache positions < starts[b] + i + 1 (its prefix plus the chunk
+    tokens at or before it). Returns [B, T, H, D].
+
+    One batched contraction per chunk instead of T single-token steps —
+    the weight-stream batching that makes chunked prefill and KV-cached
+    speculative verification pay off on TPU.
+    """
+    B, T, H, D = q.shape
+    k = cache_k[slots]  # [B, L, Hkv, D]
+    v = cache_v[slots]
+    L, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    s = jnp.einsum("bthgd,blhd->bhgtl", qf, k.astype(jnp.float32)) \
+        / jnp.sqrt(jnp.float32(D))
+    limit = starts[:, None] + jnp.arange(T)[None] + 1          # [B, T]
+    mask = jnp.arange(L)[None, None, :] < limit[:, :, None]    # [B, T, L]
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgtl,blhd->bthgd", p, v.astype(jnp.float32))
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
 # -- paged cache (vLLM-style block paging) ------------------------------------
 #
 # The slot cache above reserves max_seq_len per slot; the paged cache pools

@@ -1,0 +1,98 @@
+"""decode_chunk: T tokens appended to the KV cache in one batched pass.
+
+Pins (1) T=1 equivalence with decode_step, (2) chunked prefill — a prompt
+split into prefill + decode_chunk reproduces the one-shot prefill's hidden
+states and cache, (3) per-slot independent starts.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bitblas_tpu.models import LlamaConfig, QuantLlama
+
+CFG = LlamaConfig(hidden_size=256, intermediate_size=512, num_heads=4,
+                  num_kv_heads=2, num_layers=2, vocab_size=64,
+                  group_size=128)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return QuantLlama(CFG, opt_m=(1, 4, 8, 16))
+
+
+def _caches(num_slots=2, lmax=16):
+    shape = (CFG.num_layers, num_slots, lmax, CFG.num_kv_heads,
+             CFG.head_dim)
+    return jnp.zeros(shape, jnp.bfloat16), jnp.zeros(shape, jnp.bfloat16)
+
+
+def test_chunk_of_one_matches_decode_step(model):
+    rng = np.random.default_rng(0)
+    ck, cv = _caches()
+    pre = rng.standard_normal(
+        (CFG.num_layers, 2, 5, CFG.num_kv_heads, CFG.head_dim)) * 0.1
+    ck = ck.at[:, :, :5].set(jnp.asarray(pre, jnp.bfloat16))
+    cv = cv.at[:, :, :5].set(jnp.asarray(pre[::-1], jnp.bfloat16))
+    x = jnp.asarray(rng.standard_normal((2, 1, CFG.hidden_size)) * 0.1,
+                    jnp.float16)
+    slots = jnp.arange(2, dtype=jnp.int32)
+    lengths = jnp.asarray([5, 3], jnp.int32)
+
+    y1, ck1, cv1 = model.decode_step(x, ck, cv, slots, lengths)
+    y2, ck2, cv2 = model.decode_chunk(x, ck, cv, slots, lengths)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(y1, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ck2, np.float32),
+                               np.asarray(ck1, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cv2, np.float32),
+                               np.asarray(cv1, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_chunked_prefill_matches_one_shot(model):
+    rng = np.random.default_rng(1)
+    x_full = jnp.asarray(rng.standard_normal((1, 8, CFG.hidden_size)) * 0.1,
+                         jnp.float16)
+    positions = jnp.arange(8)[None]
+
+    h_full, ks_full, vs_full = model.make_prefill(8)(x_full, positions)
+
+    h1, ks1, vs1 = model.make_prefill(4)(x_full[:, :4], positions[:, :4])
+    ck, cv = _caches()
+    for li in range(CFG.num_layers):
+        ck = ck.at[li, 0, :4].set(ks1[li].astype(jnp.bfloat16))
+        cv = cv.at[li, 0, :4].set(vs1[li].astype(jnp.bfloat16))
+    h2, ck, cv = model.decode_chunk(
+        x_full[:, 4:], ck, cv, jnp.zeros((1,), jnp.int32),
+        jnp.asarray([4], jnp.int32))
+
+    np.testing.assert_allclose(np.asarray(h2[0], np.float32),
+                               np.asarray(h_full[0, 4:], np.float32),
+                               rtol=3e-2, atol=3e-2)
+    for li in range(CFG.num_layers):
+        np.testing.assert_allclose(
+            np.asarray(ck[li, 0, :8], np.float32),
+            np.asarray(ks_full[li].astype(jnp.bfloat16), np.float32),
+            rtol=3e-2, atol=3e-2)
+
+
+def test_chunk_respects_per_slot_starts(model):
+    """Two slots with different prefix lengths write to their own offsets
+    and never read each other's tokens."""
+    rng = np.random.default_rng(2)
+    ck, cv = _caches()
+    x = jnp.asarray(rng.standard_normal((2, 2, CFG.hidden_size)) * 0.1,
+                    jnp.float16)
+    slots = jnp.arange(2, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 6], jnp.int32)
+    _, ck2, _ = model.decode_chunk(x, ck, cv, slots, lengths)
+    w = np.asarray(ck2, np.float32)
+    # slot 0: rows 3..4 written, rows 5+ untouched (zero)
+    assert np.abs(w[:, 0, 3:5]).max() > 0
+    assert np.abs(w[:, 0, 5:]).max() == 0
+    # slot 1: rows 6..7 written, rows 0..5 untouched
+    assert np.abs(w[:, 1, 6:8]).max() > 0
+    assert np.abs(w[:, 1, :6]).max() == 0

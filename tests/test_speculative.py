@@ -94,3 +94,42 @@ def test_eos_stops_burst(target):
 def test_gamma_validation(target):
     with pytest.raises(ValueError):
         speculative_generate(target, target, np.arange(3), gamma=0)
+
+
+def test_cached_variant_matches_uncached_greedy(target, draft):
+    """KV-cached speculation (decode_chunk verify + cached draft) must
+    reproduce the target-only greedy stream exactly, like the uncached
+    path — and spend the same number of target passes."""
+    from bitblas_tpu.models.speculative import speculative_generate_cached
+    prompt = np.arange(5, dtype=np.int32)
+    ref = target.generate(prompt, max_new_tokens=7, temperature=0.0)
+    out, stats = speculative_generate_cached(
+        target, draft, prompt, max_new_tokens=7, gamma=3,
+        return_stats=True)
+    assert np.array_equal(out, ref)
+    assert stats.tokens == 7
+
+
+def test_cached_perfect_draft_bursts(target):
+    from bitblas_tpu.models.speculative import speculative_generate_cached
+    prompt = np.arange(6, dtype=np.int32)
+    ref = target.generate(prompt, max_new_tokens=8, temperature=0.0)
+    out, stats = speculative_generate_cached(
+        target, target, prompt, max_new_tokens=8, gamma=4,
+        return_stats=True)
+    assert np.array_equal(out, ref)
+    assert stats.acceptance_rate == 1.0
+    assert stats.target_calls <= 3
+
+
+def test_cached_stochastic_seeded(target, draft):
+    from bitblas_tpu.models.speculative import speculative_generate_cached
+    prompt = np.arange(4, dtype=np.int32)
+    a = speculative_generate_cached(target, draft, prompt,
+                                    max_new_tokens=6, gamma=3,
+                                    temperature=0.8, seed=9)
+    b = speculative_generate_cached(target, draft, prompt,
+                                    max_new_tokens=6, gamma=3,
+                                    temperature=0.8, seed=9)
+    assert np.array_equal(a, b)
+    assert a.min() >= 0 and a.max() < V
