@@ -215,12 +215,17 @@ class QuantLlamaLM:
         hidden, ks, vs = prefill(self.head.embed_tokens(jnp.asarray(
             toks)[None]), positions)
         L = cfg.num_layers
+        # One stacked scatter (a per-layer .at[] loop would copy the whole
+        # cache 2L times — the anti-pattern engine._prefill documents).
         caches_k = jnp.zeros((L, 1, lmax, cfg.num_kv_heads, cfg.head_dim),
-                             hidden.dtype)
-        caches_v = jnp.zeros_like(caches_k)
-        for li in range(L):
-            caches_k = caches_k.at[li, 0, :S].set(ks[li].astype(hidden.dtype))
-            caches_v = caches_v.at[li, 0, :S].set(vs[li].astype(hidden.dtype))
+                             hidden.dtype).at[:, 0, :S].set(
+            jnp.stack(list(ks)).astype(hidden.dtype))
+        caches_v = jnp.zeros((L, 1, lmax, cfg.num_kv_heads, cfg.head_dim),
+                             hidden.dtype).at[:, 0, :S].set(
+            jnp.stack(list(vs)).astype(hidden.dtype))
+        # Jit the decode step with donated caches: eager decode_step copies
+        # the full cache 2L times per token through its .at[li].set loop.
+        decode = jax.jit(self.model.decode_step, donate_argnums=(1, 2))
 
         def sample(logits_row: np.ndarray) -> int:
             return sample_token(logits_row, temperature=temperature,
@@ -229,15 +234,17 @@ class QuantLlamaLM:
         slots = jnp.zeros((1,), jnp.int32)
         out = list(toks)
         last_hidden = hidden[:, -1:]
-        for _ in range(max_new_tokens):
+        for i in range(max_new_tokens):
             logits = np.asarray(self.head.logits(last_hidden))[0, -1]
             nxt = sample(logits)
             out.append(nxt)
             if eos_token_id is not None and nxt == eos_token_id:
                 break
+            if i == max_new_tokens - 1:
+                break  # budget spent — the next hidden would go unused
             lengths = jnp.asarray([len(out) - 1], jnp.int32)
             x = self.head.embed_tokens(jnp.asarray([[nxt]]))
-            last_hidden, caches_k, caches_v = self.model.decode_step(
+            last_hidden, caches_k, caches_v = decode(
                 x, caches_k, caches_v, slots, lengths)
         return np.asarray(out, np.int32)
 

@@ -30,20 +30,10 @@ import numpy as np
 from ..common import get_logger
 from ..quantization.gptq import (HessianAccumulator, gptq_quantize,
                                  rtn_quantize)
-from .hf_import import _np, llama_config_from_hf, LMHead
+from .hf_import import _HF_PROJS, _np, llama_config_from_hf, LMHead
 from .quant_llama import QuantLlama, rmsnorm, rope
 
 logger = get_logger()
-
-_HF_PROJS = (
-    ("self_attn.q_proj", "q"),
-    ("self_attn.k_proj", "k"),
-    ("self_attn.v_proj", "v"),
-    ("self_attn.o_proj", "o"),
-    ("mlp.gate_proj", "gate"),
-    ("mlp.up_proj", "up"),
-    ("mlp.down_proj", "down"),
-)
 
 
 def _attention(cfg, q, k, v):

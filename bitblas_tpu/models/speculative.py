@@ -17,10 +17,10 @@ Acceptance follows Leviathan et al. 2023:
     max(0, p_t - p_d) distribution. The output distribution equals
     target-only sampling.
 
-v1 verifies with a bucketed full forward over the current sequence (one
-weight stream per burst, recomputed prefix attention); a KV-cached
-multi-token verify step is the production follow-up and slots behind the
-same interface.
+`speculative_generate` verifies with a full forward over the current
+sequence (simple, works for any tokens->logits callable);
+`speculative_generate_cached` is the production variant — both models keep
+slot KV caches and each verify round is one `QuantLlama.decode_chunk`.
 """
 
 from __future__ import annotations
@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -119,14 +120,16 @@ def speculative_generate(target_lm, draft_lm, prompt_tokens,
         elif budget - len(new) > 0:
             new.append(pick(tgt[g]))         # bonus token from the target
         new = new[:budget]
+        appended = 0
         for t in new:
             toks.append(int(t))
             budget -= 1
             stats.tokens += 1
+            appended += 1
             if eos_token_id is not None and t == eos_token_id:
                 done = True
                 break
-        stats.rounds.append(len(new))
+        stats.rounds.append(appended)
 
     out = np.asarray(toks, np.int32)
     return (out, stats) if return_stats else out
@@ -174,13 +177,17 @@ class _CachedLM:
             lm.head.embed_tokens(jnp.asarray(
                 np.asarray(prompt_toks, np.int32))[None]),
             jnp.arange(S)[None])
-        self.ck = jnp.zeros((cfg.num_layers, 1, capacity, cfg.num_kv_heads,
-                             cfg.head_dim), hidden.dtype)
-        self.cv = jnp.zeros_like(self.ck)
-        for li in range(cfg.num_layers):
-            self.ck = self.ck.at[li, 0, :S].set(ks[li].astype(self.ck.dtype))
-            self.cv = self.cv.at[li, 0, :S].set(vs[li].astype(self.cv.dtype))
+        shape = (cfg.num_layers, 1, capacity, cfg.num_kv_heads,
+                 cfg.head_dim)
+        self.ck = jnp.zeros(shape, hidden.dtype).at[:, 0, :S].set(
+            jnp.stack(list(ks)).astype(hidden.dtype))
+        self.cv = jnp.zeros(shape, hidden.dtype).at[:, 0, :S].set(
+            jnp.stack(list(vs)).astype(hidden.dtype))
         self.cached = S          # positions [0, cached) hold real tokens
+        # jit with donated caches: eager decode_chunk would copy the whole
+        # cache 2*num_layers times per call; shapes (chunk length T)
+        # recompile once each and recur (T=1 drafting, T=gamma+1 verify).
+        self._decode = jax.jit(lm.model.decode_chunk, donate_argnums=(1, 2))
 
     def logits_after(self, seq: List[int], n: int) -> np.ndarray:
         """[n, V] logits rows: row i is the distribution after the prefix
@@ -195,7 +202,7 @@ class _CachedLM:
         chunk = seq[start:]
         x = lm.head.embed_tokens(jnp.asarray(
             np.asarray(chunk, np.int32))[None])
-        hidden, self.ck, self.cv = lm.model.decode_chunk(
+        hidden, self.ck, self.cv = self._decode(
             x, self.ck, self.cv, jnp.zeros((1,), jnp.int32),
             jnp.asarray([start], jnp.int32))
         self.cached = len(seq)
@@ -270,14 +277,16 @@ def speculative_generate_cached(target_lm, draft_lm, prompt_tokens,
         elif budget - len(new) > 0:
             new.append(pick(tgt[g]))
         new = new[:budget]
+        appended = 0
         for t in new:
             toks.append(int(t))
             budget -= 1
             stats.tokens += 1
+            appended += 1
             if eos_token_id is not None and t == eos_token_id:
                 done = True
                 break
-        stats.rounds.append(len(new))
+        stats.rounds.append(appended)
         # accepted proposal tokens' K/V are already cached and valid; the
         # replacement/bonus token is not — its K/V lands on the next replay
         tgt_c.rollback(len(toks) - 1)

@@ -84,7 +84,9 @@ def _quantize_col(col: np.ndarray, scale: np.ndarray, zero: np.ndarray,
 
 
 def _legalize(weight: np.ndarray, bits: int, group_size: int):
-    w = np.asarray(weight, dtype=np.float32)
+    # Always copy: gptq_quantize writes into w (dead-column zeroing, error
+    # feedback) and must never mutate the caller's array in place.
+    w = np.array(weight, dtype=np.float32)
     if w.ndim != 2:
         raise ValueError(f"weight must be [N, K], got shape {w.shape}")
     N, K = w.shape

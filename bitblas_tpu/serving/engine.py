@@ -186,11 +186,9 @@ class ContinuousBatchingEngine:
         return step
 
     # -- main loop ---------------------------------------------------------------
-    def step(self) -> int:
-        """One decode step across all active slots; returns #active."""
-        self._admit()
-        if not self.active:
-            return 0
+    def _run_decode(self) -> None:
+        """One jitted decode step over every slot; updates caches and
+        last_hidden in place. Shared by the hidden-state and token loops."""
         slots = jnp.arange(self.num_slots, dtype=jnp.int32)
         lengths = jnp.asarray(self.lengths)
         if self.kv_quant:
@@ -203,6 +201,13 @@ class ContinuousBatchingEngine:
                 self.last_hidden, self.caches_k, self.caches_v, slots,
                 lengths)
         self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
+
+    def step(self) -> int:
+        """One decode step across all active slots; returns #active."""
+        self._admit()
+        if not self.active:
+            return 0
+        self._run_decode()
 
         finished_slots = []
         for slot, req in list(self.active.items()):
@@ -667,7 +672,7 @@ class TokenContinuousBatchingEngine(ContinuousBatchingEngine):
                     self.last_hidden.dtype))
         return done
 
-    def _finish(self, req: TokenRequest) -> None:
+    def _finish(self, req: Request) -> None:
         slot = req.slot
         req.done = True
         req.final_hidden = np.asarray(self.last_hidden[slot], np.float32)
@@ -700,38 +705,36 @@ class TokenContinuousBatchingEngine(ContinuousBatchingEngine):
         self._admit()
         if not self.active:
             return 0
-        slots = jnp.arange(self.num_slots, dtype=jnp.int32)
-        lengths = jnp.asarray(self.lengths)
-        if self.kv_quant:
-            (hidden, self.caches_k, self.caches_v, self.scales_k,
-             self.scales_v) = self._decode_step(
-                self.last_hidden, self.caches_k, self.caches_v,
-                self.scales_k, self.scales_v, slots, lengths)
-        else:
-            hidden, self.caches_k, self.caches_v = self._decode_step(
-                self.last_hidden, self.caches_k, self.caches_v, slots,
-                lengths)
-        self.last_hidden = hidden[:, 0, :].astype(self.last_hidden.dtype)
+        self._run_decode()  # shared base dispatch (float or kv_quant)
 
-        # One batched head pass for every slot, then per-request sampling.
+        # One batched head pass (only when any token request is active),
+        # then per-request sampling. Plain hidden-state Requests keep the
+        # base engine's behavior: their hidden feeds back unchanged.
+        any_tok = any(isinstance(r, TokenRequest)
+                      for r in self.active.values())
         logits = np.asarray(self.head.logits(
-            self.last_hidden[:, None, :].astype(jnp.float32)))[:, 0]
+            self.last_hidden[:, None, :].astype(jnp.float32)))[:, 0] \
+            if any_tok else None
         continue_slots: List[int] = []
         continue_toks: List[int] = []
-        finished: List[TokenRequest] = []
+        finished: List[Request] = []
         for slot, req in list(self.active.items()):
             self.lengths[slot] += 1
             req.generated += 1
-            tok = self._sample(req, logits[slot])
-            req.out_tokens.append(tok)
-            if (req.generated >= req.max_new
-                    or self.lengths[slot] >= self.max_seq_len
-                    or (req.eos_token_id is not None
-                        and tok == req.eos_token_id)):
+            if isinstance(req, TokenRequest):
+                tok = self._sample(req, logits[slot])
+                req.out_tokens.append(tok)
+                if (req.generated >= req.max_new
+                        or self.lengths[slot] >= self.max_seq_len
+                        or (req.eos_token_id is not None
+                            and tok == req.eos_token_id)):
+                    finished.append(req)
+                else:
+                    continue_slots.append(slot)
+                    continue_toks.append(tok)
+            elif (req.generated >= req.max_new
+                    or self.lengths[slot] >= self.max_seq_len):
                 finished.append(req)
-            else:
-                continue_slots.append(slot)
-                continue_toks.append(tok)
         for req in finished:
             self._finish(req)
         if continue_slots:

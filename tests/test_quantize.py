@@ -226,3 +226,12 @@ def test_quantize_llama_tracks_fp16_model():
     # this fixture; wiring exactness is pinned separately by
     # test_quantize_llama_rtn_wiring_bit_exact.
     assert rel < 0.25, rel
+
+
+def test_gptq_does_not_mutate_caller_weights():
+    w = _rand_w(8, 256, seed=9)
+    h = np.eye(256)
+    h[3, 3] = 0.0  # dead column triggers the in-place zeroing path
+    before = w.copy()
+    gptq_quantize(w, h, bits=4, group_size=128)
+    np.testing.assert_array_equal(w, before)

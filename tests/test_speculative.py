@@ -133,3 +133,13 @@ def test_cached_stochastic_seeded(target, draft):
                                     temperature=0.8, seed=9)
     assert np.array_equal(a, b)
     assert a.min() >= 0 and a.max() < V
+
+
+def test_rounds_telemetry_sums_to_tokens(target):
+    prompt = np.arange(6, dtype=np.int32)
+    full = speculative_generate(target, target, prompt, max_new_tokens=8)
+    eos = int(full[6])  # likely mid-burst stop
+    _, stats = speculative_generate(target, target, prompt,
+                                    max_new_tokens=8, eos_token_id=eos,
+                                    return_stats=True)
+    assert sum(stats.rounds) == stats.tokens

@@ -129,3 +129,18 @@ def test_token_engine_over_tp_mesh_matches_single_device(lm):
     for r, rr in zip(reqs, ref_reqs):
         assert r.done
         assert r.out_tokens == rr.out_tokens, r.uid
+
+
+def test_plain_requests_coexist_with_token_requests(lm):
+    """The token engine still honors the base hidden-state Request API:
+    plain requests decode with hidden feedback, token requests sample."""
+    from bitblas_tpu.serving import Request
+    eng = _engine(lm)
+    hidden_prompt = np.asarray(
+        lm.head.embed_tokens(jnp.asarray(np.arange(4))), np.float16)
+    plain = Request(uid=0, prompt=hidden_prompt, max_new=3)
+    eng.submit(plain)
+    tok = eng.submit_tokens(uid=1, tokens=np.arange(5), max_new=3)
+    eng.run_to_completion()
+    assert plain.done and plain.final_hidden is not None
+    assert tok.done and len(tok.out_tokens) == 3
