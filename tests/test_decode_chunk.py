@@ -96,3 +96,72 @@ def test_chunk_respects_per_slot_starts(model):
     # slot 1: rows 6..7 written, rows 0..5 untouched
     assert np.abs(w[:, 1, 6:8]).max() > 0
     assert np.abs(w[:, 1, :6]).max() == 0
+
+
+def test_tp_decode_chunk_matches_single_device(model):
+    """TPQuantLlama.decode_chunk over a 2-device mesh reproduces the
+    single-device chunk (same contract as test_tp_decode_matches...)."""
+    import jax
+    from jax.sharding import Mesh
+    from bitblas_tpu.parallel.serving import TPQuantLlama
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.array(devs[:2]).reshape(2), ("tp",))
+    tpm = TPQuantLlama(model, mesh)
+
+    rng = np.random.default_rng(3)
+    ck, cv = _caches()
+    pre = rng.standard_normal(
+        (CFG.num_layers, 2, 5, CFG.num_kv_heads, CFG.head_dim)) * 0.1
+    ck = ck.at[:, :, :5].set(jnp.asarray(pre, jnp.bfloat16))
+    cv = cv.at[:, :, :5].set(jnp.asarray(pre[::-1], jnp.bfloat16))
+    x = jnp.asarray(rng.standard_normal((2, 3, CFG.hidden_size)) * 0.1,
+                    jnp.float16)
+    slots = jnp.arange(2, dtype=jnp.int32)
+    lengths = jnp.asarray([5, 2], jnp.int32)
+
+    y_ref, ck_ref, cv_ref = model.decode_chunk(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_tp, ck_out, cv_out = tpm.decode_chunk(x, ck_tp, cv_tp, slots, lengths)
+
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ck_out, np.float32),
+                               np.asarray(ck_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_cached_speculation_over_tp(model):
+    """speculative_generate_cached drives a TP-sharded target end to end
+    (make_prefill + decode_chunk duck-typing) and matches single-device
+    greedy output."""
+    import jax
+    from jax.sharding import Mesh
+    from bitblas_tpu.models import QuantLlamaLM
+    from bitblas_tpu.models.hf_import import LMHead
+    from bitblas_tpu.models.speculative import speculative_generate_cached
+    from bitblas_tpu.parallel.serving import TPQuantLlama
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.array(devs[:2]).reshape(2), ("tp",))
+    rng = np.random.default_rng(4)
+    head = LMHead(
+        embed=jnp.asarray(rng.standard_normal(
+            (CFG.vocab_size, CFG.hidden_size)) * 0.05, jnp.float16),
+        final_norm=jnp.ones((CFG.hidden_size,), jnp.float32),
+        lm_head=jnp.asarray(rng.standard_normal(
+            (CFG.vocab_size, CFG.hidden_size)) * 0.05, jnp.float32),
+    )
+    lm = QuantLlamaLM(model, head)
+    tplm = QuantLlamaLM(TPQuantLlama(model, mesh), head)
+    prompt = np.arange(5, dtype=np.int32)
+    ref = lm.generate(prompt, max_new_tokens=6, temperature=0.0)
+    out = speculative_generate_cached(tplm, lm, prompt, max_new_tokens=6,
+                                      gamma=3)
+    assert np.array_equal(out, ref)
