@@ -54,18 +54,28 @@ class ContinuousBatchingEngine:
     device steps. Works on CPU-interpret and real TPUs alike."""
 
     def __init__(self, model, num_slots: int, max_seq_len: int,
-                 cache_sharding=None, kv_quant: bool = False):
+                 cache_sharding=None, kv_quant: bool = False,
+                 prefill_chunk: int = 0):
         """cache_sharding: optional jax Sharding for the [L, slots, S, Hkv,
         D] KV tensors (e.g. TPQuantLlama.kv_cache_sharding() to shard on
         kv_heads over a TP mesh). kv_quant=True stores the cache as int8
         codes + per-(token, head) f32 scales (kv_cache.py quantized
         section — halves KV HBM traffic and footprint); the model must
-        expose decode_step_quant (QuantLlama and TPQuantLlama do)."""
+        expose decode_step_quant (QuantLlama and TPQuantLlama do).
+        prefill_chunk=T admits prompts through `decode_chunk` in fixed
+        T-token pieces: ONE compiled shape serves every prompt length
+        instead of a jit per power-of-2 bucket — on hardware each Mosaic
+        compile rides the tunnel for 20-60 s, so chunked prefill trades a
+        little padding for most of that warmup."""
         self.model = model
         self.cfg = model.cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
         self.kv_quant = kv_quant
+        self.prefill_chunk = int(prefill_chunk)
+        if self.prefill_chunk and kv_quant:
+            raise ValueError("prefill_chunk requires the float KV cache "
+                             "(decode_chunk has no int8-cache twin yet)")
         self.alloc = SlotAllocator(num_slots)
         self.active: Dict[int, Request] = {}
         self.pending: List[Request] = []
@@ -114,6 +124,8 @@ class ContinuousBatchingEngine:
         return self._prefills[s_bucket]
 
     def _prefill(self, req: Request):
+        if self.prefill_chunk:
+            return self._prefill_chunked(req)
         S = req.prompt.shape[0]
         bucket = 1 << (max(S - 1, 0)).bit_length() if S > 1 else 1
         bucket = min(bucket, self.max_seq_len)
@@ -166,6 +178,33 @@ class ContinuousBatchingEngine:
         self.lengths[req.slot] = S
         self.last_hidden = self.last_hidden.at[req.slot].set(
             hidden[0, S - 1].astype(self.last_hidden.dtype))
+
+    def _prefill_chunked(self, req: Request):
+        """Admit a prompt through fixed-T decode_chunk calls. The tail
+        chunk is zero-padded: pad rows write garbage K/V past the
+        sequence length, which the length-masked attention never reads
+        and later appends overwrite."""
+        T = self.prefill_chunk
+        S = req.prompt.shape[0]
+        if not hasattr(self, "_chunk_step"):
+            self._chunk_step = jax.jit(self.model.decode_chunk,
+                                       donate_argnums=(1, 2))
+        slots = jnp.asarray([req.slot], jnp.int32)
+        prompt = np.asarray(req.prompt, np.float16)
+        written = 0
+        hidden = None
+        n = 0
+        while written < S:
+            n = min(T, S - written)
+            x = np.zeros((1, T, self.cfg.hidden_size), np.float16)
+            x[0, :n] = prompt[written:written + n]
+            hidden, self.caches_k, self.caches_v = self._chunk_step(
+                jnp.asarray(x), self.caches_k, self.caches_v, slots,
+                jnp.asarray([written], jnp.int32))
+            written += n
+        self.lengths[req.slot] = S
+        self.last_hidden = self.last_hidden.at[req.slot].set(
+            hidden[0, n - 1].astype(self.last_hidden.dtype))
 
     def _make_decode_step(self):
         model = self.model

@@ -144,3 +144,31 @@ def test_plain_requests_coexist_with_token_requests(lm):
     eng.run_to_completion()
     assert plain.done and plain.final_hidden is not None
     assert tok.done and len(tok.out_tokens) == 3
+
+
+def test_chunked_prefill_engine_matches_bucketed(lm):
+    """prefill_chunk=4 (fixed-shape decode_chunk admission, padded tail)
+    reproduces the bucketed-prefill engine's token stream exactly."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, V, n).astype(np.int32) for n in (3, 8, 10)]
+    ref = _engine(lm)
+    ref_reqs = [ref.submit_tokens(uid=i, tokens=p, max_new=4)
+                for i, p in enumerate(prompts)]
+    ref.run_to_completion()
+
+    eng = TokenContinuousBatchingEngine(lm.model, lm.head, num_slots=4,
+                                        max_seq_len=64, prefill_chunk=4)
+    reqs = [eng.submit_tokens(uid=i, tokens=p, max_new=4)
+            for i, p in enumerate(prompts)]
+    eng.run_to_completion()
+    for r, rr in zip(reqs, ref_reqs):
+        assert r.done
+        assert r.out_tokens == rr.out_tokens, r.uid
+
+
+def test_prefill_chunk_rejects_kv_quant(lm):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prefill_chunk"):
+        TokenContinuousBatchingEngine(lm.model, lm.head, num_slots=2,
+                                      max_seq_len=32, kv_quant=True,
+                                      prefill_chunk=4)
