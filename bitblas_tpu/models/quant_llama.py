@@ -325,6 +325,50 @@ class QuantLlama:
             x = x + layer.proj("down", act).reshape(B, T, cfg.hidden_size)
         return x, caches_k, caches_v
 
+    def decode_chunk_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
+                           caches_v: jnp.ndarray, scales_k: jnp.ndarray,
+                           scales_v: jnp.ndarray, slots: jnp.ndarray,
+                           lengths: jnp.ndarray):
+        """decode_chunk against the int8-quantized KV cache (codes +
+        per-(token, head) scales, kv_cache.py quantized section). Returns
+        (hidden [B, T, H], caches_k, caches_v, scales_k, scales_v)."""
+        from ..serving.kv_cache import (append_chunk_quant,
+                                        chunk_attention_quant)
+
+        cfg = self.cfg
+        B, T, _ = x.shape
+        positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
+        for li, layer in enumerate(self.layers):
+            h = rmsnorm(x, layer.attn_norm)
+            h2 = h.reshape(B * T, cfg.hidden_size)
+            q = layer.proj("q", h2).reshape(B, T, cfg.num_heads,
+                                            cfg.head_dim)
+            k = layer.proj("k", h2).reshape(B, T, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            v = layer.proj("v", h2).reshape(B, T, cfg.num_kv_heads,
+                                            cfg.head_dim)
+            q = rope(q, positions, cfg.rope_theta)
+            k = rope(k, positions, cfg.rope_theta)
+            ck, cv, sk, sv = append_chunk_quant(
+                caches_k[li], caches_v[li], scales_k[li], scales_v[li],
+                slots, lengths, k, v)
+            caches_k = caches_k.at[li].set(ck)
+            caches_v = caches_v.at[li].set(cv)
+            scales_k = scales_k.at[li].set(sk)
+            scales_v = scales_v.at[li].set(sv)
+            attn = chunk_attention_quant(q, ck, cv, sk, sv, slots, lengths,
+                                         num_heads=cfg.num_heads)
+            attn = attn.reshape(B * T, cfg.hidden_size)
+            x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
+            h = rmsnorm(x, layer.mlp_norm)
+            h2 = h.reshape(B * T, cfg.hidden_size)
+            gate = layer.proj("gate", h2)
+            up = layer.proj("up", h2)
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            x = x + layer.proj("down", act).reshape(B, T, cfg.hidden_size)
+        return x, caches_k, caches_v, scales_k, scales_v
+
     def decode_step_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
                           caches_v: jnp.ndarray, scales_k: jnp.ndarray,
                           scales_v: jnp.ndarray, slots: jnp.ndarray,

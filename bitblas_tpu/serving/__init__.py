@@ -13,9 +13,11 @@ from .engine import (  # noqa: F401
 from .kv_cache import (  # noqa: F401
     KVCacheConfig,
     append_chunk,
+    append_chunk_quant,
     append_token,
     append_token_quant,
     chunk_attention,
+    chunk_attention_quant,
     decode_attention,
     decode_attention_quant,
     init_kv_cache,

@@ -73,9 +73,10 @@ class ContinuousBatchingEngine:
         self.max_seq_len = max_seq_len
         self.kv_quant = kv_quant
         self.prefill_chunk = int(prefill_chunk)
-        if self.prefill_chunk and kv_quant:
-            raise ValueError("prefill_chunk requires the float KV cache "
-                             "(decode_chunk has no int8-cache twin yet)")
+        if self.prefill_chunk and kv_quant and not hasattr(
+                model, "decode_chunk_quant"):
+            raise ValueError("prefill_chunk with kv_quant needs the model "
+                             "to expose decode_chunk_quant")
         self.alloc = SlotAllocator(num_slots)
         self.active: Dict[int, Request] = {}
         self.pending: List[Request] = []
@@ -187,8 +188,12 @@ class ContinuousBatchingEngine:
         T = self.prefill_chunk
         S = req.prompt.shape[0]
         if not hasattr(self, "_chunk_step"):
-            self._chunk_step = jax.jit(self.model.decode_chunk,
-                                       donate_argnums=(1, 2))
+            if self.kv_quant:
+                self._chunk_step = jax.jit(self.model.decode_chunk_quant,
+                                           donate_argnums=(1, 2, 3, 4))
+            else:
+                self._chunk_step = jax.jit(self.model.decode_chunk,
+                                           donate_argnums=(1, 2))
         slots = jnp.asarray([req.slot], jnp.int32)
         prompt = np.asarray(req.prompt, np.float16)
         written = 0
@@ -198,9 +203,16 @@ class ContinuousBatchingEngine:
             n = min(T, S - written)
             x = np.zeros((1, T, self.cfg.hidden_size), np.float16)
             x[0, :n] = prompt[written:written + n]
-            hidden, self.caches_k, self.caches_v = self._chunk_step(
-                jnp.asarray(x), self.caches_k, self.caches_v, slots,
-                jnp.asarray([written], jnp.int32))
+            start = jnp.asarray([written], jnp.int32)
+            if self.kv_quant:
+                (hidden, self.caches_k, self.caches_v, self.scales_k,
+                 self.scales_v) = self._chunk_step(
+                    jnp.asarray(x), self.caches_k, self.caches_v,
+                    self.scales_k, self.scales_v, slots, start)
+            else:
+                hidden, self.caches_k, self.caches_v = self._chunk_step(
+                    jnp.asarray(x), self.caches_k, self.caches_v, slots,
+                    start)
             written += n
         self.lengths[req.slot] = S
         self.last_hidden = self.last_hidden.at[req.slot].set(

@@ -278,6 +278,52 @@ def append_token_quant(cache_k, cache_v, scale_k, scale_v,
     return cache_k, cache_v, scale_k, scale_v
 
 
+def append_chunk_quant(cache_k, cache_v, scale_k, scale_v,
+                       slots: jnp.ndarray, starts: jnp.ndarray,
+                       k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Quantized twin of append_chunk: k/v_new [B, T, H, D] float are
+    int8-quantized per (token, head) and scattered at starts[b]+0..T-1."""
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    T = k_new.shape[1]
+    pos = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]
+    b = slots[:, None]
+    cache_k = cache_k.at[b, pos].set(kq)
+    cache_v = cache_v.at[b, pos].set(vq)
+    scale_k = scale_k.at[b, pos].set(ks)
+    scale_v = scale_v.at[b, pos].set(vs)
+    return cache_k, cache_v, scale_k, scale_v
+
+
+def chunk_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
+                          cache_v: jnp.ndarray, scale_k: jnp.ndarray,
+                          scale_v: jnp.ndarray, slots: jnp.ndarray,
+                          starts: jnp.ndarray, *,
+                          num_heads: int) -> jnp.ndarray:
+    """Quantized twin of chunk_attention: same chunk-causal masking, with
+    the per-(token, head) scales applied to the dot RESULTS (logits scaled
+    after QK; value scales folded into the softmax weights) so both
+    contractions run on the stored int8 codes."""
+    B, T, H, D = q.shape
+    k = cache_k[slots]            # [B, L, Hkv, D] int8
+    v = cache_v[slots]
+    ks = scale_k[slots]           # [B, L, Hkv]
+    vs = scale_v[slots]
+    L, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    s = jnp.einsum("bthgd,blhd->bhgtl", qf,
+                   k.astype(jnp.float32)) / jnp.sqrt(jnp.float32(D))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, None, :]     # [B,Hkv,1,1,L]
+    limit = starts[:, None] + jnp.arange(T)[None] + 1
+    mask = jnp.arange(L)[None, None, :] < limit[:, :, None]
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = p * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgtl,blhd->bthgd", p, v.astype(jnp.float32))
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
 def write_prompt_quant(cache: Dict[str, jnp.ndarray], layer: int,
                        slot: jnp.ndarray, k: jnp.ndarray,
                        v: jnp.ndarray) -> Dict[str, jnp.ndarray]:

@@ -165,3 +165,37 @@ def test_cached_speculation_over_tp(model):
     out = speculative_generate_cached(tplm, lm, prompt, max_new_tokens=6,
                                       gamma=3)
     assert np.array_equal(out, ref)
+
+
+def test_chunk_quant_of_one_matches_decode_step_quant(model):
+    from bitblas_tpu.serving.kv_cache import quantize_kv
+    rng = np.random.default_rng(5)
+    shape = (CFG.num_layers, 2, 16, CFG.num_kv_heads, CFG.head_dim)
+    ck = jnp.zeros(shape, jnp.int8)
+    cv = jnp.zeros(shape, jnp.int8)
+    sk = jnp.zeros(shape[:-1], jnp.float32)
+    sv = jnp.zeros(shape[:-1], jnp.float32)
+    pre = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, 2, 5, CFG.num_kv_heads, CFG.head_dim)) * 0.1,
+        jnp.float32)
+    kq, ks = quantize_kv(pre)
+    ck = ck.at[:, :, :5].set(kq)
+    sk = sk.at[:, :, :5].set(ks)
+    vq, vs = quantize_kv(pre[::-1])
+    cv = cv.at[:, :, :5].set(vq)
+    sv = sv.at[:, :, :5].set(vs)
+    x = jnp.asarray(rng.standard_normal((2, 1, CFG.hidden_size)) * 0.1,
+                    jnp.float16)
+    slots = jnp.arange(2, dtype=jnp.int32)
+    lengths = jnp.asarray([5, 3], jnp.int32)
+
+    y1, ck1, cv1, sk1, sv1 = model.decode_step_quant(
+        x, ck, cv, sk, sv, slots, lengths)
+    y2, ck2, cv2, sk2, sv2 = model.decode_chunk_quant(
+        x, ck, cv, sk, sv, slots, lengths)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(y1, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(ck2), np.asarray(ck1))
+    np.testing.assert_allclose(np.asarray(sk2), np.asarray(sk1),
+                               rtol=1e-5, atol=1e-7)

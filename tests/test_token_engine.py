@@ -166,9 +166,14 @@ def test_chunked_prefill_engine_matches_bucketed(lm):
         assert r.out_tokens == rr.out_tokens, r.uid
 
 
-def test_prefill_chunk_rejects_kv_quant(lm):
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="prefill_chunk"):
-        TokenContinuousBatchingEngine(lm.model, lm.head, num_slots=2,
-                                      max_seq_len=32, kv_quant=True,
-                                      prefill_chunk=4)
+def test_chunked_prefill_kv_quant_matches_bucketed(lm):
+    """Chunked admission over the int8 KV cache (decode_chunk_quant)
+    reproduces the bucketed kv_quant engine's token stream."""
+    p = (np.arange(9, dtype=np.int32) * 5) % V
+    res = []
+    for pc in (0, 4):
+        eng = _engine(lm, kv_quant=True, prefill_chunk=pc)
+        r = eng.submit_tokens(uid=0, tokens=p, max_new=4)
+        eng.run_to_completion()
+        res.append(list(r.out_tokens))
+    assert res[0] == res[1]
