@@ -11,6 +11,7 @@ from .bitnet import (  # noqa: F401
     weight_quant_codes,
 )
 from .quant_llama import (  # noqa: F401
+    DecoderServingMixin,
     LlamaConfig,
     QuantLlama,
     QuantLlamaLayer,

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..ops.matmul import Matmul
 from ..ops.matmul_config import MatmulConfig
+from .quant_llama import DecoderServingMixin as _DecoderServingMixin
 
 
 def weight_quant(w: jnp.ndarray, num_bits: int = 1):
@@ -153,19 +154,18 @@ class BitNetLlamaLayer:
         self.mlp_norm = jnp.asarray(state["mlp_norm"])
 
 
-class BitNetLlama:
-    """Stack of BitNet decoder layers (hidden-state in/out, like QuantLlama)."""
+class BitNetLlama(_DecoderServingMixin):
+    """Stack of BitNet decoder layers (hidden-state in/out, like
+    QuantLlama). Inherits the full serving surface (prefill, decode,
+    chunk, paged, int8-KV) from DecoderServingMixin — BitNet runs through
+    every engine, `generate`, and the speculative paths, e.g. as the cheap
+    draft for a uint4 target (reference BitNet e2e is a bespoke torch
+    loop, integration/BitNet/README.md)."""
 
     def __init__(self, cfg, opt_m=(1, 16, 256)):
         self.cfg = cfg
         self.layers = [BitNetLlamaLayer(cfg, opt_m, seed=i)
                        for i in range(cfg.num_layers)]
-
-    def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
-        from .quant_llama import layer_forward
-        for layer in self.layers:
-            x = layer_forward(layer, x, positions)
-        return x
 
     def state_dict(self):
         return {f"layer_{i}": l.state_dict()

@@ -178,30 +178,19 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     return x
 
 
-class QuantLlama:
-    """A stack of quantized decoder layers (no embeddings — the benchmark
-    and graft entrypoints drive hidden states directly)."""
-
-    def __init__(self, cfg: LlamaConfig, opt_m=(1, 16, 256),
-                 enable_tuning: bool = False):
-        self.cfg = cfg
-        self.layers = [QuantLlamaLayer(cfg, opt_m, enable_tuning, seed=i)
-                       for i in range(cfg.num_layers)]
+class DecoderServingMixin:
+    """Serving hooks for any llama-topology decoder stack whose layers
+    duck-type QuantLlamaLayer (`cfg`, `layers`, `layer.proj(name, x)`,
+    `layer.attn_norm/mlp_norm`): forward, prefill, single-token decode,
+    multi-token chunk append, paged decode, and their int8-KV twins.
+    QuantLlama (uint4 GPTQ) and models.bitnet.BitNetLlama (W2A8) share
+    these, so every engine, `generate`, and the speculative paths work for
+    both — e.g. a BitNet draft speculating for a uint4 target."""
 
     def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
         for layer in self.layers:
             x = layer_forward(layer, x, positions)
         return x
-
-    def state_dict(self) -> Dict[str, Dict[str, jnp.ndarray]]:
-        """Checkpoint tree: {"layer_<i>": {tensor: array}} — feeds
-        module.checkpoint.save_quant_state{,_orbax}."""
-        return {f"layer_{i}": l.state_dict()
-                for i, l in enumerate(self.layers)}
-
-    def load_state_dict(self, state) -> None:
-        for i, layer in enumerate(self.layers):
-            layer.load_state_dict(state[f"layer_{i}"])
 
     # -- serving hooks (see serving/engine.py) --------------------------------
     def make_prefill(self, seq_len: int):
@@ -509,3 +498,24 @@ class QuantLlama:
                    * up.astype(jnp.float32)).astype(x.dtype)
             x = x + layer.proj("down", act)[:, None, :]
         return x, caches_k, caches_v, scales_k, scales_v
+
+
+class QuantLlama(DecoderServingMixin):
+    """A stack of quantized decoder layers (no embeddings — the benchmark
+    and graft entrypoints drive hidden states directly)."""
+
+    def __init__(self, cfg: LlamaConfig, opt_m=(1, 16, 256),
+                 enable_tuning: bool = False):
+        self.cfg = cfg
+        self.layers = [QuantLlamaLayer(cfg, opt_m, enable_tuning, seed=i)
+                       for i in range(cfg.num_layers)]
+
+    def state_dict(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Checkpoint tree: {"layer_<i>": {tensor: array}} — feeds
+        module.checkpoint.save_quant_state{,_orbax}."""
+        return {f"layer_{i}": l.state_dict()
+                for i, l in enumerate(self.layers)}
+
+    def load_state_dict(self, state) -> None:
+        for i, layer in enumerate(self.layers):
+            layer.load_state_dict(state[f"layer_{i}"])
