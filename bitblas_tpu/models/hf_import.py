@@ -62,6 +62,18 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         return getattr(hf_config, name, default)
 
     heads = get("num_attention_heads")
+    scaling = get("rope_scaling", None)
+    if scaling is not None:
+        if not isinstance(scaling, Mapping):
+            scaling = dict(scaling.__dict__)
+        rt = scaling.get("rope_type", scaling.get("type", "default"))
+        if rt == "default":
+            scaling = None
+        elif rt != "llama3":
+            raise ValueError(
+                f"rope_scaling type {rt!r} unsupported (only 'llama3'; "
+                f"linear/dynamic NTK checkpoints need that formula added "
+                f"to quant_llama.llama3_scaled_freqs' family)")
     return LlamaConfig(
         hidden_size=get("hidden_size"),
         intermediate_size=get("intermediate_size"),
@@ -72,6 +84,7 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         group_size=group_size,
         act_dtype=act_dtype,
         rope_theta=float(get("rope_theta", 10000.0)),
+        rope_scaling=dict(scaling) if scaling else None,
     )
 
 

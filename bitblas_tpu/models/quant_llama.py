@@ -35,10 +35,49 @@ class LlamaConfig:
     group_size: int = 128
     act_dtype: str = "float16"
     rope_theta: float = 10000.0
+    # HF llama3-style rope scaling dict ({"rope_type": "llama3", "factor",
+    # "low_freq_factor", "high_freq_factor",
+    # "original_max_position_embeddings"}) or None. Llama-3.1+ checkpoints
+    # need this or long-context logits drift from the source model.
+    rope_scaling: Optional[dict] = None
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def rope_arg(self):
+        """What `rope()` takes: plain theta, or the llama3-scaled
+        inverse-frequency table when rope_scaling is set."""
+        if not self.rope_scaling:
+            return self.rope_theta
+        return llama3_scaled_freqs(self.rope_theta, self.head_dim,
+                                   self.rope_scaling)
+
+
+def llama3_scaled_freqs(theta: float, head_dim: int,
+                        scaling: dict) -> np.ndarray:
+    """Llama-3.1 rope scaling (HF transformers
+    `_compute_llama3_parameters`): inverse frequencies below the
+    high-frequency wavelength keep their value, those above the
+    low-frequency wavelength divide by `factor`, and the band between
+    interpolates smoothly. Returns [head_dim // 2] float32."""
+    rt = scaling.get("rope_type", scaling.get("type", "llama3"))
+    if rt != "llama3":
+        raise ValueError(f"unsupported rope_scaling type {rt!r} "
+                         f"(only 'llama3' is implemented)")
+    half = head_dim // 2
+    inv = theta ** (-np.arange(half, dtype=np.float64) / half)
+    factor = float(scaling["factor"])
+    lo = float(scaling.get("low_freq_factor", 1.0))
+    hi = float(scaling.get("high_freq_factor", 4.0))
+    orig = float(scaling.get("original_max_position_embeddings", 8192))
+    wavelen = 2.0 * np.pi / inv
+    scaled = np.where(wavelen > orig / lo, inv / factor, inv)
+    smooth = (orig / wavelen - lo) / (hi - lo)
+    smoothed = (1.0 - smooth) / factor * inv + smooth * inv
+    is_mid = (wavelen <= orig / lo) & (wavelen >= orig / hi)
+    return np.where(is_mid, smoothed, scaled).astype(np.float32)
 
 
 _PROJS = (("q", "hidden_size", "hidden_size"),
@@ -122,11 +161,16 @@ def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
 
 
-def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """x [B, S, H, D]; rotate pairs (d, d + D/2)."""
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta) -> jnp.ndarray:
+    """x [B, S, H, D]; rotate pairs (d, d + D/2). `theta` is a float base
+    or a precomputed inverse-frequency table [D//2] (cfg.rope_arg —
+    llama3 rope scaling)."""
     B, S, H, D = x.shape
     half = D // 2
-    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if isinstance(theta, (int, float)):
+        freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    else:
+        freqs = jnp.asarray(theta, jnp.float32)
     ang = positions.astype(jnp.float32)[:, :, None] * freqs  # [B, S, half]
     cos = jnp.cos(ang)[:, :, None, :]
     sin = jnp.sin(ang)[:, :, None, :]
@@ -147,8 +191,8 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     q = layer.proj("q", h).reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = layer.proj("k", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = layer.proj("v", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-    q = rope(q, positions, cfg.rope_theta)
-    k = rope(k, positions, cfg.rope_theta)
+    q = rope(q, positions, cfg.rope_arg)
+    k = rope(k, positions, cfg.rope_arg)
     kv_out = (k, v) if return_kv else None
     if flash is not None:
         attn = flash(q, k, v)
@@ -247,8 +291,8 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
                                             cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)[:, 0]      # [B, H, D]
-            k = rope(k, positions, cfg.rope_theta)[:, 0]      # [B, Hkv, D]
+            q = rope(q, positions, cfg.rope_arg)[:, 0]      # [B, H, D]
+            k = rope(k, positions, cfg.rope_arg)[:, 0]      # [B, Hkv, D]
             v = v[:, 0]
             ck, cv = append_token(caches_k[li], caches_v[li], slots,
                                   lengths, k, v)
@@ -295,8 +339,8 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             v = layer.proj("v", h2).reshape(B, T, cfg.num_kv_heads,
                                             cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            q = rope(q, positions, cfg.rope_arg)
+            k = rope(k, positions, cfg.rope_arg)
             ck, cv = append_chunk(caches_k[li], caches_v[li], slots,
                                   lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
@@ -336,8 +380,8 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             v = layer.proj("v", h2).reshape(B, T, cfg.num_kv_heads,
                                             cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            q = rope(q, positions, cfg.rope_arg)
+            k = rope(k, positions, cfg.rope_arg)
             ck, cv, sk, sv = append_chunk_quant(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],
                 slots, lengths, k, v)
@@ -383,8 +427,8 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
                                             cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)[:, 0]
-            k = rope(k, positions, cfg.rope_theta)[:, 0]
+            q = rope(q, positions, cfg.rope_arg)[:, 0]
+            k = rope(k, positions, cfg.rope_arg)[:, 0]
             v = v[:, 0]
             ck, cv, sk, sv = append_token_quant(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],
@@ -431,8 +475,8 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
                                             cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)[:, 0]
-            k = rope(k, positions, cfg.rope_theta)[:, 0]
+            q = rope(q, positions, cfg.rope_arg)[:, 0]
+            k = rope(k, positions, cfg.rope_arg)[:, 0]
             v = v[:, 0]
             ck, cv = append_token_paged(caches_k[li], caches_v[li],
                                         block_rows, offsets, k, v)
@@ -475,8 +519,8 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             v = layer.proj("v", h2).reshape(B, 1, cfg.num_kv_heads,
                                             cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)[:, 0]
-            k = rope(k, positions, cfg.rope_theta)[:, 0]
+            q = rope(q, positions, cfg.rope_arg)[:, 0]
+            k = rope(k, positions, cfg.rope_arg)[:, 0]
             v = v[:, 0]
             ck, cv, sk, sv = append_token_paged_quant(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],

@@ -137,8 +137,8 @@ def quantize_llama_from_hf_fp16(
             q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
             k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
             v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-            q = rope(q, positions, cfg.rope_theta)
-            k = rope(k, positions, cfg.rope_theta)
+            q = rope(q, positions, cfg.rope_arg)
+            k = rope(k, positions, cfg.rope_arg)
             attn = _attention(cfg, q, k, v)
             acc_o = HessianAccumulator(cfg.hidden_size)
             acc_o.update(np.asarray(attn))

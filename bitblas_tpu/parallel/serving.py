@@ -360,8 +360,8 @@ class TPQuantLlama:
                                   zeros=w["qkv"][2])
                 q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
                            qkv[:, (hl + kvl) * D:])
-                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
-                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
+                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_arg)[:, 0]
+                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_arg)[:, 0]
                 v = v.reshape(B, kvl, D)
                 ckl, cvl = append_token(ck[li], cv[li], slots, lengths, k, v)
                 ck = ck.at[li].set(ckl)
@@ -437,8 +437,8 @@ class TPQuantLlama:
                 q = qkv[:, :hl * D].reshape(B, T, hl, D)
                 k = qkv[:, hl * D:(hl + kvl) * D].reshape(B, T, kvl, D)
                 v = qkv[:, (hl + kvl) * D:].reshape(B, T, kvl, D)
-                q = rope(q, positions, cfg.rope_theta)
-                k = rope(k, positions, cfg.rope_theta)
+                q = rope(q, positions, cfg.rope_arg)
+                k = rope(k, positions, cfg.rope_arg)
                 ckl, cvl = append_chunk(ck[li], cv[li], slots, lengths, k, v)
                 ck = ck.at[li].set(ckl)
                 cv = cv.at[li].set(cvl)
@@ -517,9 +517,9 @@ class TPQuantLlama:
                 q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
                            qkv[:, (hl + kvl) * D:])
                 q = rope(q.reshape(B, 1, hl, D), positions,
-                         cfg.rope_theta)[:, 0]
+                         cfg.rope_arg)[:, 0]
                 k = rope(k.reshape(B, 1, kvl, D), positions,
-                         cfg.rope_theta)[:, 0]
+                         cfg.rope_arg)[:, 0]
                 v = v.reshape(B, kvl, D)
                 ckl, cvl, skl, svl = append_token_quant(
                     ck[li], cv[li], sk[li], sv[li], slots, lengths, k, v)
@@ -598,8 +598,8 @@ class TPQuantLlama:
                                   zeros=w["qkv"][2])
                 q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
                            qkv[:, (hl + kvl) * D:])
-                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_theta)[:, 0]
-                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_theta)[:, 0]
+                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_arg)[:, 0]
+                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_arg)[:, 0]
                 v = v.reshape(B, kvl, D)
                 ckl, cvl = append_token_paged(ck[li], cv[li], block_rows,
                                               offsets, k, v)
@@ -675,9 +675,9 @@ class TPQuantLlama:
                 q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
                            qkv[:, (hl + kvl) * D:])
                 q = rope(q.reshape(B, 1, hl, D), positions,
-                         cfg.rope_theta)[:, 0]
+                         cfg.rope_arg)[:, 0]
                 k = rope(k.reshape(B, 1, kvl, D), positions,
-                         cfg.rope_theta)[:, 0]
+                         cfg.rope_arg)[:, 0]
                 v = v.reshape(B, kvl, D)
                 ckl, cvl, skl, svl = append_token_paged_quant(
                     ck[li], cv[li], sk[li], sv[li], block_rows, offsets,
@@ -758,8 +758,8 @@ class TPQuantLlama:
                     q, k, v = (qkv[:, :hl * D],
                                qkv[:, hl * D:(hl + kvl) * D],
                                qkv[:, (hl + kvl) * D:])
-                    q = rope(q.reshape(B, S, hl, D), positions, cfg.rope_theta)
-                    k = rope(k.reshape(B, S, kvl, D), positions, cfg.rope_theta)
+                    q = rope(q.reshape(B, S, hl, D), positions, cfg.rope_arg)
+                    k = rope(k.reshape(B, S, kvl, D), positions, cfg.rope_arg)
                     v = v.reshape(B, S, kvl, D)
                     ks.append(k[0])
                     vs.append(v[0])
