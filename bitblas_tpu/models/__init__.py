@@ -26,6 +26,13 @@ from .hf_import import (  # noqa: F401
     load_quant_llama_from_hf_gptq,
     perplexity,
 )
+from .quant_moe import (  # noqa: F401
+    MixtralConfig,
+    MoEConfig,
+    QuantMixtral,
+    QuantMixtralLayer,
+    QuantMoELayer,
+)
 from .quantize_hf import quantize_llama_from_hf_fp16  # noqa: F401
 from .speculative import (  # noqa: F401
     SpecStats,

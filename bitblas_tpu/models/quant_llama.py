@@ -179,6 +179,23 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+
+def _layer_mlp(layer, h: "jnp.ndarray") -> "jnp.ndarray":
+    """The decoder's MLP block behind a duck-typed hook: layers exposing
+    `mlp_forward` (e.g. a routed MoE FFN, models/quant_moe.QuantMixtralLayer)
+    own the whole block; plain llama layers run the SwiGLU projections.
+    h [..., hidden] -> [..., hidden] (MoE impls take 2D, so flatten)."""
+    if hasattr(layer, "mlp_forward"):
+        lead = h.shape[:-1]
+        out = layer.mlp_forward(h.reshape(-1, h.shape[-1]))
+        return out.reshape(*lead, -1)
+    gate = layer.proj("gate", h)
+    up = layer.proj("up", h)
+    act = (jax.nn.silu(gate.astype(jnp.float32))
+           * up.astype(jnp.float32)).astype(h.dtype)
+    return layer.proj("down", act)
+
+
 def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
                   positions: jnp.ndarray, *, causal: bool = True,
                   flash: Optional[callable] = None,
@@ -212,11 +229,7 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     attn = attn.reshape(B, S, cfg.hidden_size)
     x = x + layer.proj("o", attn)
     h = rmsnorm(x, layer.mlp_norm)
-    gate = layer.proj("gate", h)
-    up = layer.proj("up", h)
-    act = (jax.nn.silu(gate.astype(jnp.float32))
-           * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + layer.proj("down", act)
+    x = x + _layer_mlp(layer, h)
     if return_kv:
         return x, kv_out[0], kv_out[1]
     return x
@@ -304,11 +317,7 @@ class DecoderServingMixin:
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)
             h2 = h.reshape(B, cfg.hidden_size)
-            gate = layer.proj("gate", h2)
-            up = layer.proj("up", h2)
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.proj("down", act)[:, None, :]
+            x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v
 
     def decode_chunk(self, x: jnp.ndarray, caches_k: jnp.ndarray,
@@ -351,11 +360,7 @@ class DecoderServingMixin:
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm)
             h2 = h.reshape(B * T, cfg.hidden_size)
-            gate = layer.proj("gate", h2)
-            up = layer.proj("up", h2)
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.proj("down", act).reshape(B, T, cfg.hidden_size)
+            x = x + _layer_mlp(layer, h2).reshape(B, T, cfg.hidden_size)
         return x, caches_k, caches_v
 
     def decode_chunk_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
@@ -395,11 +400,7 @@ class DecoderServingMixin:
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm)
             h2 = h.reshape(B * T, cfg.hidden_size)
-            gate = layer.proj("gate", h2)
-            up = layer.proj("up", h2)
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.proj("down", act).reshape(B, T, cfg.hidden_size)
+            x = x + _layer_mlp(layer, h2).reshape(B, T, cfg.hidden_size)
         return x, caches_k, caches_v, scales_k, scales_v
 
     def decode_step_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
@@ -444,11 +445,7 @@ class DecoderServingMixin:
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)
             h2 = h.reshape(B, cfg.hidden_size)
-            gate = layer.proj("gate", h2)
-            up = layer.proj("up", h2)
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.proj("down", act)[:, None, :]
+            x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v, scales_k, scales_v
 
     def decode_step_paged(self, x: jnp.ndarray, caches_k: jnp.ndarray,
@@ -488,11 +485,7 @@ class DecoderServingMixin:
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)
             h2 = h.reshape(B, cfg.hidden_size)
-            gate = layer.proj("gate", h2)
-            up = layer.proj("up", h2)
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.proj("down", act)[:, None, :]
+            x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v
 
     def decode_step_paged_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
@@ -536,11 +529,7 @@ class DecoderServingMixin:
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)
             h2 = h.reshape(B, cfg.hidden_size)
-            gate = layer.proj("gate", h2)
-            up = layer.proj("up", h2)
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32)).astype(x.dtype)
-            x = x + layer.proj("down", act)[:, None, :]
+            x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v, scales_k, scales_v
 
 

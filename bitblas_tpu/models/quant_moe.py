@@ -29,6 +29,7 @@ import numpy as np
 
 from ..ops.matmul import Matmul
 from ..ops.matmul_config import MatmulConfig
+from .quant_llama import DecoderServingMixin as _DecoderServingMixin
 
 
 @dataclass
@@ -147,11 +148,14 @@ class QuantMoELayer:
         return proj("down", h)
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x [T, H] -> [T, H]."""
-        assert x.shape[0] == self.tokens, (x.shape, self.tokens)
+        """x [T, H] -> [T, H]. Any static T works: capacity re-derives
+        from the call shape (T != self.tokens just hits a different
+        Matmul bucket — `tokens` names the primary/tuned size)."""
+        capacity = (self.capacity if x.shape[0] == self.tokens
+                    else moe_capacity(self.cfg, x.shape[0]))
         logits = x.astype(jnp.float32) @ self.router
         dispatch, combine = dispatch_combine(logits, self.cfg.top_k,
-                                             self.capacity)
+                                             capacity)
         xin = jnp.einsum("tec,th->ech", dispatch.astype(x.dtype), x)
         outs = jnp.stack([self._expert_ffn(e, xin[e])
                           for e in range(self.cfg.n_experts)])
@@ -184,3 +188,113 @@ def moe_reference(layer: QuantMoELayer, x: jnp.ndarray) -> jnp.ndarray:
         outs.append(h @ ws["down"].T)
     y = jnp.einsum("tec,ech->th", combine, jnp.stack(outs))
     return y
+
+
+# -- Mixtral-style decoder (llama attention + routed MoE FFN) ------------------
+
+@dataclass
+class MixtralConfig:
+    """LlamaConfig's attention fields + the MoE FFN fields. `head_dim`,
+    `rope_arg` etc. mirror LlamaConfig so the decoder serving paths
+    (quant_llama.DecoderServingMixin) apply unchanged."""
+    hidden_size: int = 512
+    intermediate_size: int = 1024
+    num_heads: int = 8
+    num_kv_heads: int = 8
+    num_layers: int = 2
+    vocab_size: int = 32000
+    group_size: int = 128
+    act_dtype: str = "float16"
+    rope_theta: float = 10000.0
+    rope_scaling: dict = None
+    n_experts: int = 4
+    top_k: int = 2
+    capacity_factor: float = 1.5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def rope_arg(self):
+        from .quant_llama import llama3_scaled_freqs
+        if not self.rope_scaling:
+            return self.rope_theta
+        return llama3_scaled_freqs(self.rope_theta, self.head_dim,
+                                   self.rope_scaling)
+
+    def moe_config(self) -> MoEConfig:
+        return MoEConfig(hidden_size=self.hidden_size,
+                         intermediate_size=self.intermediate_size,
+                         n_experts=self.n_experts, top_k=self.top_k,
+                         capacity_factor=self.capacity_factor,
+                         group_size=self.group_size,
+                         act_dtype=self.act_dtype)
+
+
+class QuantMixtralLayer:
+    """One Mixtral decoder layer: llama GQA attention (uint4 fused
+    projections, QuantLlamaLayer conventions) + a routed QuantMoELayer FFN
+    exposed through the `mlp_forward` duck-type hook
+    (quant_llama._layer_mlp)."""
+
+    _ATTN = (("q", "hidden_size", "attn_size"),
+             ("k", "hidden_size", "kv_size"),
+             ("v", "hidden_size", "kv_size"),
+             ("o", "attn_size", "hidden_size"))
+
+    def __init__(self, cfg: MixtralConfig, opt_m=(1, 16, 256), *,
+                 seed: int = 0, enable_tuning: bool = False,
+                 moe_tokens: int = 256):
+        self.cfg = cfg
+        rng = np.random.default_rng(seed)
+        self.ops: Dict[str, Matmul] = {}
+        self.weights: Dict[str, tuple] = {}
+
+        def dim(name):
+            if name == "kv_size":
+                return cfg.num_kv_heads * cfg.head_dim
+            if name == "attn_size":
+                return cfg.num_heads * cfg.head_dim
+            return getattr(cfg, name)
+
+        for name, kin, kout in self._ATTN:
+            K, N = dim(kin), dim(kout)
+            mcfg = MatmulConfig(M=list(opt_m), N=N, K=K,
+                                A_dtype=cfg.act_dtype, W_dtype="uint4",
+                                with_scaling=True, with_zeros=True,
+                                zeros_mode="original",
+                                group_size=cfg.group_size,
+                                out_dtype=cfg.act_dtype)
+            op = Matmul(mcfg, enable_tuning=enable_tuning)
+            codes = rng.integers(0, 16, (N, K)).astype(np.int8)
+            scales = (rng.standard_normal((N, K // cfg.group_size)) * 0.0002
+                      + 0.001).astype(np.float16)
+            zeros = np.full((N, K // cfg.group_size), 8.0, np.float16)
+            self.ops[name] = op
+            self.weights[name] = op.transform_weight(codes, scale=scales,
+                                                     zeros=zeros)
+        self.moe = QuantMoELayer(cfg.moe_config(), moe_tokens, seed=seed,
+                                 enable_tuning=enable_tuning)
+        self.attn_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
+        self.mlp_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
+
+    def proj(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        W, S, Z = self.weights[name]
+        return self.ops[name].forward(x, W, scale=S, zeros=Z)
+
+    def mlp_forward(self, h: jnp.ndarray) -> jnp.ndarray:
+        return self.moe.forward(h)
+
+
+class QuantMixtral(_DecoderServingMixin):
+    """Mixtral-style decoder stack with the full serving surface
+    (engines, generate, decode_chunk, speculation) via the shared mixin."""
+
+    def __init__(self, cfg: MixtralConfig, opt_m=(1, 16, 256), *,
+                 enable_tuning: bool = False, moe_tokens: int = 256):
+        self.cfg = cfg
+        self.layers = [QuantMixtralLayer(cfg, opt_m, seed=i,
+                                         enable_tuning=enable_tuning,
+                                         moe_tokens=moe_tokens)
+                       for i in range(cfg.num_layers)]
