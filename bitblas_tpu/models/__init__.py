@@ -33,6 +33,10 @@ from .quant_moe import (  # noqa: F401
     QuantMixtralLayer,
     QuantMoELayer,
 )
+from .hf_import_mixtral import (  # noqa: F401
+    load_quant_mixtral_from_hf_gptq,
+    mixtral_config_from_hf,
+)
 from .quantize_hf import quantize_llama_from_hf_fp16  # noqa: F401
 from .speculative import (  # noqa: F401
     SpecStats,
