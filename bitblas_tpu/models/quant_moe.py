@@ -286,6 +286,37 @@ class QuantMixtralLayer:
     def mlp_forward(self, h: jnp.ndarray) -> jnp.ndarray:
         return self.moe.forward(h)
 
+    def state_dict(self) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for name, (W, S, Z) in self.weights.items():
+            out[f"{name}.qweight"] = W
+            out[f"{name}.scales"] = S
+            out[f"{name}.zeros"] = Z
+        out["router"] = self.moe.router
+        for name, per in self.moe.weights.items():
+            for e, (W, S, Z) in enumerate(per):
+                out[f"expert_{e}.{name}.qweight"] = W
+                out[f"expert_{e}.{name}.scales"] = S
+                out[f"expert_{e}.{name}.zeros"] = Z
+        out["attn_norm"] = self.attn_norm
+        out["mlp_norm"] = self.mlp_norm
+        return out
+
+    def load_state_dict(self, state: Dict[str, jnp.ndarray]) -> None:
+        for name in self.weights:
+            self.weights[name] = (jnp.asarray(state[f"{name}.qweight"]),
+                                  jnp.asarray(state[f"{name}.scales"]),
+                                  jnp.asarray(state[f"{name}.zeros"]))
+        self.moe.router = jnp.asarray(state["router"])
+        for name, per in self.moe.weights.items():
+            self.moe.weights[name] = [
+                (jnp.asarray(state[f"expert_{e}.{name}.qweight"]),
+                 jnp.asarray(state[f"expert_{e}.{name}.scales"]),
+                 jnp.asarray(state[f"expert_{e}.{name}.zeros"]))
+                for e in range(len(per))]
+        self.attn_norm = jnp.asarray(state["attn_norm"])
+        self.mlp_norm = jnp.asarray(state["mlp_norm"])
+
 
 class QuantMixtral(_DecoderServingMixin):
     """Mixtral-style decoder stack with the full serving surface
@@ -298,3 +329,11 @@ class QuantMixtral(_DecoderServingMixin):
                                          enable_tuning=enable_tuning,
                                          moe_tokens=moe_tokens)
                        for i in range(cfg.num_layers)]
+
+    def state_dict(self) -> Dict[str, Dict[str, jnp.ndarray]]:
+        return {f"layer_{i}": l.state_dict()
+                for i, l in enumerate(self.layers)}
+
+    def load_state_dict(self, state) -> None:
+        for i, layer in enumerate(self.layers):
+            layer.load_state_dict(state[f"layer_{i}"])

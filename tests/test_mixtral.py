@@ -67,3 +67,14 @@ def test_mixtral_token_engine(lm):
     eng.run_to_completion()
     assert req.done
     assert np.array_equal(np.asarray(req.out_tokens), solo[5:])
+
+
+def test_mixtral_state_dict_roundtrip(lm):
+    sd = lm.model.state_dict()
+    other = QuantMixtral(CFG, opt_m=(1, 4, 8, 16), moe_tokens=16)
+    other.load_state_dict(sd)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 8, H)) * 0.1, jnp.float16)
+    pos = jnp.arange(8)[None]
+    np.testing.assert_array_equal(np.asarray(lm.model(x, pos)),
+                                  np.asarray(other(x, pos)))
