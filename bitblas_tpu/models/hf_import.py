@@ -53,6 +53,27 @@ def _np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def rope_scaling_from_hf(get) -> Optional[dict]:
+    """Validate + normalize a HF config's rope_scaling (shared by the
+    llama and mixtral importers): None/default pass through, llama3 is
+    supported, anything else raises loudly — silently dropping scaling
+    makes long-context logits drift from the source model."""
+    scaling = get("rope_scaling", None)
+    if scaling is None:
+        return None
+    if not isinstance(scaling, Mapping):
+        scaling = dict(scaling.__dict__)
+    rt = scaling.get("rope_type", scaling.get("type", "default"))
+    if rt == "default":
+        return None
+    if rt != "llama3":
+        raise ValueError(
+            f"rope_scaling type {rt!r} unsupported (only 'llama3'; "
+            f"linear/dynamic NTK checkpoints need that formula added "
+            f"to quant_llama.llama3_scaled_freqs' family)")
+    return dict(scaling)
+
+
 def llama_config_from_hf(hf_config, *, group_size: int = 128,
                          act_dtype: str = "float16") -> LlamaConfig:
     """Map a transformers LlamaConfig (object or plain dict) onto ours."""
@@ -62,18 +83,7 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         return getattr(hf_config, name, default)
 
     heads = get("num_attention_heads")
-    scaling = get("rope_scaling", None)
-    if scaling is not None:
-        if not isinstance(scaling, Mapping):
-            scaling = dict(scaling.__dict__)
-        rt = scaling.get("rope_type", scaling.get("type", "default"))
-        if rt == "default":
-            scaling = None
-        elif rt != "llama3":
-            raise ValueError(
-                f"rope_scaling type {rt!r} unsupported (only 'llama3'; "
-                f"linear/dynamic NTK checkpoints need that formula added "
-                f"to quant_llama.llama3_scaled_freqs' family)")
+    scaling = rope_scaling_from_hf(get)
     return LlamaConfig(
         hidden_size=get("hidden_size"),
         intermediate_size=get("intermediate_size"),
@@ -84,7 +94,7 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         group_size=group_size,
         act_dtype=act_dtype,
         rope_theta=float(get("rope_theta", 10000.0)),
-        rope_scaling=dict(scaling) if scaling else None,
+        rope_scaling=scaling,
     )
 
 

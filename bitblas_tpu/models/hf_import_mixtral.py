@@ -17,7 +17,7 @@ import numpy as np
 
 from ..common import get_logger
 from ..graph import repack_gptq_layer
-from .hf_import import LMHead, _check_g_idx, _np
+from .hf_import import LMHead, _check_g_idx, _np, rope_scaling_from_hf
 from .quant_moe import MixtralConfig, QuantMixtral
 
 logger = get_logger()
@@ -47,6 +47,7 @@ def mixtral_config_from_hf(hf_config, *, group_size: int = 128,
         group_size=group_size,
         act_dtype=act_dtype,
         rope_theta=float(get("rope_theta", 1e6)),
+        rope_scaling=rope_scaling_from_hf(get),
         n_experts=get("num_local_experts"),
         top_k=get("num_experts_per_tok"),
         capacity_factor=capacity_factor,
@@ -62,12 +63,20 @@ def load_quant_mixtral_from_hf_gptq(
     gptq_v2: bool = False,
     opt_m=(1, 16, 256),
     moe_tokens: int = 256,
+    capacity_factor: float = 2.0,
+    act_dtype: str = "float16",
     enable_tuning: bool = False,
 ) -> Tuple[QuantMixtral, LMHead]:
-    """HF GPTQ Mixtral state dict -> (QuantMixtral, LMHead)."""
+    """HF GPTQ Mixtral state dict -> (QuantMixtral, LMHead).
+
+    capacity_factor controls expert-buffer headroom (tokens routed past
+    an expert's capacity are dropped from that expert — raise it when
+    routing is skewed)."""
     if bits != 4:
         raise ValueError(f"Mixtral import supports 4-bit (got {bits})")
-    cfg = mixtral_config_from_hf(hf_config, group_size=group_size)
+    cfg = mixtral_config_from_hf(hf_config, group_size=group_size,
+                                 capacity_factor=capacity_factor,
+                                 act_dtype=act_dtype)
     model = QuantMixtral(cfg, opt_m=opt_m, moe_tokens=moe_tokens,
                          enable_tuning=enable_tuning)
 

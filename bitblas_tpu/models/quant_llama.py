@@ -167,8 +167,9 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta) -> jnp.ndarray:
     llama3 rope scaling)."""
     B, S, H, D = x.shape
     half = D // 2
-    if isinstance(theta, (int, float)):
-        freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    if np.ndim(theta) == 0:   # scalar base (python OR numpy scalar)
+        freqs = jnp.float32(theta) ** (
+            -jnp.arange(0, half, dtype=jnp.float32) / half)
     else:
         freqs = jnp.asarray(theta, jnp.float32)
     ang = positions.astype(jnp.float32)[:, :, None] * freqs  # [B, S, half]

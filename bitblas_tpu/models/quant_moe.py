@@ -29,7 +29,8 @@ import numpy as np
 
 from ..ops.matmul import Matmul
 from ..ops.matmul_config import MatmulConfig
-from .quant_llama import DecoderServingMixin as _DecoderServingMixin
+from .quant_llama import (DecoderServingMixin as _DecoderServingMixin,
+                          LlamaConfig as _LlamaConfig)
 
 
 @dataclass
@@ -50,13 +51,20 @@ def moe_capacity(cfg: MoEConfig, tokens: int) -> int:
     return max(8, (c + 7) // 8 * 8)
 
 
-def dispatch_combine(logits: jnp.ndarray, top_k: int, capacity: int
+def dispatch_combine(logits: jnp.ndarray, top_k: int, capacity: int,
+                     valid: jnp.ndarray = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Router logits [T, E] -> (dispatch [T, E, C] 0/1, combine [T, E, C]).
 
     Slot-major priority: all tokens' first choices claim buffer slots
     before any second choice, matching GShard's position_in_expert
     cumsum. Pure one-hot algebra — no scatters, static shapes.
+
+    `valid` [T] bool masks rows out of routing entirely: they claim no
+    capacity and contribute nothing. Serving paths batch zero rows
+    (inactive engine slots, prefill bucket/chunk padding) alongside real
+    tokens; without the mask those rows' first choices outrank real
+    tokens' second choices in the cumsum and silently evict them.
     """
     T, E = logits.shape
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -64,6 +72,8 @@ def dispatch_combine(logits: jnp.ndarray, top_k: int, capacity: int
     gate_vals = gate_vals / jnp.sum(gate_vals, axis=-1, keepdims=True)
 
     onehot = jax.nn.one_hot(expert_idx, E, dtype=jnp.float32)  # [T, k, E]
+    if valid is not None:
+        onehot = onehot * valid.astype(jnp.float32)[:, None, None]
     flat = onehot.transpose(1, 0, 2).reshape(T * top_k, E)     # slot-major
     pos = jnp.cumsum(flat, axis=0) - flat                      # [T*k, E]
     pos_in_e = jnp.sum(pos * flat, axis=-1)                    # [T*k]
@@ -150,12 +160,20 @@ class QuantMoELayer:
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """x [T, H] -> [T, H]. Any static T works: capacity re-derives
         from the call shape (T != self.tokens just hits a different
-        Matmul bucket — `tokens` names the primary/tuned size)."""
+        Matmul bucket — `tokens` names the primary/tuned size).
+
+        All-zero rows are masked out of routing. This is EXACT, not a
+        heuristic: the block has no biases, so a zero input's true output
+        is zero regardless of routing — but an unmasked zero row would
+        still claim expert capacity and could evict a real token (the
+        serving paths batch zero rows: inactive slots, bucket/chunk
+        padding)."""
         capacity = (self.capacity if x.shape[0] == self.tokens
                     else moe_capacity(self.cfg, x.shape[0]))
+        valid = jnp.any(x != 0, axis=-1)
         logits = x.astype(jnp.float32) @ self.router
         dispatch, combine = dispatch_combine(logits, self.cfg.top_k,
-                                             capacity)
+                                             capacity, valid=valid)
         xin = jnp.einsum("tec,th->ech", dispatch.astype(x.dtype), x)
         outs = jnp.stack([self._expert_ffn(e, xin[e])
                           for e in range(self.cfg.n_experts)])
@@ -171,7 +189,8 @@ def moe_reference(layer: QuantMoELayer, x: jnp.ndarray) -> jnp.ndarray:
     from ..quantization import packing
     cfg = layer.cfg
     logits = x.astype(jnp.float32) @ layer.router
-    dispatch, combine = dispatch_combine(logits, cfg.top_k, layer.capacity)
+    dispatch, combine = dispatch_combine(logits, cfg.top_k, layer.capacity,
+                                         valid=jnp.any(x != 0, axis=-1))
     xin = jnp.einsum("tec,th->ech", dispatch, x.astype(jnp.float32))
     outs = []
     for e in range(cfg.n_experts):
@@ -193,35 +212,13 @@ def moe_reference(layer: QuantMoELayer, x: jnp.ndarray) -> jnp.ndarray:
 # -- Mixtral-style decoder (llama attention + routed MoE FFN) ------------------
 
 @dataclass
-class MixtralConfig:
-    """LlamaConfig's attention fields + the MoE FFN fields. `head_dim`,
-    `rope_arg` etc. mirror LlamaConfig so the decoder serving paths
+class MixtralConfig(_LlamaConfig):
+    """LlamaConfig (attention fields, head_dim/rope_arg incl. llama3 rope
+    scaling) + the MoE FFN fields, so the decoder serving paths
     (quant_llama.DecoderServingMixin) apply unchanged."""
-    hidden_size: int = 512
-    intermediate_size: int = 1024
-    num_heads: int = 8
-    num_kv_heads: int = 8
-    num_layers: int = 2
-    vocab_size: int = 32000
-    group_size: int = 128
-    act_dtype: str = "float16"
-    rope_theta: float = 10000.0
-    rope_scaling: dict = None
     n_experts: int = 4
     top_k: int = 2
     capacity_factor: float = 1.5
-
-    @property
-    def head_dim(self) -> int:
-        return self.hidden_size // self.num_heads
-
-    @property
-    def rope_arg(self):
-        from .quant_llama import llama3_scaled_freqs
-        if not self.rope_scaling:
-            return self.rope_theta
-        return llama3_scaled_freqs(self.rope_theta, self.head_dim,
-                                   self.rope_scaling)
 
     def moe_config(self) -> MoEConfig:
         return MoEConfig(hidden_size=self.hidden_size,

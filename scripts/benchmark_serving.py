@@ -92,7 +92,7 @@ def main():
     for mode, kw in (("bucketed", {}), ("chunked", {"prefill_chunk": 64})):
         eng = TokenContinuousBatchingEngine(model, head, num_slots=2,
                                             max_seq_len=512, **kw)
-        lens = (48, 96, 160, 224)   # four lengths -> four buckets vs 1 jit
+        lens = (48, 96, 160, 320)   # buckets 64/128/256/512 vs 1 chunk jit
         t0 = time.perf_counter()
         for i, L in enumerate(lens):
             eng.submit_tokens(uid=i, tokens=rng.integers(

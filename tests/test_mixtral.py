@@ -78,3 +78,17 @@ def test_mixtral_state_dict_roundtrip(lm):
     pos = jnp.arange(8)[None]
     np.testing.assert_array_equal(np.asarray(lm.model(x, pos)),
                                   np.asarray(other(x, pos)))
+
+
+def test_zero_rows_do_not_consume_expert_capacity(lm):
+    """Reproduction guard (r2 self-review): a real token batched with
+    zero pad rows must get the same MoE output as solo — pad rows are
+    masked out of routing instead of claiming capacity slots."""
+    layer = lm.model.layers[0].moe
+    rng = np.random.default_rng(12)
+    real = jnp.asarray(rng.standard_normal((1, H)) * 0.1, jnp.float16)
+    solo = np.asarray(layer.forward(real), np.float32)
+    padded = jnp.zeros((32, H), jnp.float16).at[31].set(real[0])
+    batched = np.asarray(layer.forward(padded), np.float32)
+    np.testing.assert_allclose(batched[31], solo[0], rtol=1e-3, atol=1e-5)
+    np.testing.assert_array_equal(batched[:31], 0.0)
