@@ -280,8 +280,12 @@ class QuantMixtralLayer:
         W, S, Z = self.weights[name]
         return self.ops[name].forward(x, W, scale=S, zeros=Z)
 
+    # parallel.moe.expert_parallel_mixtral installs an EP twin here; when
+    # set, serving routes the FFN through it (weights sharded over "ep").
+    moe_ep = None
+
     def mlp_forward(self, h: jnp.ndarray) -> jnp.ndarray:
-        return self.moe.forward(h)
+        return (self.moe_ep or self.moe).forward(h)
 
     def state_dict(self) -> Dict[str, jnp.ndarray]:
         out = {}

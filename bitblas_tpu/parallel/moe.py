@@ -50,15 +50,12 @@ class EPQuantMoELayer:
         arch = get_arch()
         if interpret is None:
             interpret = arch.is_cpu
-
-        # Per-projection local kernels (full local N/K; experts are whole).
-        self.fns = {}
-        for name, _, _ in _EXPERT_PROJS:
-            mcfg = layer.ops[name].config
-            spec = KernelSpec.from_config(mcfg, self.capacity)
-            hint = default_hint(spec, arch)
-            self.fns[name] = make_dequant_matmul(spec, hint,
-                                                 interpret=interpret)
+        self._interpret = interpret
+        self._mcfgs = {name: layer.ops[name].config
+                       for name, _, _ in _EXPERT_PROJS}
+        self._built = {}   # capacity -> shard_mapped fn (serving uses
+        #                    several token counts: prefill S, decode B,
+        #                    chunk B*T — each derives its own capacity)
 
         # Stack per-expert device-layout weights on a leading expert dim
         # and shard that dim over the ep axis.
@@ -74,16 +71,24 @@ class EPQuantMoELayer:
                                   stack_shard(Zs))
         self.router = jax.device_put(
             layer.router, NamedSharding(mesh, P(None, None)))
-        self._fn = self._build()
+        self._fn = self._build(self.capacity)
 
-    def _build(self):
+    def _build(self, cap: int):
         cfg, axis = self.cfg, self.axis
-        e_local, cap = self.e_local, self.capacity
-        fns = self.fns
+        e_local = self.e_local
+        arch = get_arch()
+        fns = {}
+        for name, _, _ in _EXPERT_PROJS:
+            spec = KernelSpec.from_config(self._mcfgs[name], cap)
+            fns[name] = make_dequant_matmul(spec, default_hint(spec, arch),
+                                            interpret=self._interpret)
 
         def f(x, router, Wg, Sg, Zg, Wu, Su, Zu, Wd, Sd, Zd):
             logits = x.astype(jnp.float32) @ router
-            dispatch, combine = dispatch_combine(logits, cfg.top_k, cap)
+            # all-zero rows (inactive slots / padding) are routing-invisible
+            # — same exactness argument as QuantMoELayer.forward
+            dispatch, combine = dispatch_combine(
+                logits, cfg.top_k, cap, valid=jnp.any(x != 0, axis=-1))
             e0 = jax.lax.axis_index(axis) * e_local
             disp = jax.lax.dynamic_slice_in_dim(dispatch, e0, e_local, 1)
             comb = jax.lax.dynamic_slice_in_dim(combine, e0, e_local, 1)
@@ -117,5 +122,29 @@ class EPQuantMoELayer:
         return fn
 
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        assert x.shape[0] == self.tokens, (x.shape, self.tokens)
-        return self._fn(x)
+        """x [T, H] -> [T, H], any static T (QuantMoELayer semantics:
+        capacity re-derives from the call shape, builds cached per cap)."""
+        from ..models.quant_moe import moe_capacity
+        cap = (self.capacity if x.shape[0] == self.tokens
+               else moe_capacity(self.cfg, x.shape[0]))
+        fn = self._built.get(cap)
+        if fn is None:
+            fn = self._built[cap] = (self._fn if cap == self.capacity
+                                     else self._build(cap))
+        return fn(x)
+
+
+def expert_parallel_mixtral(model, mesh: Mesh, axis: str = "ep",
+                            interpret: Optional[bool] = None):
+    """Switch a QuantMixtral's expert FFNs to expert-parallel execution
+    in place: each layer's routed MLP becomes an EPQuantMoELayer over
+    `mesh[axis]` (experts sharded, ONE psum per layer joins the outputs).
+    Attention stays replicated — compose with dp on another axis for
+    batch scale-out. Returns the model. The original QuantMoELayer stays
+    attached for checkpointing (state_dict format unchanged). Install
+    AFTER loading weights — the EP twin snapshots them at call time and a
+    later load_state_dict only updates the single-device copies."""
+    for layer in model.layers:
+        layer.moe_ep = EPQuantMoELayer(layer.moe, mesh, axis=axis,
+                                       interpret=interpret)
+    return model

@@ -92,3 +92,24 @@ def test_zero_rows_do_not_consume_expert_capacity(lm):
     batched = np.asarray(layer.forward(padded), np.float32)
     np.testing.assert_allclose(batched[31], solo[0], rtol=1e-3, atol=1e-5)
     np.testing.assert_array_equal(batched[:31], 0.0)
+
+
+def test_expert_parallel_mixtral_matches_single_device(lm):
+    """expert_parallel_mixtral swaps the routed FFN to EP execution; the
+    served token stream matches the single-device model exactly."""
+    import jax
+    from jax.sharding import Mesh
+    from bitblas_tpu.parallel.moe import expert_parallel_mixtral
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    ref = lm.generate(np.arange(5), max_new_tokens=4, temperature=0.0)
+
+    epm = QuantMixtral(CFG, opt_m=(1, 4, 8, 16), moe_tokens=16)
+    epm.load_state_dict(lm.model.state_dict())
+    mesh = Mesh(np.array(devs[:2]).reshape(2), ("ep",))
+    expert_parallel_mixtral(epm, mesh)
+    eplm = QuantLlamaLM(epm, lm.head)
+    out = eplm.generate(np.arange(5), max_new_tokens=4, temperature=0.0)
+    assert np.array_equal(out, ref)
