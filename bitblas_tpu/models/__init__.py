@@ -37,7 +37,10 @@ from .hf_import_mixtral import (  # noqa: F401
     load_quant_mixtral_from_hf_gptq,
     mixtral_config_from_hf,
 )
-from .quantize_hf import quantize_llama_from_hf_fp16  # noqa: F401
+from .quantize_hf import (  # noqa: F401
+    quantize_llama_from_hf_fp16,
+    quantize_mixtral_from_hf_fp16,
+)
 from .speculative import (  # noqa: F401
     SpecStats,
     speculative_generate,

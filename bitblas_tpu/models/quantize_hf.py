@@ -170,3 +170,161 @@ def quantize_llama_from_hf_fp16(
                     method)
 
     return model, head
+
+
+def quantize_mixtral_from_hf_fp16(
+    state: Mapping[str, object],
+    hf_config,
+    *,
+    bits: int = 4,
+    group_size: int = 128,
+    method: str = "rtn",
+    calib_tokens: Optional[np.ndarray] = None,
+    symmetric: bool = False,
+    percdamp: float = 0.01,
+    opt_m=(1, 16, 256),
+    moe_tokens: int = 256,
+    capacity_factor: float = 2.0,
+    enable_tuning: bool = False,
+):
+    """Quantize a float HF Mixtral state dict -> (QuantMixtral, LMHead).
+
+    Attention quantizes like the llama driver. For method="gptq" the
+    expert projections use PER-EXPERT Hessians collected from the tokens
+    the (float) router actually dispatches to each expert during the
+    sequential calibration pass — an expert that rarely fires calibrates
+    on its own traffic, not the global stream. The router itself stays
+    float (HF GPTQ Mixtral checkpoints do the same)."""
+    from .hf_import_mixtral import mixtral_config_from_hf, _ATTN, _EXPERTS
+    from .quant_moe import QuantMixtral, dispatch_combine, moe_capacity
+
+    del _EXPERTS  # naming handled below; HF fp16 experts use w1/w2/w3 too
+    if method not in ("rtn", "gptq"):
+        raise ValueError(f"method must be 'rtn' or 'gptq', got {method!r}")
+    if bits != 4:
+        raise ValueError("QuantMixtral packs uint4 projections")
+    cfg = mixtral_config_from_hf(hf_config, group_size=group_size,
+                                 capacity_factor=capacity_factor)
+    model = QuantMixtral(cfg, opt_m=opt_m, moe_tokens=moe_tokens,
+                         enable_tuning=enable_tuning)
+    head = LMHead(
+        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
+                          jnp.dtype(cfg.act_dtype)),
+        final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
+        lm_head=jnp.asarray(_np(state["lm_head.weight"]), jnp.float32),
+    )
+
+    x = positions = None
+    if method == "gptq":
+        if calib_tokens is None:
+            raise ValueError("method='gptq' requires calib_tokens [B, S]")
+        toks = jnp.asarray(np.asarray(calib_tokens))
+        if toks.ndim == 1:
+            toks = toks[None]
+        B, S = toks.shape
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        x = head.embed_tokens(toks).astype(jnp.float32)
+
+    def quant(w_fp, hess):
+        if method == "gptq":
+            return gptq_quantize(w_fp, hess, bits=bits,
+                                 group_size=group_size,
+                                 symmetric=symmetric, percdamp=percdamp)
+        return rtn_quantize(w_fp, bits=bits, group_size=group_size,
+                            symmetric=symmetric)
+
+    _HF_EXP = (("w1", "gate"), ("w3", "up"), ("w2", "down"))
+    for i, layer in enumerate(model.layers):
+        base = f"model.layers.{i}"
+        attn_fp = {ours: _np(state[f"{base}.{hf}.weight"]).astype(
+            np.float32) for hf, ours in _ATTN}
+        router = _np(state[f"{base}.block_sparse_moe.gate.weight"]).astype(
+            np.float32)  # HF [E, H]
+        exp_fp = {ours: [_np(state[
+            f"{base}.block_sparse_moe.experts.{e}.{hf}.weight"]).astype(
+                np.float32) for e in range(cfg.n_experts)]
+            for hf, ours in _HF_EXP}
+        attn_norm = jnp.asarray(
+            _np(state[f"{base}.input_layernorm.weight"]), jnp.float32)
+        mlp_norm = jnp.asarray(
+            _np(state[f"{base}.post_attention_layernorm.weight"]),
+            jnp.float32)
+
+        qatt, qexp = {}, {n: [None] * cfg.n_experts for n, _ in
+                          (("gate", 0), ("up", 0), ("down", 0))}
+        if method == "rtn":
+            for name, w in attn_fp.items():
+                qatt[name] = quant(w, None)
+            for name, per in exp_fp.items():
+                qexp[name] = [quant(w, None) for w in per]
+        else:
+            B, S = positions.shape
+            h = rmsnorm(x, attn_norm)
+            acc = HessianAccumulator(cfg.hidden_size)
+            acc.update(np.asarray(h))
+            dq = {}
+            for name in ("q", "k", "v"):
+                qatt_w = quant(attn_fp[name], acc.hessian)
+                qatt_w_d = jnp.asarray(qatt_w.dequantize())
+                qatt[name], dq[name] = qatt_w, qatt_w_d
+            q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
+            k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads,
+                                        cfg.head_dim)
+            v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads,
+                                        cfg.head_dim)
+            q = rope(q, positions, cfg.rope_arg)
+            k = rope(k, positions, cfg.rope_arg)
+            attn = _attention(cfg, q, k, v)
+            acc_o = HessianAccumulator(cfg.hidden_size)
+            acc_o.update(np.asarray(attn))
+            qatt_o = quant(attn_fp["o"], acc_o.hessian)
+            qatt["o"] = qatt_o
+            x = x + attn @ jnp.asarray(qatt_o.dequantize()).T
+            h2 = rmsnorm(x, mlp_norm)
+
+            # Route the calibration stream with the FLOAT router to get
+            # each expert's own traffic; per-expert Hessians come from the
+            # dispatched buffers (zero capacity-padding rows contribute
+            # zero outer products — harmless to H up to scale).
+            h2f = np.asarray(h2, np.float32).reshape(-1, cfg.hidden_size)
+            T = h2f.shape[0]
+            cap = moe_capacity(cfg.moe_config(), T)
+            disp, comb = dispatch_combine(
+                jnp.asarray(h2f) @ jnp.asarray(router.T), cfg.top_k, cap,
+                valid=jnp.any(jnp.asarray(h2f) != 0, axis=-1))
+            xin = np.einsum("tec,th->ech", np.asarray(disp), h2f)
+            y = np.zeros_like(h2f)
+            for e in range(cfg.n_experts):
+                he = HessianAccumulator(cfg.hidden_size)
+                he.update(xin[e])
+                qexp["gate"][e] = quant(exp_fp["gate"][e], he.hessian)
+                qexp["up"][e] = quant(exp_fp["up"][e], he.hessian)
+                g = xin[e] @ qexp["gate"][e].dequantize().T
+                u = xin[e] @ qexp["up"][e].dequantize().T
+                act = np.asarray(jax.nn.silu(jnp.asarray(g))) * u
+                hd = HessianAccumulator(cfg.intermediate_size)
+                hd.update(act)
+                qexp["down"][e] = quant(exp_fp["down"][e], hd.hessian)
+                out_e = act @ qexp["down"][e].dequantize().T
+                y += np.einsum("tc,ch->th", np.asarray(comb)[:, e], out_e)
+            x = x + jnp.asarray(y).reshape(x.shape).astype(x.dtype)
+
+        for name, qw in qatt.items():
+            op = layer.ops[name]
+            layer.weights[name] = op.transform_weight(
+                qw.codes.astype(np.int8),
+                scale=qw.scales.astype(np.float16),
+                zeros=qw.zeros.astype(np.float16))
+        layer.moe.router = jnp.asarray(router.T, jnp.float32)
+        for name, per in qexp.items():
+            op = layer.moe.ops[name]
+            layer.moe.weights[name] = [op.transform_weight(
+                qw.codes.astype(np.int8),
+                scale=qw.scales.astype(np.float16),
+                zeros=qw.zeros.astype(np.float16)) for qw in per]
+        layer.attn_norm = attn_norm
+        layer.mlp_norm = mlp_norm
+        logger.info("quantized mixtral layer %d/%d (%s)", i + 1,
+                    cfg.num_layers, method)
+
+    return model, head

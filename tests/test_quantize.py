@@ -235,3 +235,64 @@ def test_gptq_does_not_mutate_caller_weights():
     before = w.copy()
     gptq_quantize(w, h, bits=4, group_size=128)
     np.testing.assert_array_equal(w, before)
+
+
+_TINY_MIX = dict(hidden_size=256, intermediate_size=512,
+                 num_attention_heads=4, num_key_value_heads=2,
+                 num_hidden_layers=1, vocab_size=128,
+                 num_local_experts=4, num_experts_per_tok=2)
+
+
+def _tiny_fp16_mixtral_state(cfg_dict, seed=0):
+    rng = np.random.default_rng(seed)
+    H, I = cfg_dict["hidden_size"], cfg_dict["intermediate_size"]
+    kv = cfg_dict["num_key_value_heads"]
+    hd = H // cfg_dict["num_attention_heads"]
+    V, E = cfg_dict["vocab_size"], cfg_dict["num_local_experts"]
+
+    def w(n, k, scale=0.02):
+        return (rng.standard_normal((n, k)) * scale).astype(np.float16)
+
+    state = {"model.embed_tokens.weight": w(V, H, 0.05),
+             "model.norm.weight": np.ones(H, np.float16),
+             "lm_head.weight": w(V, H, 0.05)}
+    for i in range(cfg_dict["num_hidden_layers"]):
+        b = f"model.layers.{i}"
+        state[f"{b}.self_attn.q_proj.weight"] = w(H, H)
+        state[f"{b}.self_attn.k_proj.weight"] = w(kv * hd, H)
+        state[f"{b}.self_attn.v_proj.weight"] = w(kv * hd, H)
+        state[f"{b}.self_attn.o_proj.weight"] = w(H, H)
+        state[f"{b}.block_sparse_moe.gate.weight"] = w(E, H, 0.05)
+        for e in range(E):
+            base = f"{b}.block_sparse_moe.experts.{e}"
+            state[f"{base}.w1.weight"] = w(I, H)
+            state[f"{base}.w3.weight"] = w(I, H)
+            state[f"{base}.w2.weight"] = w(H, I)
+        state[f"{b}.input_layernorm.weight"] = np.ones(H, np.float16)
+        state[f"{b}.post_attention_layernorm.weight"] = np.ones(
+            H, np.float16)
+    return state
+
+
+@pytest.mark.parametrize("method", ["rtn", "gptq"])
+def test_quantize_mixtral_from_fp16(method):
+    from bitblas_tpu.models import QuantLlamaLM, quantize_mixtral_from_hf_fp16
+    import jax.numpy as jnp
+
+    state = _tiny_fp16_mixtral_state(_TINY_MIX)
+    rng = np.random.default_rng(3)
+    calib = rng.integers(0, _TINY_MIX["vocab_size"], (2, 32))
+    model, head = quantize_mixtral_from_hf_fp16(
+        state, _TINY_MIX, method=method, opt_m=(1, 8, 16), moe_tokens=16,
+        calib_tokens=calib if method == "gptq" else None)
+    lm = QuantLlamaLM(model, head)
+    toks = rng.integers(0, _TINY_MIX["vocab_size"], (1, 16))
+    logits = np.asarray(lm(jnp.asarray(toks)))
+    assert np.all(np.isfinite(logits))
+    # router carried over in our [H, E] orientation
+    hf_router = state["model.layers.0.block_sparse_moe.gate.weight"]
+    np.testing.assert_allclose(
+        np.asarray(model.layers[0].moe.router),
+        np.asarray(hf_router, np.float32).T, rtol=1e-3)
+    out = lm.generate(np.arange(5), max_new_tokens=4, temperature=0.0)
+    assert out.shape == (9,)
