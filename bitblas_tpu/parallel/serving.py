@@ -480,6 +480,90 @@ class TPQuantLlama:
             out_specs=(P(), kv_spec, kv_spec), check_vma=False)
         return sm(x, caches_k, caches_v, slots, lengths, *flat)
 
+    def decode_chunk_quant(self, x, caches_k, caches_v, scales_k, scales_v,
+                           slots, lengths):
+        """TP twin of QuantLlama.decode_chunk_quant: T-token append over
+        the kv_heads-sharded int8 cache (codes + scales), chunk-causal
+        attention, local projections at M=B*T."""
+        cfg = self.cfg
+        B, T = x.shape[0], x.shape[1]
+        axis = self.axis
+        tp = self.tp
+        hl = cfg.num_heads // tp
+        kvl = cfg.num_kv_heads // tp
+        D = cfg.head_dim
+
+        kern = {name: self._kernel(name, B * T) for name in _FUSED}
+
+        def device_chunk(x, ck, cv, sk, sv, slots, lengths, *flat):
+            from ..serving.kv_cache import (append_chunk_quant,
+                                            chunk_attention_quant)
+            it = iter(flat)
+            weights = [{name: (next(it), next(it), next(it))
+                        for name in _FUSED}
+                       for _ in range(cfg.num_layers)]
+            positions = lengths[:, None] + jnp.arange(T,
+                                                      dtype=lengths.dtype)
+            for li in range(cfg.num_layers):
+                attn_norm, mlp_norm = self.norms[li]
+                w = weights[li]
+                h = rmsnorm(x, attn_norm)
+                h2 = h.reshape(B * T, cfg.hidden_size)
+                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
+                                  zeros=w["qkv"][2])
+                q = qkv[:, :hl * D].reshape(B, T, hl, D)
+                k = qkv[:, hl * D:(hl + kvl) * D].reshape(B, T, kvl, D)
+                v = qkv[:, (hl + kvl) * D:].reshape(B, T, kvl, D)
+                q = rope(q, positions, cfg.rope_arg)
+                k = rope(k, positions, cfg.rope_arg)
+                ckl, cvl, skl, svl = append_chunk_quant(
+                    ck[li], cv[li], sk[li], sv[li], slots, lengths, k, v)
+                ck = ck.at[li].set(ckl)
+                cv = cv.at[li].set(cvl)
+                sk = sk.at[li].set(skl)
+                sv = sv.at[li].set(svl)
+                attn = chunk_attention_quant(q, ckl, cvl, skl, svl, slots,
+                                             lengths, num_heads=hl)
+                o = self._row_proj(kern["o"], "o",
+                                   attn.reshape(B * T, hl * D), *w["o"],
+                                   axis)
+                x = x + o.astype(x.dtype).reshape(B, T, cfg.hidden_size)
+                h = rmsnorm(x, mlp_norm)
+                h2 = h.reshape(B * T, cfg.hidden_size)
+                gu = kern["gateup"](h2, w["gateup"][0],
+                                    scales=w["gateup"][1],
+                                    zeros=w["gateup"][2])
+                il = cfg.intermediate_size // tp
+                gate, up = gu[:, :il], gu[:, il:]
+                act = (jax.nn.silu(gate.astype(jnp.float32))
+                       * up.astype(jnp.float32)).astype(x.dtype)
+                d = self._row_proj(kern["down"], "down", act, *w["down"],
+                                   axis)
+                x = x + d.astype(x.dtype).reshape(B, T, cfg.hidden_size)
+            return x, ck, cv, sk, sv
+
+        flat, w_specs = [], []
+        for li in range(cfg.num_layers):
+            for name in _FUSED:
+                W, S, Z = self.weights[li][name]
+                flat += [W, S, Z]
+                if name in _COLUMN:
+                    w_specs += [P(None, axis), P(None, None, axis),
+                                P(None, None, axis)]
+                else:
+                    w_specs += [P(axis, None), P(axis, None, None),
+                                P(axis, None, None)]
+        kv_spec = P(None, None, None, axis, None)
+        ks_spec = P(None, None, None, axis)
+        sm = shard_map(
+            device_chunk, mesh=self.mesh,
+            in_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec, P(), P(),
+                      *w_specs),
+            out_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec),
+            check_vma=False)
+        return sm(x, caches_k, caches_v, scales_k, scales_v, slots,
+                  lengths, *flat)
+
     def decode_step_quant(self, x, caches_k, caches_v, scales_k, scales_v,
                           slots, lengths):
         """decode_step against the int8-quantized KV cache.

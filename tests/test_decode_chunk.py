@@ -199,3 +199,57 @@ def test_chunk_quant_of_one_matches_decode_step_quant(model):
     np.testing.assert_array_equal(np.asarray(ck2), np.asarray(ck1))
     np.testing.assert_allclose(np.asarray(sk2), np.asarray(sk1),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_tp_decode_chunk_quant_matches_single_device(model):
+    """TP int8-KV chunk twin reproduces the single-device
+    decode_chunk_quant (codes bit-identical, hidden allclose)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from bitblas_tpu.parallel.serving import TPQuantLlama
+    from bitblas_tpu.serving.kv_cache import quantize_kv
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(np.array(devs[:2]).reshape(2), ("tp",))
+    tpm = TPQuantLlama(model, mesh)
+
+    rng = np.random.default_rng(8)
+    shape = (CFG.num_layers, 2, 16, CFG.num_kv_heads, CFG.head_dim)
+    ck = jnp.zeros(shape, jnp.int8)
+    cv = jnp.zeros(shape, jnp.int8)
+    sk = jnp.zeros(shape[:-1], jnp.float32)
+    sv = jnp.zeros(shape[:-1], jnp.float32)
+    pre = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, 2, 5, CFG.num_kv_heads, CFG.head_dim)) * 0.1,
+        jnp.float32)
+    kq, ks = quantize_kv(pre)
+    ck = ck.at[:, :, :5].set(kq)
+    sk = sk.at[:, :, :5].set(ks)
+    vq, vs = quantize_kv(pre[::-1])
+    cv = cv.at[:, :, :5].set(vq)
+    sv = sv.at[:, :, :5].set(vs)
+    x = jnp.asarray(rng.standard_normal((2, 3, CFG.hidden_size)) * 0.1,
+                    jnp.float16)
+    slots = jnp.arange(2, dtype=jnp.int32)
+    lengths = jnp.asarray([5, 2], jnp.int32)
+
+    y1, ck1, _, sk1, _ = model.decode_chunk_quant(x, ck, cv, sk, sv,
+                                                  slots, lengths)
+    kv_sh = tpm.kv_cache_sharding()
+    sc_sh = NamedSharding(mesh, P(None, None, None, "tp"))
+    y2, ck2, _, sk2, _ = tpm.decode_chunk_quant(
+        x, jax.device_put(ck, kv_sh), jax.device_put(cv, kv_sh),
+        jax.device_put(sk, sc_sh), jax.device_put(sv, sc_sh),
+        slots, lengths)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(y1, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # TP partitions the qkv matmul differently, so K values near an int8
+    # rounding boundary may flip a code by +-1 (observed 4/8192).
+    dc = np.abs(np.asarray(ck2, np.int32) - np.asarray(ck1, np.int32))
+    assert dc.max() <= 1 and (dc > 0).mean() < 0.01, (dc.max(),
+                                                      (dc > 0).mean())
+    np.testing.assert_allclose(np.asarray(sk2), np.asarray(sk1),
+                               rtol=1e-3, atol=1e-6)
