@@ -621,6 +621,12 @@ class DataParallelEngineGroup:
         eng = min(self.engines, key=self._load)
         eng.submit(req)
 
+    def submit_tokens(self, uid: int, tokens, **kw) -> "TokenRequest":
+        """Route a token request to the least-loaded replica (replicas must
+        be TokenContinuousBatchingEngines)."""
+        eng = min(self.engines, key=self._load)
+        return eng.submit_tokens(uid, tokens, **kw)
+
     def step(self) -> int:
         return sum(eng.step() for eng in self.engines)
 

@@ -177,3 +177,20 @@ def test_chunked_prefill_kv_quant_matches_bucketed(lm):
         eng.run_to_completion()
         res.append(list(r.out_tokens))
     assert res[0] == res[1]
+
+
+def test_dp_group_of_token_engines(lm):
+    """DataParallelEngineGroup routes token requests across replicas; each
+    request's stream matches its solo generation."""
+    from bitblas_tpu.serving import DataParallelEngineGroup
+    group = DataParallelEngineGroup([_engine(lm), _engine(lm)])
+    rng = np.random.default_rng(15)
+    prompts = [rng.integers(0, V, n).astype(np.int32) for n in (4, 6, 5, 7)]
+    solos = [lm.generate(p, max_new_tokens=3, temperature=0.0)[len(p):]
+             for p in prompts]
+    reqs = [group.submit_tokens(uid=i, tokens=p, max_new=3)
+            for i, p in enumerate(prompts)]
+    group.run_to_completion()
+    for req, solo in zip(reqs, solos):
+        assert req.done
+        assert np.array_equal(np.asarray(req.out_tokens), solo), req.uid
