@@ -97,13 +97,7 @@ def quantize_llama_from_hf_fp16(
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
         x = head.embed_tokens(toks).astype(jnp.float32)
 
-    def quant(w_fp: np.ndarray, acc: Optional[HessianAccumulator]):
-        if method == "gptq":
-            return gptq_quantize(w_fp, acc.hessian, bits=bits,
-                                 group_size=group_size, symmetric=symmetric,
-                                 percdamp=percdamp)
-        return rtn_quantize(w_fp, bits=bits, group_size=group_size,
-                            symmetric=symmetric)
+    quant = _make_quant(method, bits, group_size, symmetric, percdamp)
 
     for i, layer in enumerate(model.layers):
         base = f"model.layers.{i}"
@@ -126,35 +120,20 @@ def quantize_llama_from_hf_fp16(
                 qws[name] = quant(w, None)
         else:
             # Sequential GPTQ: Hessians from the quantized-prefix stream.
-            B, S = positions.shape
-            h = rmsnorm(x, attn_norm)
-            acc = HessianAccumulator(cfg.hidden_size)
-            acc.update(np.asarray(h))
-            dq = {}
-            for name in ("q", "k", "v"):
-                qws[name] = quant(fpw[name], acc)
-                dq[name] = jnp.asarray(qws[name].dequantize())
-            q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
-            k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-            v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-            q = rope(q, positions, cfg.rope_arg)
-            k = rope(k, positions, cfg.rope_arg)
-            attn = _attention(cfg, q, k, v)
-            acc_o = HessianAccumulator(cfg.hidden_size)
-            acc_o.update(np.asarray(attn))
-            qws["o"] = quant(fpw["o"], acc_o)
-            x = x + attn @ jnp.asarray(qws["o"].dequantize()).T
+            qatt, x = _calibrate_attention(cfg, x, positions, fpw,
+                                           attn_norm, quant)
+            qws.update(qatt)
             h2 = rmsnorm(x, mlp_norm)
             acc_gu = HessianAccumulator(cfg.hidden_size)
             acc_gu.update(np.asarray(h2))
             for name in ("gate", "up"):
-                qws[name] = quant(fpw[name], acc_gu)
+                qws[name] = quant(fpw[name], acc_gu.hessian)
             gate = h2 @ jnp.asarray(qws["gate"].dequantize()).T
             up = h2 @ jnp.asarray(qws["up"].dequantize()).T
             act = jax.nn.silu(gate) * up
             acc_d = HessianAccumulator(cfg.intermediate_size)
             acc_d.update(np.asarray(act))
-            qws["down"] = quant(fpw["down"], acc_d)
+            qws["down"] = quant(fpw["down"], acc_d.hessian)
             x = x + act @ jnp.asarray(qws["down"].dequantize()).T
 
         for name, qw in qws.items():
@@ -172,6 +151,44 @@ def quantize_llama_from_hf_fp16(
     return model, head
 
 
+def _make_quant(method, bits, group_size, symmetric, percdamp):
+    """quant(w, hessian_or_None): GPTQ against the Hessian when given,
+    RTN otherwise (also the zero-traffic fallback)."""
+    def quant(w_fp, hess):
+        if method == "gptq" and hess is not None:
+            return gptq_quantize(w_fp, hess, bits=bits,
+                                 group_size=group_size,
+                                 symmetric=symmetric, percdamp=percdamp)
+        return rtn_quantize(w_fp, bits=bits, group_size=group_size,
+                            symmetric=symmetric)
+    return quant
+
+
+def _calibrate_attention(cfg, x, positions, attn_fp, attn_norm, quant):
+    """Sequential-GPTQ attention block shared by the llama and mixtral
+    drivers: quantize q/k/v against the rmsnorm'd-input Hessian, run
+    attention with the dequantized projections, quantize o against the
+    attention-output Hessian. Returns (qatt dict, x after the residual)."""
+    B, S = positions.shape
+    h = rmsnorm(x, attn_norm)
+    acc = HessianAccumulator(cfg.hidden_size)
+    acc.update(np.asarray(h))
+    qatt, dq = {}, {}
+    for name in ("q", "k", "v"):
+        qatt[name] = quant(attn_fp[name], acc.hessian)
+        dq[name] = jnp.asarray(qatt[name].dequantize())
+    q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
+    k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+    q = rope(q, positions, cfg.rope_arg)
+    k = rope(k, positions, cfg.rope_arg)
+    attn = _attention(cfg, q, k, v)
+    acc_o = HessianAccumulator(cfg.hidden_size)
+    acc_o.update(np.asarray(attn))
+    qatt["o"] = quant(attn_fp["o"], acc_o.hessian)
+    return qatt, x + attn @ jnp.asarray(qatt["o"].dequantize()).T
+
+
 def quantize_mixtral_from_hf_fp16(
     state: Mapping[str, object],
     hf_config,
@@ -185,20 +202,23 @@ def quantize_mixtral_from_hf_fp16(
     opt_m=(1, 16, 256),
     moe_tokens: int = 256,
     capacity_factor: float = 2.0,
+    calib_chunk: int = 512,
     enable_tuning: bool = False,
 ):
     """Quantize a float HF Mixtral state dict -> (QuantMixtral, LMHead).
 
-    Attention quantizes like the llama driver. For method="gptq" the
-    expert projections use PER-EXPERT Hessians collected from the tokens
-    the (float) router actually dispatches to each expert during the
-    sequential calibration pass — an expert that rarely fires calibrates
-    on its own traffic, not the global stream. The router itself stays
-    float (HF GPTQ Mixtral checkpoints do the same)."""
+    Attention quantizes like the llama driver (shared
+    `_calibrate_attention`). For method="gptq" the expert projections use
+    PER-EXPERT Hessians collected from the tokens the (float) router
+    actually dispatches to each expert. Routing runs in `calib_chunk`
+    -token pieces — one dense dispatch over the whole calibration stream
+    would be quadratic in its length. An expert that receives no
+    calibration traffic falls back to RTN (a zero Hessian would otherwise
+    zero its weights via GPTQ's dead-column path). The router itself
+    stays float, as in real Mixtral GPTQ checkpoints."""
     from .hf_import_mixtral import mixtral_config_from_hf, _ATTN, _EXPERTS
-    from .quant_moe import QuantMixtral, dispatch_combine, moe_capacity
+    from .quant_moe import dispatch_combine, moe_capacity, QuantMixtral
 
-    del _EXPERTS  # naming handled below; HF fp16 experts use w1/w2/w3 too
     if method not in ("rtn", "gptq"):
         raise ValueError(f"method must be 'rtn' or 'gptq', got {method!r}")
     if bits != 4:
@@ -225,88 +245,110 @@ def quantize_mixtral_from_hf_fp16(
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
         x = head.embed_tokens(toks).astype(jnp.float32)
 
-    def quant(w_fp, hess):
-        if method == "gptq":
-            return gptq_quantize(w_fp, hess, bits=bits,
-                                 group_size=group_size,
-                                 symmetric=symmetric, percdamp=percdamp)
-        return rtn_quantize(w_fp, bits=bits, group_size=group_size,
-                            symmetric=symmetric)
+    quant = _make_quant(method, bits, group_size, symmetric, percdamp)
+    E = cfg.n_experts
+    mcfg_moe = cfg.moe_config()
 
-    _HF_EXP = (("w1", "gate"), ("w3", "up"), ("w2", "down"))
     for i, layer in enumerate(model.layers):
         base = f"model.layers.{i}"
+        for hf, _ in _ATTN:
+            if f"{base}.{hf}.bias" in state:
+                raise ValueError(f"{base}.{hf}: bias present — mixtral "
+                                 f"projections are bias-free")
         attn_fp = {ours: _np(state[f"{base}.{hf}.weight"]).astype(
             np.float32) for hf, ours in _ATTN}
         router = _np(state[f"{base}.block_sparse_moe.gate.weight"]).astype(
             np.float32)  # HF [E, H]
-        exp_fp = {ours: [_np(state[
-            f"{base}.block_sparse_moe.experts.{e}.{hf}.weight"]).astype(
-                np.float32) for e in range(cfg.n_experts)]
-            for hf, ours in _HF_EXP}
+        exp_fp = {}
+        for hf, ours in _EXPERTS:
+            per = []
+            for e in range(E):
+                key = f"{base}.block_sparse_moe.experts.{e}.{hf}"
+                if f"{key}.bias" in state:
+                    raise ValueError(f"{key}: bias present — mixtral "
+                                     f"experts are bias-free")
+                per.append(_np(state[f"{key}.weight"]).astype(np.float32))
+            exp_fp[ours] = per
         attn_norm = jnp.asarray(
             _np(state[f"{base}.input_layernorm.weight"]), jnp.float32)
         mlp_norm = jnp.asarray(
             _np(state[f"{base}.post_attention_layernorm.weight"]),
             jnp.float32)
 
-        qatt, qexp = {}, {n: [None] * cfg.n_experts for n, _ in
-                          (("gate", 0), ("up", 0), ("down", 0))}
+        qatt = {}
+        qexp = {name: [None] * E for name in ("gate", "up", "down")}
         if method == "rtn":
             for name, w in attn_fp.items():
                 qatt[name] = quant(w, None)
             for name, per in exp_fp.items():
                 qexp[name] = [quant(w, None) for w in per]
         else:
-            B, S = positions.shape
-            h = rmsnorm(x, attn_norm)
-            acc = HessianAccumulator(cfg.hidden_size)
-            acc.update(np.asarray(h))
-            dq = {}
-            for name in ("q", "k", "v"):
-                qatt_w = quant(attn_fp[name], acc.hessian)
-                qatt_w_d = jnp.asarray(qatt_w.dequantize())
-                qatt[name], dq[name] = qatt_w, qatt_w_d
-            q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
-            k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads,
-                                        cfg.head_dim)
-            v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads,
-                                        cfg.head_dim)
-            q = rope(q, positions, cfg.rope_arg)
-            k = rope(k, positions, cfg.rope_arg)
-            attn = _attention(cfg, q, k, v)
-            acc_o = HessianAccumulator(cfg.hidden_size)
-            acc_o.update(np.asarray(attn))
-            qatt_o = quant(attn_fp["o"], acc_o.hessian)
-            qatt["o"] = qatt_o
-            x = x + attn @ jnp.asarray(qatt_o.dequantize()).T
+            qatt, x = _calibrate_attention(cfg, x, positions, attn_fp,
+                                           attn_norm, quant)
             h2 = rmsnorm(x, mlp_norm)
-
-            # Route the calibration stream with the FLOAT router to get
-            # each expert's own traffic; per-expert Hessians come from the
-            # dispatched buffers (zero capacity-padding rows contribute
-            # zero outer products — harmless to H up to scale).
             h2f = np.asarray(h2, np.float32).reshape(-1, cfg.hidden_size)
             T = h2f.shape[0]
-            cap = moe_capacity(cfg.moe_config(), T)
-            disp, comb = dispatch_combine(
-                jnp.asarray(h2f) @ jnp.asarray(router.T), cfg.top_k, cap,
-                valid=jnp.any(jnp.asarray(h2f) != 0, axis=-1))
-            xin = np.einsum("tec,th->ech", np.asarray(disp), h2f)
+            CH = max(int(calib_chunk), 8)
+            router_j = jnp.asarray(router.T)
+
+            def routed_chunks():
+                """(slice, hc, dispatch, combine) per calib_chunk piece —
+                capacity derives per chunk, like serving batches."""
+                for s in range(0, T, CH):
+                    hc = h2f[s:s + CH]
+                    hcj = jnp.asarray(hc)
+                    cap = moe_capacity(mcfg_moe, hc.shape[0])
+                    disp, comb = dispatch_combine(
+                        hcj @ router_j, cfg.top_k, cap,
+                        valid=jnp.any(hcj != 0, axis=-1))
+                    yield (slice(s, s + hc.shape[0]), hc,
+                           np.asarray(disp), np.asarray(comb))
+
+            def expert_quant(w, hess):
+                if not np.any(np.diag(hess)):
+                    logger.warning(
+                        "expert received no calibration traffic — RTN "
+                        "fallback (raise calib set size/diversity)")
+                    return quant(w, None)
+                return quant(w, hess)
+
+            # pass 1: gate/up Hessians from each expert's dispatched tokens
+            accs = [HessianAccumulator(cfg.hidden_size) for _ in range(E)]
+            for _, hc, disp, _ in routed_chunks():
+                xin = np.einsum("tec,th->ech", disp, hc)
+                for e in range(E):
+                    accs[e].update(xin[e])
+            for e in range(E):
+                qexp["gate"][e] = expert_quant(exp_fp["gate"][e],
+                                               accs[e].hessian)
+                qexp["up"][e] = expert_quant(exp_fp["up"][e],
+                                             accs[e].hessian)
+            dq_g = [qexp["gate"][e].dequantize() for e in range(E)]
+            dq_u = [qexp["up"][e].dequantize() for e in range(E)]
+
+            # pass 2: down Hessians from the quantized gate/up activations
+            daccs = [HessianAccumulator(cfg.intermediate_size)
+                     for _ in range(E)]
+            for _, hc, disp, _ in routed_chunks():
+                xin = np.einsum("tec,th->ech", disp, hc)
+                for e in range(E):
+                    g = xin[e] @ dq_g[e].T
+                    act = g / (1.0 + np.exp(-g)) * (xin[e] @ dq_u[e].T)
+                    daccs[e].update(act)
+            for e in range(E):
+                qexp["down"][e] = expert_quant(exp_fp["down"][e],
+                                               daccs[e].hessian)
+            dq_d = [qexp["down"][e].dequantize() for e in range(E)]
+
+            # pass 3: layer output with the fully-quantized experts
             y = np.zeros_like(h2f)
-            for e in range(cfg.n_experts):
-                he = HessianAccumulator(cfg.hidden_size)
-                he.update(xin[e])
-                qexp["gate"][e] = quant(exp_fp["gate"][e], he.hessian)
-                qexp["up"][e] = quant(exp_fp["up"][e], he.hessian)
-                g = xin[e] @ qexp["gate"][e].dequantize().T
-                u = xin[e] @ qexp["up"][e].dequantize().T
-                act = np.asarray(jax.nn.silu(jnp.asarray(g))) * u
-                hd = HessianAccumulator(cfg.intermediate_size)
-                hd.update(act)
-                qexp["down"][e] = quant(exp_fp["down"][e], hd.hessian)
-                out_e = act @ qexp["down"][e].dequantize().T
-                y += np.einsum("tc,ch->th", np.asarray(comb)[:, e], out_e)
+            for sl, hc, disp, comb in routed_chunks():
+                xin = np.einsum("tec,th->ech", disp, hc)
+                for e in range(E):
+                    g = xin[e] @ dq_g[e].T
+                    act = g / (1.0 + np.exp(-g)) * (xin[e] @ dq_u[e].T)
+                    y[sl] += np.einsum("tc,ch->th", comb[:, e],
+                                       act @ dq_d[e].T)
             x = x + jnp.asarray(y).reshape(x.shape).astype(x.dtype)
 
         for name, qw in qatt.items():

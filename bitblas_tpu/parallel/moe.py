@@ -142,8 +142,8 @@ def expert_parallel_mixtral(model, mesh: Mesh, axis: str = "ep",
     Attention stays replicated — compose with dp on another axis for
     batch scale-out. Returns the model. The original QuantMoELayer stays
     attached for checkpointing (state_dict format unchanged). Install
-    AFTER loading weights — the EP twin snapshots them at call time and a
-    later load_state_dict only updates the single-device copies."""
+    AFTER loading weights — the EP twin snapshots them at construction
+    and a later load_state_dict only updates the single-device copies."""
     for layer in model.layers:
         layer.moe_ep = EPQuantMoELayer(layer.moe, mesh, axis=axis,
                                        interpret=interpret)
