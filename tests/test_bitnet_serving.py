@@ -71,3 +71,17 @@ def test_bitnet_drafts_for_uint4_target(bitnet, head):
         return_stats=True)
     assert np.array_equal(out, ref)
     assert stats.tokens == 6
+
+
+def test_bitnet_checkpoint_module_roundtrip(bitnet, head, tmp_path):
+    from bitblas_tpu.module.checkpoint import (load_quant_state,
+                                               save_quant_state)
+    save_quant_state(str(tmp_path / "bn"), bitnet.state_dict())
+    from bitblas_tpu.models import BitNetLlama
+    other = BitNetLlama(CFG, opt_m=(1, 4, 8, 16))
+    other.load_state_dict(load_quant_state(str(tmp_path / "bn")))
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((1, 8, H)) * 0.1, jnp.float16)
+    pos = jnp.arange(8)[None]
+    np.testing.assert_array_equal(np.asarray(bitnet(x, pos)),
+                                  np.asarray(other(x, pos)))

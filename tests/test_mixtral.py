@@ -113,3 +113,18 @@ def test_expert_parallel_mixtral_matches_single_device(lm):
     eplm = QuantLlamaLM(epm, lm.head)
     out = eplm.generate(np.arange(5), max_new_tokens=4, temperature=0.0)
     assert np.array_equal(out, ref)
+
+
+def test_mixtral_checkpoint_module_roundtrip(lm, tmp_path):
+    """save_quant_state/load_quant_state handle the Mixtral tree (incl.
+    per-expert bundles) like the other families."""
+    from bitblas_tpu.module.checkpoint import (load_quant_state,
+                                               save_quant_state)
+    save_quant_state(str(tmp_path / "mix"), lm.model.state_dict())
+    other = QuantMixtral(CFG, opt_m=(1, 4, 8, 16), moe_tokens=16)
+    other.load_state_dict(load_quant_state(str(tmp_path / "mix")))
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((1, 8, H)) * 0.1, jnp.float16)
+    pos = jnp.arange(8)[None]
+    np.testing.assert_array_equal(np.asarray(lm.model(x, pos)),
+                                  np.asarray(other(x, pos)))
