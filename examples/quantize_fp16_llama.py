@@ -87,6 +87,24 @@ def main():
                       max_new_tokens=8)
     print(f"  {out.tolist()}")
 
+    if method == "gptq":
+        # The same checkpoint quantized twice: RTN as the cheap draft,
+        # GPTQ as the target — speculative decoding with provably
+        # identical greedy output to the target alone.
+        from bitblas_tpu.models import speculative_generate_cached
+        draft_model, _ = quantize_llama_from_hf_fp16(state, cfg,
+                                                     method="rtn")
+        draft = QuantLlamaLM(draft_model, head)
+        prompt = rng.integers(0, cfg["vocab_size"], 8)
+        ref = lm.generate(prompt, max_new_tokens=12)
+        out_spec, st = speculative_generate_cached(
+            lm, draft, prompt, max_new_tokens=12, gamma=4,
+            return_stats=True)
+        print(f"speculative (RTN draft -> GPTQ target): greedy match="
+              f"{np.array_equal(out_spec, ref)}, "
+              f"{st.tokens} tokens in {st.target_calls} target passes "
+              f"(accept={st.acceptance_rate:.2f})")
+
     print("continuous batching (token-in/token-out, mixed sampling):")
     eng = TokenContinuousBatchingEngine(model, head, num_slots=4,
                                         max_seq_len=64)
