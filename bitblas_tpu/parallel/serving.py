@@ -314,6 +314,25 @@ class TPQuantLlama:
                 spec, hint, interpret=self.interpret)
         return self._decode_kernels[key]
 
+    def _flat_weights(self):
+        """Flatten every layer's fused device tensors + matching shard
+        specs for a shard_map call — the one marshalling convention all
+        decode/prefill variants share (column: shard N/last axis; row:
+        shard K/first axis)."""
+        axis = self.axis
+        flat, w_specs = [], []
+        for li in range(self.cfg.num_layers):
+            for name in _FUSED:
+                W, S, Z = self.weights[li][name]
+                flat += [W, S, Z]
+                if name in _COLUMN:
+                    w_specs += [P(None, axis), P(None, None, axis),
+                                P(None, None, axis)]
+                else:
+                    w_specs += [P(axis, None), P(axis, None, None),
+                                P(axis, None, None)]
+        return flat, w_specs
+
     def _row_proj(self, kern_fn, name: str, xin, W, S, Z, axis):
         """Row-parallel projection + all-reduce, optionally chunked over N
         so each chunk's collective overlaps the next chunk's matmul."""
@@ -384,17 +403,7 @@ class TPQuantLlama:
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
 
-        flat, w_specs = [], []
-        for li in range(cfg.num_layers):
-            for name in _FUSED:
-                W, S, Z = self.weights[li][name]
-                flat += [W, S, Z]
-                if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
-                else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+        flat, w_specs = self._flat_weights()
         kv_spec = P(None, None, None, axis, None)
         sm = shard_map(
             device_step, mesh=self.mesh,
@@ -462,17 +471,7 @@ class TPQuantLlama:
                 x = x + d.astype(x.dtype).reshape(B, T, cfg.hidden_size)
             return x, ck, cv
 
-        flat, w_specs = [], []
-        for li in range(cfg.num_layers):
-            for name in _FUSED:
-                W, S, Z = self.weights[li][name]
-                flat += [W, S, Z]
-                if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
-                else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+        flat, w_specs = self._flat_weights()
         kv_spec = P(None, None, None, axis, None)
         sm = shard_map(
             device_chunk, mesh=self.mesh,
@@ -542,17 +541,7 @@ class TPQuantLlama:
                 x = x + d.astype(x.dtype).reshape(B, T, cfg.hidden_size)
             return x, ck, cv, sk, sv
 
-        flat, w_specs = [], []
-        for li in range(cfg.num_layers):
-            for name in _FUSED:
-                W, S, Z = self.weights[li][name]
-                flat += [W, S, Z]
-                if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
-                else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+        flat, w_specs = self._flat_weights()
         kv_spec = P(None, None, None, axis, None)
         ks_spec = P(None, None, None, axis)
         sm = shard_map(
@@ -629,17 +618,7 @@ class TPQuantLlama:
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv, sk, sv
 
-        flat, w_specs = [], []
-        for li in range(cfg.num_layers):
-            for name in _FUSED:
-                W, S, Z = self.weights[li][name]
-                flat += [W, S, Z]
-                if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
-                else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+        flat, w_specs = self._flat_weights()
         kv_spec = P(None, None, None, axis, None)
         ks_spec = P(None, None, None, axis)
         sm = shard_map(
@@ -707,17 +686,7 @@ class TPQuantLlama:
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv
 
-        flat, w_specs = [], []
-        for li in range(cfg.num_layers):
-            for name in _FUSED:
-                W, S, Z = self.weights[li][name]
-                flat += [W, S, Z]
-                if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
-                else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+        flat, w_specs = self._flat_weights()
         kv_spec = P(None, None, None, axis, None)
         sm = shard_map(
             device_step, mesh=self.mesh,
@@ -789,17 +758,7 @@ class TPQuantLlama:
                 x = x + d.astype(x.dtype)[:, None, :]
             return x, ck, cv, sk, sv
 
-        flat, w_specs = [], []
-        for li in range(cfg.num_layers):
-            for name in _FUSED:
-                W, S, Z = self.weights[li][name]
-                flat += [W, S, Z]
-                if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
-                else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+        flat, w_specs = self._flat_weights()
         kv_spec = P(None, None, None, axis, None)
         ks_spec = P(None, None, None, axis)
         sm = shard_map(
@@ -882,17 +841,7 @@ class TPQuantLlama:
                       for v in vs]
                 return x, ks, vs
 
-            flat, w_specs = [], []
-            for li in range(cfg.num_layers):
-                for name in _FUSED:
-                    W, Ssc, Zz = self.weights[li][name]
-                    flat += [W, Ssc, Zz]
-                    if name in _COLUMN:
-                        w_specs += [P(None, axis), P(None, None, axis),
-                                    P(None, None, axis)]
-                    else:
-                        w_specs += [P(axis, None), P(axis, None, None),
-                                    P(axis, None, None)]
+            flat, w_specs = self._flat_weights()
             nl = cfg.num_layers
             sm = shard_map(
                 device_prefill, mesh=self.mesh,
