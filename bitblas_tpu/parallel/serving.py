@@ -351,207 +351,167 @@ class TPQuantLlama:
         return jnp.concatenate(parts, axis=1)
 
     # -- decode (the hot path) -------------------------------------------------
-    def decode_step(self, x, caches_k, caches_v, slots, lengths):
-        """x [B, 1, H]; caches [L, slots, S, Hkv, D] kv_heads-sharded."""
+    # Every decode variant (slot/paged x float/int8-KV x step/chunk) is the
+    # same transformer stack around a different cache-append + attention
+    # primitive. The stack lives in _tp_decode_layers and the shard_map
+    # marshalling in _sharded_decode; each public variant supplies only a
+    # `make_attend` closure over its serving.kv_cache primitives. (The six
+    # hand-expanded twins had already drifted once — the flash-decode-quant
+    # NaN — hence the single body.)
+
+    def _tp_decode_layers(self, x, flat, kern, positions, attend, B, T):
+        """Shared per-layer body: rmsnorm -> fused qkv (column-parallel,
+        local heads) -> rope -> attend(li, q, k, v) -> row-parallel o ->
+        rmsnorm -> fused gate/up -> silu*up -> row-parallel down. q and the
+        attention that `attend` returns are [B, T, heads_local, D]; k/v are
+        [B, T, kv_local, D]."""
         cfg = self.cfg
-        B = x.shape[0]
         axis = self.axis
-        tp = self.tp
-        hl = cfg.num_heads // tp          # local attention heads
-        kvl = cfg.num_kv_heads // tp      # local kv heads
+        hl = cfg.num_heads // self.tp
+        kvl = cfg.num_kv_heads // self.tp
         D = cfg.head_dim
+        it = iter(flat)
+        weights = [{name: (next(it), next(it), next(it)) for name in _FUSED}
+                   for _ in range(cfg.num_layers)]
+        for li in range(cfg.num_layers):
+            attn_norm, mlp_norm = self.norms[li]
+            w = weights[li]
+            h2 = rmsnorm(x, attn_norm).reshape(B * T, cfg.hidden_size)
+            qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
+                              zeros=w["qkv"][2])
+            q = rope(qkv[:, :hl * D].reshape(B, T, hl, D), positions,
+                     cfg.rope_arg)
+            k = rope(qkv[:, hl * D:(hl + kvl) * D].reshape(B, T, kvl, D),
+                     positions, cfg.rope_arg)
+            v = qkv[:, (hl + kvl) * D:].reshape(B, T, kvl, D)
+            attn = attend(li, q, k, v)
+            o = self._row_proj(kern["o"], "o", attn.reshape(B * T, hl * D),
+                               *w["o"], axis)
+            x = x + o.astype(x.dtype).reshape(B, T, cfg.hidden_size)
+            h2 = rmsnorm(x, mlp_norm).reshape(B * T, cfg.hidden_size)
+            gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
+                                zeros=w["gateup"][2])
+            il = cfg.intermediate_size // self.tp
+            gate, up = gu[:, :il], gu[:, il:]
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32)).astype(x.dtype)
+            d = self._row_proj(kern["down"], "down", act, *w["down"], axis)
+            x = x + d.astype(x.dtype).reshape(B, T, cfg.hidden_size)
+        return x
 
-        kern = {name: self._kernel(name, B) for name in _FUSED}
+    def _sharded_decode(self, x, caches, cache_specs, extras, make_attend,
+                        T):
+        """shard_map wrapper shared by every decode variant: x and the
+        host-managed extras (slots/lengths/page tables) replicate, cache
+        arrays shard per `cache_specs` (their kv_heads axis), weights shard
+        per _flat_weights. `make_attend(cs, extras)` -> (attend, positions)
+        closes over the mutable cache list `cs`; entries it replaces are
+        returned as the new cache values, in order, after x."""
+        B = x.shape[0]
+        kern = {name: self._kernel(name, B * T) for name in _FUSED}
+        nc, ne = len(caches), len(extras)
 
-        def device_step(x, ck, cv, slots, lengths, *flat):
-            from ..serving.kv_cache import append_token, decode_attention
-            it = iter(flat)
-            weights = [{name: (next(it), next(it), next(it))
-                        for name in _FUSED}
-                       for _ in range(cfg.num_layers)]
-            positions = lengths[:, None]
-            for li in range(cfg.num_layers):
-                attn_norm, mlp_norm = self.norms[li]
-                w = weights[li]
-                h = rmsnorm(x, attn_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
-                                  zeros=w["qkv"][2])
-                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
-                           qkv[:, (hl + kvl) * D:])
-                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_arg)[:, 0]
-                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_arg)[:, 0]
-                v = v.reshape(B, kvl, D)
-                ckl, cvl = append_token(ck[li], cv[li], slots, lengths, k, v)
-                ck = ck.at[li].set(ckl)
-                cv = cv.at[li].set(cvl)
-                attn = decode_attention(q, ckl, cvl, slots, lengths + 1,
-                                        num_heads=hl)
-                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
-                                   *w["o"], axis)
-                x = x + o.astype(x.dtype)[:, None, :]
-                h = rmsnorm(x, mlp_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
-                                    zeros=w["gateup"][2])
-                il = cfg.intermediate_size // tp
-                gate, up = gu[:, :il], gu[:, il:]
-                act = (jax.nn.silu(gate.astype(jnp.float32))
-                       * up.astype(jnp.float32)).astype(x.dtype)
-                d = self._row_proj(kern["down"], "down", act, *w["down"],
-                                   axis)
-                x = x + d.astype(x.dtype)[:, None, :]
-            return x, ck, cv
+        def device_fn(x, *rest):
+            cs = list(rest[:nc])
+            attend, positions = make_attend(cs, rest[nc:nc + ne])
+            x = self._tp_decode_layers(x, rest[nc + ne:], kern, positions,
+                                       attend, B, T)
+            return (x, *cs)
 
         flat, w_specs = self._flat_weights()
-        kv_spec = P(None, None, None, axis, None)
         sm = shard_map(
-            device_step, mesh=self.mesh,
-            in_specs=(P(), kv_spec, kv_spec, P(), P(), *w_specs),
-            out_specs=(P(), kv_spec, kv_spec), check_vma=False)
-        return sm(x, caches_k, caches_v, slots, lengths, *flat)
+            device_fn, mesh=self.mesh,
+            in_specs=(P(), *cache_specs, *([P()] * ne), *w_specs),
+            out_specs=(P(), *cache_specs), check_vma=False)
+        return sm(x, *caches, *extras, *flat)
+
+    @property
+    def _kv_spec(self):
+        """codes [L, slots|blocks, S|bs, Hkv, D] -> shard on kv_heads."""
+        return P(None, None, None, self.axis, None)
+
+    @property
+    def _ks_spec(self):
+        """scale planes [L, slots|blocks, S|bs, Hkv] -> shard on kv_heads."""
+        return P(None, None, None, self.axis)
+
+    def decode_step(self, x, caches_k, caches_v, slots, lengths):
+        """x [B, 1, H]; caches [L, slots, S, Hkv, D] kv_heads-sharded."""
+        def make_attend(cs, ex):
+            from ..serving.kv_cache import append_token, decode_attention
+            slots, lengths = ex
+
+            def attend(li, q, k, v):
+                ckl, cvl = append_token(cs[0][li], cs[1][li], slots,
+                                        lengths, k[:, 0], v[:, 0])
+                cs[0] = cs[0].at[li].set(ckl)
+                cs[1] = cs[1].at[li].set(cvl)
+                return decode_attention(q[:, 0], ckl, cvl, slots,
+                                        lengths + 1,
+                                        num_heads=q.shape[2])[:, None]
+
+            return attend, lengths[:, None]
+
+        kv = self._kv_spec
+        return self._sharded_decode(x, (caches_k, caches_v), (kv, kv),
+                                    (slots, lengths), make_attend, T=1)
 
     def decode_chunk(self, x, caches_k, caches_v, slots, lengths):
         """TP twin of QuantLlama.decode_chunk: append T tokens per slot in
         one sharded pass (chunked prefill / speculative verify under TP).
+        x [B, T, H]; local projections run at M=B*T so each device streams
+        its weight shard once per chunk."""
+        T = x.shape[1]
 
-        x [B, T, H]; caches kv_heads-sharded as in decode_step; local
-        projections run at M=B*T so each device streams its weight shard
-        once per chunk."""
-        cfg = self.cfg
-        B, T = x.shape[0], x.shape[1]
-        axis = self.axis
-        tp = self.tp
-        hl = cfg.num_heads // tp
-        kvl = cfg.num_kv_heads // tp
-        D = cfg.head_dim
-
-        kern = {name: self._kernel(name, B * T) for name in _FUSED}
-
-        def device_chunk(x, ck, cv, slots, lengths, *flat):
+        def make_attend(cs, ex):
             from ..serving.kv_cache import append_chunk, chunk_attention
-            it = iter(flat)
-            weights = [{name: (next(it), next(it), next(it))
-                        for name in _FUSED}
-                       for _ in range(cfg.num_layers)]
+            slots, lengths = ex
+
+            def attend(li, q, k, v):
+                ckl, cvl = append_chunk(cs[0][li], cs[1][li], slots,
+                                        lengths, k, v)
+                cs[0] = cs[0].at[li].set(ckl)
+                cs[1] = cs[1].at[li].set(cvl)
+                return chunk_attention(q, ckl, cvl, slots, lengths,
+                                       num_heads=q.shape[2])
+
             positions = lengths[:, None] + jnp.arange(T,
                                                       dtype=lengths.dtype)
-            for li in range(cfg.num_layers):
-                attn_norm, mlp_norm = self.norms[li]
-                w = weights[li]
-                h = rmsnorm(x, attn_norm)
-                h2 = h.reshape(B * T, cfg.hidden_size)
-                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
-                                  zeros=w["qkv"][2])
-                q = qkv[:, :hl * D].reshape(B, T, hl, D)
-                k = qkv[:, hl * D:(hl + kvl) * D].reshape(B, T, kvl, D)
-                v = qkv[:, (hl + kvl) * D:].reshape(B, T, kvl, D)
-                q = rope(q, positions, cfg.rope_arg)
-                k = rope(k, positions, cfg.rope_arg)
-                ckl, cvl = append_chunk(ck[li], cv[li], slots, lengths, k, v)
-                ck = ck.at[li].set(ckl)
-                cv = cv.at[li].set(cvl)
-                attn = chunk_attention(q, ckl, cvl, slots, lengths,
-                                       num_heads=hl)
-                o = self._row_proj(kern["o"], "o",
-                                   attn.reshape(B * T, hl * D), *w["o"],
-                                   axis)
-                x = x + o.astype(x.dtype).reshape(B, T, cfg.hidden_size)
-                h = rmsnorm(x, mlp_norm)
-                h2 = h.reshape(B * T, cfg.hidden_size)
-                gu = kern["gateup"](h2, w["gateup"][0],
-                                    scales=w["gateup"][1],
-                                    zeros=w["gateup"][2])
-                il = cfg.intermediate_size // tp
-                gate, up = gu[:, :il], gu[:, il:]
-                act = (jax.nn.silu(gate.astype(jnp.float32))
-                       * up.astype(jnp.float32)).astype(x.dtype)
-                d = self._row_proj(kern["down"], "down", act, *w["down"],
-                                   axis)
-                x = x + d.astype(x.dtype).reshape(B, T, cfg.hidden_size)
-            return x, ck, cv
+            return attend, positions
 
-        flat, w_specs = self._flat_weights()
-        kv_spec = P(None, None, None, axis, None)
-        sm = shard_map(
-            device_chunk, mesh=self.mesh,
-            in_specs=(P(), kv_spec, kv_spec, P(), P(), *w_specs),
-            out_specs=(P(), kv_spec, kv_spec), check_vma=False)
-        return sm(x, caches_k, caches_v, slots, lengths, *flat)
+        kv = self._kv_spec
+        return self._sharded_decode(x, (caches_k, caches_v), (kv, kv),
+                                    (slots, lengths), make_attend, T=T)
 
     def decode_chunk_quant(self, x, caches_k, caches_v, scales_k, scales_v,
                            slots, lengths):
         """TP twin of QuantLlama.decode_chunk_quant: T-token append over
         the kv_heads-sharded int8 cache (codes + scales), chunk-causal
         attention, local projections at M=B*T."""
-        cfg = self.cfg
-        B, T = x.shape[0], x.shape[1]
-        axis = self.axis
-        tp = self.tp
-        hl = cfg.num_heads // tp
-        kvl = cfg.num_kv_heads // tp
-        D = cfg.head_dim
+        T = x.shape[1]
 
-        kern = {name: self._kernel(name, B * T) for name in _FUSED}
-
-        def device_chunk(x, ck, cv, sk, sv, slots, lengths, *flat):
+        def make_attend(cs, ex):
             from ..serving.kv_cache import (append_chunk_quant,
                                             chunk_attention_quant)
-            it = iter(flat)
-            weights = [{name: (next(it), next(it), next(it))
-                        for name in _FUSED}
-                       for _ in range(cfg.num_layers)]
+            slots, lengths = ex
+
+            def attend(li, q, k, v):
+                ckl, cvl, skl, svl = append_chunk_quant(
+                    cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
+                    lengths, k, v)
+                for i, t in enumerate((ckl, cvl, skl, svl)):
+                    cs[i] = cs[i].at[li].set(t)
+                return chunk_attention_quant(q, ckl, cvl, skl, svl, slots,
+                                             lengths, num_heads=q.shape[2])
+
             positions = lengths[:, None] + jnp.arange(T,
                                                       dtype=lengths.dtype)
-            for li in range(cfg.num_layers):
-                attn_norm, mlp_norm = self.norms[li]
-                w = weights[li]
-                h = rmsnorm(x, attn_norm)
-                h2 = h.reshape(B * T, cfg.hidden_size)
-                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
-                                  zeros=w["qkv"][2])
-                q = qkv[:, :hl * D].reshape(B, T, hl, D)
-                k = qkv[:, hl * D:(hl + kvl) * D].reshape(B, T, kvl, D)
-                v = qkv[:, (hl + kvl) * D:].reshape(B, T, kvl, D)
-                q = rope(q, positions, cfg.rope_arg)
-                k = rope(k, positions, cfg.rope_arg)
-                ckl, cvl, skl, svl = append_chunk_quant(
-                    ck[li], cv[li], sk[li], sv[li], slots, lengths, k, v)
-                ck = ck.at[li].set(ckl)
-                cv = cv.at[li].set(cvl)
-                sk = sk.at[li].set(skl)
-                sv = sv.at[li].set(svl)
-                attn = chunk_attention_quant(q, ckl, cvl, skl, svl, slots,
-                                             lengths, num_heads=hl)
-                o = self._row_proj(kern["o"], "o",
-                                   attn.reshape(B * T, hl * D), *w["o"],
-                                   axis)
-                x = x + o.astype(x.dtype).reshape(B, T, cfg.hidden_size)
-                h = rmsnorm(x, mlp_norm)
-                h2 = h.reshape(B * T, cfg.hidden_size)
-                gu = kern["gateup"](h2, w["gateup"][0],
-                                    scales=w["gateup"][1],
-                                    zeros=w["gateup"][2])
-                il = cfg.intermediate_size // tp
-                gate, up = gu[:, :il], gu[:, il:]
-                act = (jax.nn.silu(gate.astype(jnp.float32))
-                       * up.astype(jnp.float32)).astype(x.dtype)
-                d = self._row_proj(kern["down"], "down", act, *w["down"],
-                                   axis)
-                x = x + d.astype(x.dtype).reshape(B, T, cfg.hidden_size)
-            return x, ck, cv, sk, sv
+            return attend, positions
 
-        flat, w_specs = self._flat_weights()
-        kv_spec = P(None, None, None, axis, None)
-        ks_spec = P(None, None, None, axis)
-        sm = shard_map(
-            device_chunk, mesh=self.mesh,
-            in_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec, P(), P(),
-                      *w_specs),
-            out_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec),
-            check_vma=False)
-        return sm(x, caches_k, caches_v, scales_k, scales_v, slots,
-                  lengths, *flat)
+        kv, ks = self._kv_spec, self._ks_spec
+        return self._sharded_decode(
+            x, (caches_k, caches_v, scales_k, scales_v), (kv, kv, ks, ks),
+            (slots, lengths), make_attend, T=T)
 
     def decode_step_quant(self, x, caches_k, caches_v, scales_k, scales_v,
                           slots, lengths):
@@ -562,219 +522,88 @@ class TPQuantLlama:
         decode bottleneck at long context) AND the cache footprint, on top
         of the TP sharding. Same two-psums-per-layer collective budget.
         """
-        cfg = self.cfg
-        B = x.shape[0]
-        axis = self.axis
-        tp = self.tp
-        hl = cfg.num_heads // tp
-        kvl = cfg.num_kv_heads // tp
-        D = cfg.head_dim
-
-        kern = {name: self._kernel(name, B) for name in _FUSED}
-
-        def device_step(x, ck, cv, sk, sv, slots, lengths, *flat):
+        def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_quant,
                                             decode_attention_quant)
-            it = iter(flat)
-            weights = [{name: (next(it), next(it), next(it))
-                        for name in _FUSED}
-                       for _ in range(cfg.num_layers)]
-            positions = lengths[:, None]
-            for li in range(cfg.num_layers):
-                attn_norm, mlp_norm = self.norms[li]
-                w = weights[li]
-                h = rmsnorm(x, attn_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
-                                  zeros=w["qkv"][2])
-                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
-                           qkv[:, (hl + kvl) * D:])
-                q = rope(q.reshape(B, 1, hl, D), positions,
-                         cfg.rope_arg)[:, 0]
-                k = rope(k.reshape(B, 1, kvl, D), positions,
-                         cfg.rope_arg)[:, 0]
-                v = v.reshape(B, kvl, D)
-                ckl, cvl, skl, svl = append_token_quant(
-                    ck[li], cv[li], sk[li], sv[li], slots, lengths, k, v)
-                ck = ck.at[li].set(ckl)
-                cv = cv.at[li].set(cvl)
-                sk = sk.at[li].set(skl)
-                sv = sv.at[li].set(svl)
-                attn = decode_attention_quant(q, ckl, cvl, skl, svl, slots,
-                                              lengths + 1, num_heads=hl)
-                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
-                                   *w["o"], axis)
-                x = x + o.astype(x.dtype)[:, None, :]
-                h = rmsnorm(x, mlp_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
-                                    zeros=w["gateup"][2])
-                il = cfg.intermediate_size // tp
-                gate, up = gu[:, :il], gu[:, il:]
-                act = (jax.nn.silu(gate.astype(jnp.float32))
-                       * up.astype(jnp.float32)).astype(x.dtype)
-                d = self._row_proj(kern["down"], "down", act, *w["down"],
-                                   axis)
-                x = x + d.astype(x.dtype)[:, None, :]
-            return x, ck, cv, sk, sv
+            slots, lengths = ex
 
-        flat, w_specs = self._flat_weights()
-        kv_spec = P(None, None, None, axis, None)
-        ks_spec = P(None, None, None, axis)
-        sm = shard_map(
-            device_step, mesh=self.mesh,
-            in_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec, P(), P(),
-                      *w_specs),
-            out_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec),
-            check_vma=False)
-        return sm(x, caches_k, caches_v, scales_k, scales_v, slots, lengths,
-                  *flat)
+            def attend(li, q, k, v):
+                ckl, cvl, skl, svl = append_token_quant(
+                    cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
+                    lengths, k[:, 0], v[:, 0])
+                for i, t in enumerate((ckl, cvl, skl, svl)):
+                    cs[i] = cs[i].at[li].set(t)
+                return decode_attention_quant(
+                    q[:, 0], ckl, cvl, skl, svl, slots, lengths + 1,
+                    num_heads=q.shape[2])[:, None]
+
+            return attend, lengths[:, None]
+
+        kv, ks = self._kv_spec, self._ks_spec
+        return self._sharded_decode(
+            x, (caches_k, caches_v, scales_k, scales_v), (kv, kv, ks, ks),
+            (slots, lengths), make_attend, T=1)
 
     def decode_step_paged(self, x, caches_k, caches_v, tables, block_rows,
                           offsets, lengths):
         """Paged-cache variant: caches [L, blocks, bs, Hkv, D] sharded on
         kv_heads; tables/block_rows/offsets replicated (host-managed)."""
-        cfg = self.cfg
-        B = x.shape[0]
-        axis = self.axis
-        tp = self.tp
-        hl = cfg.num_heads // tp
-        kvl = cfg.num_kv_heads // tp
-        D = cfg.head_dim
-        kern = {name: self._kernel(name, B) for name in _FUSED}
-
-        def device_step(x, ck, cv, tables, block_rows, offsets, lengths,
-                        *flat):
+        def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_paged,
                                             decode_attention_paged)
-            it = iter(flat)
-            weights = [{name: (next(it), next(it), next(it))
-                        for name in _FUSED}
-                       for _ in range(cfg.num_layers)]
-            positions = lengths[:, None]
-            for li in range(cfg.num_layers):
-                attn_norm, mlp_norm = self.norms[li]
-                w = weights[li]
-                h = rmsnorm(x, attn_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
-                                  zeros=w["qkv"][2])
-                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
-                           qkv[:, (hl + kvl) * D:])
-                q = rope(q.reshape(B, 1, hl, D), positions, cfg.rope_arg)[:, 0]
-                k = rope(k.reshape(B, 1, kvl, D), positions, cfg.rope_arg)[:, 0]
-                v = v.reshape(B, kvl, D)
-                ckl, cvl = append_token_paged(ck[li], cv[li], block_rows,
-                                              offsets, k, v)
-                ck = ck.at[li].set(ckl)
-                cv = cv.at[li].set(cvl)
-                attn = decode_attention_paged(q, ckl, cvl, tables,
-                                              lengths + 1, num_heads=hl)
-                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
-                                   *w["o"], axis)
-                x = x + o.astype(x.dtype)[:, None, :]
-                h = rmsnorm(x, mlp_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
-                                    zeros=w["gateup"][2])
-                il = cfg.intermediate_size // tp
-                gate, up = gu[:, :il], gu[:, il:]
-                act = (jax.nn.silu(gate.astype(jnp.float32))
-                       * up.astype(jnp.float32)).astype(x.dtype)
-                d = self._row_proj(kern["down"], "down", act, *w["down"],
-                                   axis)
-                x = x + d.astype(x.dtype)[:, None, :]
-            return x, ck, cv
+            tables, block_rows, offsets, lengths = ex
 
-        flat, w_specs = self._flat_weights()
-        kv_spec = P(None, None, None, axis, None)
-        sm = shard_map(
-            device_step, mesh=self.mesh,
-            in_specs=(P(), kv_spec, kv_spec, P(), P(), P(), P(), *w_specs),
-            out_specs=(P(), kv_spec, kv_spec), check_vma=False)
-        return sm(x, caches_k, caches_v, tables, block_rows, offsets,
-                  lengths, *flat)
+            def attend(li, q, k, v):
+                ckl, cvl = append_token_paged(cs[0][li], cs[1][li],
+                                              block_rows, offsets,
+                                              k[:, 0], v[:, 0])
+                cs[0] = cs[0].at[li].set(ckl)
+                cs[1] = cs[1].at[li].set(cvl)
+                return decode_attention_paged(
+                    q[:, 0], ckl, cvl, tables, lengths + 1,
+                    num_heads=q.shape[2])[:, None]
+
+            return attend, lengths[:, None]
+
+        kv = self._kv_spec
+        return self._sharded_decode(
+            x, (caches_k, caches_v), (kv, kv),
+            (tables, block_rows, offsets, lengths), make_attend, T=1)
 
     def decode_step_paged_quant(self, x, caches_k, caches_v, scales_k,
                                 scales_v, tables, block_rows, offsets,
                                 lengths):
         """Paged + int8-quantized cache: codes [L, blocks, bs, Hkv, D] and
         scale planes [L, blocks, bs, Hkv], both kv_heads-sharded."""
-        cfg = self.cfg
-        B = x.shape[0]
-        axis = self.axis
-        tp = self.tp
-        hl = cfg.num_heads // tp
-        kvl = cfg.num_kv_heads // tp
-        D = cfg.head_dim
-        kern = {name: self._kernel(name, B) for name in _FUSED}
-
-        def device_step(x, ck, cv, sk, sv, tables, block_rows, offsets,
-                        lengths, *flat):
+        def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_paged_quant,
                                             decode_attention_paged_quant)
-            it = iter(flat)
-            weights = [{name: (next(it), next(it), next(it))
-                        for name in _FUSED}
-                       for _ in range(cfg.num_layers)]
-            positions = lengths[:, None]
-            for li in range(cfg.num_layers):
-                attn_norm, mlp_norm = self.norms[li]
-                w = weights[li]
-                h = rmsnorm(x, attn_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
-                                  zeros=w["qkv"][2])
-                q, k, v = (qkv[:, :hl * D], qkv[:, hl * D:(hl + kvl) * D],
-                           qkv[:, (hl + kvl) * D:])
-                q = rope(q.reshape(B, 1, hl, D), positions,
-                         cfg.rope_arg)[:, 0]
-                k = rope(k.reshape(B, 1, kvl, D), positions,
-                         cfg.rope_arg)[:, 0]
-                v = v.reshape(B, kvl, D)
-                ckl, cvl, skl, svl = append_token_paged_quant(
-                    ck[li], cv[li], sk[li], sv[li], block_rows, offsets,
-                    k, v)
-                ck = ck.at[li].set(ckl)
-                cv = cv.at[li].set(cvl)
-                sk = sk.at[li].set(skl)
-                sv = sv.at[li].set(svl)
-                attn = decode_attention_paged_quant(
-                    q, ckl, cvl, skl, svl, tables, lengths + 1,
-                    num_heads=hl)
-                o = self._row_proj(kern["o"], "o", attn.reshape(B, hl * D),
-                                   *w["o"], axis)
-                x = x + o.astype(x.dtype)[:, None, :]
-                h = rmsnorm(x, mlp_norm)
-                h2 = h.reshape(B, cfg.hidden_size)
-                gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
-                                    zeros=w["gateup"][2])
-                il = cfg.intermediate_size // tp
-                gate, up = gu[:, :il], gu[:, il:]
-                act = (jax.nn.silu(gate.astype(jnp.float32))
-                       * up.astype(jnp.float32)).astype(x.dtype)
-                d = self._row_proj(kern["down"], "down", act, *w["down"],
-                                   axis)
-                x = x + d.astype(x.dtype)[:, None, :]
-            return x, ck, cv, sk, sv
+            tables, block_rows, offsets, lengths = ex
 
-        flat, w_specs = self._flat_weights()
-        kv_spec = P(None, None, None, axis, None)
-        ks_spec = P(None, None, None, axis)
-        sm = shard_map(
-            device_step, mesh=self.mesh,
-            in_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec, P(), P(),
-                      P(), P(), *w_specs),
-            out_specs=(P(), kv_spec, kv_spec, ks_spec, ks_spec),
-            check_vma=False)
-        return sm(x, caches_k, caches_v, scales_k, scales_v, tables,
-                  block_rows, offsets, lengths, *flat)
+            def attend(li, q, k, v):
+                ckl, cvl, skl, svl = append_token_paged_quant(
+                    cs[0][li], cs[1][li], cs[2][li], cs[3][li], block_rows,
+                    offsets, k[:, 0], v[:, 0])
+                for i, t in enumerate((ckl, cvl, skl, svl)):
+                    cs[i] = cs[i].at[li].set(t)
+                return decode_attention_paged_quant(
+                    q[:, 0], ckl, cvl, skl, svl, tables, lengths + 1,
+                    num_heads=q.shape[2])[:, None]
+
+            return attend, lengths[:, None]
+
+        kv, ks = self._kv_spec, self._ks_spec
+        return self._sharded_decode(
+            x, (caches_k, caches_v, scales_k, scales_v), (kv, kv, ks, ks),
+            (tables, block_rows, offsets, lengths), make_attend, T=1)
 
     # -- prefill ----------------------------------------------------------------
     def make_prefill(self, seq_len: int):
         """Replicated-activation prefill through the TP projections; returns
         full (unsharded) per-layer K/V — the engine's sharded cache write
-        re-shards them once."""
+        re-shards them once. Same _tp_decode_layers body; the attend is
+        in-context causal attention over the local heads, collecting each
+        layer's K/V for the cache."""
         cfg = self.cfg
         axis = self.axis
 
@@ -784,56 +613,29 @@ class TPQuantLlama:
                     for name in _FUSED}
 
             def device_prefill(x, positions, *flat):
-                it = iter(flat)
-                weights = [{name: (next(it), next(it), next(it))
-                            for name in _FUSED}
-                           for _ in range(cfg.num_layers)]
-                hl = cfg.num_heads // self.tp
-                kvl = cfg.num_kv_heads // self.tp
-                D = cfg.head_dim
+                import math as _math
                 ks, vs = [], []
-                for li in range(cfg.num_layers):
-                    attn_norm, mlp_norm = self.norms[li]
-                    w = weights[li]
-                    h = rmsnorm(x, attn_norm).reshape(B * S, cfg.hidden_size)
-                    qkv = kern["qkv"](h, w["qkv"][0], scales=w["qkv"][1],
-                                      zeros=w["qkv"][2])
-                    q, k, v = (qkv[:, :hl * D],
-                               qkv[:, hl * D:(hl + kvl) * D],
-                               qkv[:, (hl + kvl) * D:])
-                    q = rope(q.reshape(B, S, hl, D), positions, cfg.rope_arg)
-                    k = rope(k.reshape(B, S, kvl, D), positions, cfg.rope_arg)
-                    v = v.reshape(B, S, kvl, D)
+                dtype = x.dtype
+
+                def attend(li, q, k, v):
                     ks.append(k[0])
                     vs.append(v[0])
-                    # local-head causal attention
-                    import math as _math
-                    group = hl // kvl
+                    group = q.shape[2] // k.shape[2]
                     k_ = jnp.repeat(k, group, axis=2)
                     v_ = jnp.repeat(v, group, axis=2)
-                    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
-                                   k_.astype(jnp.float32)) / _math.sqrt(D)
+                    s = jnp.einsum("bqhd,bkhd->bhqk",
+                                   q.astype(jnp.float32),
+                                   k_.astype(jnp.float32)) \
+                        / _math.sqrt(cfg.head_dim)
                     qi = jnp.arange(S)[:, None]
                     kj = jnp.arange(S)[None, :]
                     s = jnp.where(qi >= kj, s, -1e30)
                     p = jax.nn.softmax(s, axis=-1)
-                    attn = jnp.einsum("bhqk,bkhd->bqhd", p,
-                                      v_.astype(jnp.float32)).astype(x.dtype)
-                    o = self._row_proj(kern["o"], "o",
-                                       attn.reshape(B * S, hl * D),
-                                       *w["o"], axis)
-                    x = x + o.astype(x.dtype).reshape(B, S, cfg.hidden_size)
-                    h = rmsnorm(x, mlp_norm).reshape(B * S, cfg.hidden_size)
-                    gu = kern["gateup"](h, w["gateup"][0],
-                                        scales=w["gateup"][1],
-                                        zeros=w["gateup"][2])
-                    il = cfg.intermediate_size // self.tp
-                    gate, up = gu[:, :il], gu[:, il:]
-                    act = (jax.nn.silu(gate.astype(jnp.float32))
-                           * up.astype(jnp.float32)).astype(x.dtype)
-                    d = self._row_proj(kern["down"], "down", act,
-                                       *w["down"], axis)
-                    x = x + d.astype(x.dtype).reshape(B, S, cfg.hidden_size)
+                    return jnp.einsum("bhqk,bkhd->bqhd", p,
+                                      v_.astype(jnp.float32)).astype(dtype)
+
+                x = self._tp_decode_layers(x, flat, kern, positions,
+                                           attend, B, S)
                 # gather local-head K/V to full heads for the cache write
                 ks = [jax.lax.all_gather(k, axis, axis=1, tiled=True)
                       for k in ks]
