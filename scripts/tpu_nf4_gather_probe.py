@@ -51,7 +51,7 @@ def main():
             tiles = [(256, 512, 4096), (256, 1024, 2048)]
         else:
             tiles = [(1024, 2048, 512), (1024, 1024, 1024)]
-        for lm in ("gather2d", "select"):
+        for lm in ("gather2d", "gatherlane", "mux4", "select"):
             for (bm, bn, bk) in tiles:
                 hint = TileHint(block_m=bm, block_n=bn, block_k=bk,
                                 mma_dtype="bfloat16", decode_mode="mask",
