@@ -30,12 +30,24 @@ _PRECISION = {
 
 def make_dense_matmul(spec: KernelSpec, hint: TileHint, *,
                       layout: str = "nt", interpret: bool = False):
-    """XLA dense matmul: A [M, K] x W ([N, K] for nt / [K, N] for nn)."""
+    """XLA dense matmul over every reference layout
+    (/root/reference/bitblas/ops/general_matmul/__init__.py:58-237
+    legalizes all four):
+
+      * A is [M, K] for ``n*`` layouts, [K, M] for ``t*``;
+      * W is [N, K] for ``*t``, [K, N] for ``*n``.
+
+    The contraction dims feed `dot_general` directly — XLA folds the
+    logical transposes into the dot, so no copy is materialized.
+    """
     del interpret
+    if layout not in ("nn", "nt", "tn", "tt"):
+        raise ValueError(f"unknown layout {layout!r}")
     acc = jnp.int32 if spec.is_int_activation else jnp.float32
     out_dtype = as_jax_dtype(spec.out_dtype)
     precision = _PRECISION[hint.precision]
-    wdim = 1 if layout == "nt" else 0
+    adim = 1 if layout[0] == "n" else 0
+    wdim = 1 if layout[1] == "t" else 0
 
     def fn(A, W, scales=None, zeros=None, bias=None):
         del scales, zeros
@@ -47,7 +59,7 @@ def make_dense_matmul(spec: KernelSpec, hint: TileHint, *,
             W = W.astype(jnp.int8)
         out = lax.dot_general(
             A, W,
-            dimension_numbers=(((1,), (wdim,)), ((), ())),
+            dimension_numbers=(((adim,), (wdim,)), ((), ())),
             preferred_element_type=acc,
             precision=precision,
         ).astype(out_dtype)

@@ -108,7 +108,10 @@ class Matmul(Operator):
 
     def _build_kernel(self, spec: KernelSpec, hint: TileHint):
         if self.config.is_native_compute():
-            return make_dense_matmul(spec, hint, layout=self.config.layout,
+            # forward() normalizes t* activations to [M, K] before the
+            # jitted call, so the kernel always sees the n* convention.
+            layout = "n" + self.config.layout[1]
+            return make_dense_matmul(spec, hint, layout=layout,
                                      interpret=self.interpret)
         return make_dequant_matmul(spec, hint, interpret=self.interpret)
 
@@ -221,6 +224,12 @@ class Matmul(Operator):
 
     def forward(self, A, W, scale=None, zeros=None, bias=None, output=None):
         del output  # reference API parity; JAX returns a fresh array
+        if self.config.layout[0] == "t":
+            # Transposed activations arrive [K, M]; normalize to [M, K] so
+            # the bucket dispatch below sees one convention. XLA fuses the
+            # transpose into the dot — the kernel itself is built with the
+            # A-side already normalized (see _build_kernel).
+            A = A.T
         lead = A.shape[:-1]
         K = A.shape[-1]
         m = int(np.prod(lead)) if lead else 1

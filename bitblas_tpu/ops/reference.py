@@ -147,7 +147,10 @@ def matmul_reference(
 ) -> jnp.ndarray:
     """Full oracle: dequantize (if needed) then contract."""
     if config.is_native_compute():
-        W = qweight if config.layout == "nt" else qweight.T
+        # layout[1] names the weight storage ("*t" = [N, K], "*n" = [K, N]);
+        # A is [m, K] here regardless of layout[0] (the t* activation
+        # convention is normalized away at the Matmul.forward boundary).
+        W = qweight if config.layout[1] == "t" else qweight.T
         return matmul_dense_reference(config, A, W, bias)
     if config.layout != "nt":
         raise NotImplementedError(

@@ -107,7 +107,12 @@ def random_reference_operands(config: MatmulConfig, m: int,
                              (N, K), dtype=np.int64).astype(A.dtype)
         else:
             W = rng.standard_normal((N, K)).astype(A.dtype)
-        qweight = W if config.layout == "nt" else np.ascontiguousarray(W.T)
+        # Weight storage follows layout[1]: "*t" keeps [N, K], "*n" stores
+        # the transpose [K, N]. A is ALWAYS generated [m, K] here — the
+        # t*-layout [K, M] activation convention lives only at the
+        # Matmul.forward boundary (which normalizes with A.T).
+        qweight = W if config.layout[1] == "t" \
+            else np.ascontiguousarray(W.T)
         return ReferenceOperands(A=A, qweight=qweight)
 
     if bits < 8:
