@@ -24,7 +24,7 @@ import threading
 from typing import Dict, Optional
 
 from ..common import BITBLAS_TPU_DEFAULT_CACHE_PATH, get_logger
-from ..tuner import TileHint, auto_detect_tpu_target
+from ..tuner import HINT_CLASSES, TileHint, auto_detect_tpu_target
 
 logger = get_logger()
 
@@ -83,9 +83,14 @@ class OperatorCache:
                 os.makedirs(d, exist_ok=True)
                 _atomic_write_json(os.path.join(d, "config.json"),
                                    _config_to_json(config))
+                hint_cls = type(next(iter(op.hints.values())
+                                     )).__name__ if op.hints else "TileHint"
                 _atomic_write_json(os.path.join(d, "mapping.json"), {
                     "operator": type(op).__name__,
                     "config": type(config).__name__,
+                    # which record type hints.json holds (TileHint for
+                    # matmul-family ops, FlashHint for attention)
+                    "hint": hint_cls,
                 })
                 # hints.json is a read-modify-write: two processes tuning
                 # different m-buckets of the same config must not drop each
@@ -138,7 +143,8 @@ class OperatorCache:
                 config = config_cls(**config_fields)
                 op = op_cls(config, target=target, enable_tuning=False,
                             from_database=True)
-                op.apply_hints({int(m): TileHint.from_dict(h)
+                hcls = HINT_CLASSES[mapping.get("hint", "TileHint")]
+                op.apply_hints({int(m): hcls.from_dict(h)
                                 for m, h in hints.items()}, pin=False)
                 self.add(config, op)
                 loaded += 1

@@ -10,7 +10,7 @@ from .arch import (  # noqa: F401
     auto_detect_tpu_target,
     get_arch,
 )
-from .hint import TileHint  # noqa: F401
+from .hint import FlashHint, HINT_CLASSES, TileHint  # noqa: F401
 from .space import (  # noqa: F401
     default_hint,
     enumerate_hints,

@@ -66,3 +66,29 @@ class TileHint:
         if self.precision != "default":
             s += f"_{self.precision}"
         return s
+
+
+@dataclass(frozen=True)
+class FlashHint:
+    """Flash-attention tunables (reference tunes block_M/block_N/num_stages/
+    threads, general_flashatten/tilelang/flashatten.py:60-150; Mosaic owns
+    staging/threads so only the q/kv block shape survives on TPU)."""
+    block_q: int = 512
+    block_kv: int = 1024
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FlashHint":
+        names = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    def short_name(self) -> str:
+        return f"fa{self.block_q}x{self.block_kv}"
+
+
+# Reflection registry for the hint DB (cache/__init__.py stores the hint
+# class name in mapping.json so each operator family round-trips its own
+# record type).
+HINT_CLASSES = {"TileHint": TileHint, "FlashHint": FlashHint}

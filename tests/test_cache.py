@@ -220,3 +220,34 @@ def test_loaded_hints_do_not_masquerade_as_measured(tmp_path):
     merged.load_from_database(str(tmp_path), target="cpu_interpret")
     assert merged.get(cfg).hints[1] == fresh, \
         "stale loaded hint overwrote the fresher measured winner"
+
+
+def test_flashatten_database_roundtrip(tmp_path):
+    # FA tuned blocks must persist like Matmul hints (VERDICT r2 weak #6:
+    # a serving process used to re-tune FA or keep defaults every boot).
+    from bitblas_tpu import FlashAtten, FlashAttenConfig
+    from bitblas_tpu.tuner import FlashHint
+
+    cfg = FlashAttenConfig(batch=1, heads=4, kv_heads=2, seq_len=256,
+                           dim=128, is_causal=True)
+    op = FlashAtten(cfg, target="cpu_interpret")
+    op.apply_hints({0: FlashHint(block_q=128, block_kv=256)}, pin=True)
+    assert op.tuned_hints  # pinned = persisted as measured
+
+    cache = OperatorCache()
+    cache.add(cfg, op)
+    cache.save_into_database(str(tmp_path), target="cpu_interpret")
+
+    cache2 = OperatorCache()
+    assert cache2.load_from_database(str(tmp_path),
+                                     target="cpu_interpret") == 1
+    op2 = cache2.get(cfg)
+    assert isinstance(op2, FlashAtten)
+    assert (op2.block_q, op2.block_kv) == (128, 256)
+    # loaded-from-disk hints must not masquerade as this process's
+    # measurements (same rule as Operator.apply_hints pin=False)
+    assert not op2.tuned_hints
+    # and the restored op still computes
+    q, k, v = op2._example_args()
+    out = op2(q, k, v)
+    assert out.shape == (1, 256, 4, 128)
