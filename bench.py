@@ -217,15 +217,10 @@ def main():
             # The curated table was swept at 4096^2; the analytic default
             # adapts its whole-K / tall-block choices to the actual shape.
             hints.insert(1, default_hint(spec, arch))
-        if cfg.A_dtype == "float16" and m <= 256:
-            # Activation-split plan (kernels/asplit.py): float GEMV on the
-            # int8-MXU telescope — attacks the ingestion-bound small-M rows.
-            from bitblas_tpu.kernels.asplit import supports_asplit
-            for bn, bk in ((2048, 1024), (512, 4096)):
-                h = TileHint(block_m=256, block_n=bn, block_k=bk,
-                             mma_dtype="int8", decode_mode="asplit")
-                if supports_asplit(spec, h):
-                    hints.append(h)
+        # asplit (float GEMV on the int8-MXU telescope) measured DEAD EVEN
+        # at best on-chip (2026-08-19 tpu_asplit_probe: u4 m=1 18.0us vs
+        # 18.4 curated — noise; m=16/256 worse). Not a bench candidate;
+        # the kernel stays available to the tuner's enumerated space.
         if m >= 512:
             # Two-pass materialize plan (decode once -> vendor dense dot);
             # measured against the fused winners at large M.

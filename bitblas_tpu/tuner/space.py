@@ -312,12 +312,14 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         return hints[0]
 
     if spec.family == "nf":
-        # NF4 decode is the VPU select mux (15 blends/elem; the LUT gather
-        # does not lower on this libtpu) — tile choice minimizes decode
-        # passes. Measured (tpu_nf4_gather_probe 2026-08-17): m=4096
-        # 1024x1024x1024 = 832us vs 860 for 1024x2048x512; small-m tiles
-        # within noise, whole-K narrow-N marginally best (101.4us at m=1).
-        pool = prefer(lambda h: h.mma_dtype == "bfloat16", hints)
+        # NF4 decode is a VPU LUT; mux4 (nested 4-wide muxes, shared
+        # predicates, ~23 ops/elem) is the measured default — on-chip
+        # 2026-08-19 (tpu_nf4_gather_probe): m=4096 771.6us mux4 vs 820.7
+        # select (u4 = 745us → within 3.6%, round-1 done-bar met); m=1
+        # 85.1 vs 100.5; m=256 97.6 vs 118.7. gather2d/gatherlane still do
+        # not lower on this libtpu. Tile choice minimizes decode passes.
+        pool = prefer(lambda h: h.lut_mode == "mux4", hints)
+        pool = prefer(lambda h: h.mma_dtype == "bfloat16", pool)
         if spec.m <= 256:
             pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
             pool = prefer(lambda h: h.block_n <= 512, pool)

@@ -30,6 +30,14 @@ for (b, h, s, d, causal) in [(4, 32, 2048, 128, True),
     print(f"b{b} h{h} s{s} d{d} causal={causal}: best={best[0]} "
           f"{sec*1e6:8.1f} us {flops/sec/1e12:6.1f} TF/s "
           f"maxerr={err:.3e}", flush=True)
+    if best[0] is not None:
+        # Persist the tuned blocks so serving processes load them from the
+        # hint DB instead of re-tuning at boot (FlashHint round-trip).
+        from bitblas_tpu.cache import global_operator_cache
+        global_operator_cache.add(cfg, op)
+        global_operator_cache.save_into_database()
+        print(f"  persisted FA hint bq={op.block_q} bkv={op.block_kv}",
+              flush=True)
 
 # flash-decode block_kv sweep (float + int8-KV): bandwidth-bound — the
 # knob trades grid overhead against DMA granularity at the tail block.
