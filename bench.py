@@ -59,36 +59,36 @@ def main():
     # must run before get_arch(). Each probe is a subprocess (its own
     # timeout) that also reports the platform — on a CPU-only host the
     # first probe answers "healthy cpu" immediately and no gating applies.
-    import subprocess
+    # One probe implementation for every gate (bench + chip queues):
+    # scripts/health_wait.py. Subprocess-probed so a dead tunnel can never
+    # wedge THIS process's backend.
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from health_wait import wait as _health_wait
+
+    # Sticky tunnel-death flag: once a gate expires, stop touching the
+    # chip everywhere (outer rows loop AND deferred passes) and salvage.
+    tunnel_dead = [False]
 
     def health_gate(budget):
-        probe = ("import jax, jax.numpy as jnp;"
-                 "d = jax.devices();"
-                 "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
-                 "x.block_until_ready(); print('healthy', d[0].platform)")
-        t0 = time.time()
-        while time.time() - t0 < budget:
-            try:
-                r = subprocess.run([sys.executable, "-c", probe],
-                                   timeout=150, capture_output=True,
-                                   text=True)
-                if r.returncode == 0 and "healthy" in r.stdout:
-                    return True
-            except subprocess.TimeoutExpired:
-                pass
-            log(f"bench: tunnel unhealthy, waiting "
-                f"({time.time()-t0:.0f}s/{budget:.0f}s)")
-            time.sleep(10)  # a fast-failing probe must not spin-spawn
+        if tunnel_dead[0]:
+            return False
+        if _health_wait(budget) == 0:
+            return True
+        tunnel_dead[0] = True
         return False
 
     def is_fatal(ex):
         # A worker crash/restart kills every live device buffer; the only
         # recovery is re-gate + rebuild operands (BENCH_r02.json post-
         # mortem: one device_put UNAVAILABLE destroyed the whole run).
-        s = f"{type(ex).__name__}: {ex}"
+        # Marker STRINGS only — matching exception type names like
+        # XlaRuntimeError would reclassify deterministic per-candidate
+        # compile failures (Mosaic INTERNAL, remote_compile 500) as crashes
+        # and kill whole rows whose safe-fallback hint still works.
+        s = str(ex)
         return any(k in s for k in (
-            "UNAVAILABLE", "crashed", "restarted", "DEADLINE_EXCEEDED",
-            "JaxRuntimeError", "XlaRuntimeError"))
+            "UNAVAILABLE", "crashed", "restarted", "DEADLINE_EXCEEDED"))
 
     hbudget = float(os.environ.get("BITBLAS_TPU_BENCH_HEALTH_WAIT", 3600))
     if not health_gate(hbudget):
@@ -187,12 +187,30 @@ def main():
     except (ValueError, OSError):
         pass  # non-main thread / restricted env
 
+    # Fresh scratch per run: stale rows from a previous run (different
+    # shape set / tunnel window) must never mix into a salvage.
+    try:
+        open(scratch, "w").close()
+    except OSError:
+        pass
+
     def checkpoint(row):
         try:
             with open(scratch, "a") as f:
                 f.write(json.dumps({
                     k: (row[k] if k in ("m", "sec", "roof") else str(row[k]))
                     for k in ("m", "cfg", "hint", "sec", "roof")}) + "\n")
+        except OSError:
+            pass
+
+    def rewrite_scratch():
+        # deferred passes min-merge row["sec"] in place; re-dump so the
+        # on-disk record matches what emit() reports
+        try:
+            open(scratch, "w").close()
+            for r in rows:
+                if r is not None and r.get("sec"):
+                    checkpoint(r)
         except OSError:
             pass
 
@@ -349,6 +367,9 @@ def main():
                     tkw=timing_kwargs(hint), rebuild=rebuild_args)
 
     for m, cfg in configs:
+        if tunnel_dead[0]:
+            rows.append(None)
+            continue
         row = None
         for attempt in (0, 1):
             try:
@@ -359,11 +380,15 @@ def main():
                     f"nk={cfg.N} attempt {attempt} died: {str(ex)[:160]}")
                 if attempt == 0 and is_fatal(ex) and elapsed() < budget:
                     # Worker crash/restart: wait for the tunnel to answer
-                    # again, then retry the row once from scratch.
+                    # again, then retry the row once from scratch. A failed
+                    # gate sets tunnel_dead — every later row/pass skips
+                    # straight to the salvage emit.
                     if not health_gate(hbudget):
                         log("bench: tunnel gone mid-run — salvaging "
                             "completed rows")
                         break
+                else:
+                    break
         rows.append(row)
         if row is not None and row["sec"] is not None:
             checkpoint(row)
@@ -373,7 +398,11 @@ def main():
     # Sweeping all rows again minutes later min-merges across windows.
     if not interpret:
         for _ in range(2):
+            if tunnel_dead[0]:
+                break
             for row in rows:
+                if tunnel_dead[0]:
+                    break
                 if row is None or elapsed() > budget:
                     continue
                 try:
@@ -386,11 +415,12 @@ def main():
                         log(f"bench: worker fault in deferred pass: "
                             f"{str(ex)[:120]} — re-gating + rebuilding")
                         if not health_gate(hbudget):
-                            break
+                            break  # tunnel_dead set; outer loops exit too
                         try:
                             row["args"] = row["rebuild"]()
                         except Exception:  # noqa: BLE001
                             pass
+        rewrite_scratch()
 
     for row in rows:
         if row is None or row["sec"] is None:

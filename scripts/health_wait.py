@@ -11,6 +11,11 @@ import subprocess
 import sys
 import time
 
+
+def _log(*a):
+    # stderr: callers (bench.py) reserve stdout for their JSON contract
+    print(*a, file=sys.stderr, flush=True)
+
 PROBE = ("import jax, jax.numpy as jnp;"
          "d = jax.devices();"
          "x = (jnp.ones((8, 128)) @ jnp.ones((128, 8)));"
@@ -24,11 +29,11 @@ def wait(budget=3600.0):
             r = subprocess.run([sys.executable, "-c", PROBE], timeout=150,
                                capture_output=True, text=True)
             if r.returncode == 0 and "healthy" in r.stdout:
-                print(f"healthy after {time.time()-t0:.0f}s", flush=True)
+                _log(f"healthy after {time.time()-t0:.0f}s")
                 return 0
         except subprocess.TimeoutExpired:
             pass
-        print(f"unhealthy ({time.time()-t0:.0f}/{budget:.0f}s)", flush=True)
+        _log(f"unhealthy ({time.time()-t0:.0f}/{budget:.0f}s)")
         time.sleep(10)
     return 2
 
