@@ -50,11 +50,15 @@ def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
         v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
     # Work in base 2: exp2 is the cheap VPU op (exp costs ~4x); the scale
     # folds log2(e) in, and the running max m is kept in the base-2 domain.
+    # scale=None means the caller pre-folded scale*log2(e) into q (the
+    # prefill kernel does it during the Q bf16 cast — one fused XLA pass
+    # instead of one VPU multiply per SCORE element per kv step).
     contract = (((1,), (0,)), ((), ())) if k_transposed \
         else (((1,), (1,)), ((), ()))
     s = jax.lax.dot_general(q, k, contract,
-                            preferred_element_type=jnp.float32) * (
-                                scale * 1.4426950408889634)
+                            preferred_element_type=jnp.float32)
+    if scale is not None:
+        s = s * (scale * 1.4426950408889634)
     kj = None
     if causal or kv_len is not None:
         kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
@@ -180,7 +184,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                 v = v_ref[0]
                 m_new, l_new, acc_new = _attend_block(
                     q, k, v, m_ref[...], l_ref[...], acc_ref[...],
-                    scale=scale, causal=masked, q_start=q_start,
+                    scale=None, causal=masked, q_start=q_start,
                     kv_start=kv_start, block_q=block_q, block_kv=block_kv,
                     kv_len=seq_len if seq_len % block_kv else None,
                     k_transposed=trans_k)
@@ -245,8 +249,19 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         else:
             k = K.reshape(B, S, kv_heads * D)
         v = V.reshape(B, S, kv_heads * D)
-        if not interpret and q.dtype == f16:
-            q, k, v = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        # Pre-fold scale*log2(e) into Q (see _attend_block scale=None): the
+        # multiply fuses into the bf16 cast / kernel prologue, replacing a
+        # per-score-element VPU op on every kv step. f32 multiply first so
+        # the fold costs no precision beyond the operand cast itself.
+        q = q.astype(jnp.float32) * (scale * 1.4426950408889634)
+        if Q.dtype == jnp.float32:
+            pass                       # explicit-f32 configs stay f32
+        elif interpret:
+            q = q.astype(Q.dtype)      # CPU tests keep device-like operands
+        else:
+            q = q.astype(jnp.bfloat16)  # f16/bf16: MXU-native rate (no f16
+            if k.dtype == f16:          # in Mosaic kernels)
+                k, v = (t.astype(jnp.bfloat16) for t in (k, v))
         out = call(q, k, v)
         return out.reshape(B, S, H, D).astype(out_dtype)
 
