@@ -116,9 +116,9 @@ def main():
     # same table into the operator DB).
     from bitblas_tpu.tuner.curated import curated_hint
 
-    def curated(m, w_dtype):
+    def curated(m, w_dtype, nk=4096):
         a_dtype = "int8" if w_dtype == "int2" else "float16"
-        return curated_hint(w_dtype, a_dtype, m)
+        return curated_hint(w_dtype, a_dtype, m, nk=nk)
 
     shapes = [4096, 8192]
     if os.environ.get("BITBLAS_TPU_BENCH_SMALL"):
@@ -230,10 +230,10 @@ def main():
         # the number instead of silently dropping the config from the mean.
         safe = TileHint(block_m=256, block_n=1024, block_k=1024,
                         mma_dtype="bfloat16", decode_mode="telescope")
-        hints = [curated(m, cfg.W_dtype), safe]
-        if N != 4096:
-            # The curated table was swept at 4096^2; the analytic default
-            # adapts its whole-K / tall-block choices to the actual shape.
+        hints = [curated(m, cfg.W_dtype, N), safe]
+        if N != 4096 and hints[0] is None:
+            # Unswept shape: the analytic default adapts its whole-K /
+            # tall-block choices.
             hints.insert(1, default_hint(spec, arch))
         # asplit (float GEMV on the int8-MXU telescope) measured DEAD EVEN
         # at best on-chip (2026-08-19 tpu_asplit_probe: u4 m=1 18.0us vs
@@ -258,6 +258,8 @@ def main():
         # hints are not measured twice (each costs ~20s in a slow window).
         seen, uniq = set(), []
         for h in hints:
+            if h is None:
+                continue
             key = h.short_name() + h.decode_mode + h.group_mode
             if key not in seen:
                 seen.add(key)

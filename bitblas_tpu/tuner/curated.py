@@ -13,8 +13,38 @@ from typing import Optional
 from .hint import TileHint
 
 
-def curated_hint(w_dtype: str, a_dtype: str, m: int) -> Optional[TileHint]:
-    """Measured-best hint for a headline (W, A, m) regime, else None."""
+def curated_hint(w_dtype: str, a_dtype: str, m: int,
+                 nk: int = 4096) -> Optional[TileHint]:
+    """Measured-best hint for a headline (W, A, m) regime, else None.
+
+    `nk` selects the swept shape family: 4096 (the headline square) or
+    8192 (llama-3-70B projections, swept 2026-08-19). The 8192 small-M
+    winners are EXACT-block_m whole-K tiles — 14% over the bm=256 family
+    (t8x256x8192 54.4us vs t256x256x4096 63.3 at u4 m=1) because the
+    padded-M grid re-reads the A tile without contributing rows."""
+    if nk >= 8192:
+        if w_dtype == "int2" and a_dtype == "int8":
+            if m <= 16:
+                return TileHint(block_m=max(m, 8), block_n=2048, block_k=nk,
+                                mma_dtype="int8", decode_mode="telescope")
+            if m <= 256:
+                return TileHint(block_m=256, block_n=4096, block_k=512,
+                                mma_dtype="int8", decode_mode="telescope")
+            return TileHint(block_m=1024, block_n=1024, block_k=1024,
+                            mma_dtype="int8", decode_mode="mask")
+        if w_dtype == "uint4" and a_dtype in ("float16", "bfloat16"):
+            if m <= 8:
+                return TileHint(block_m=max(m, 8), block_n=256, block_k=nk,
+                                mma_dtype="float32", decode_mode="telescope")
+            if m <= 16:
+                return TileHint(block_m=16, block_n=512, block_k=nk,
+                                mma_dtype="float32", decode_mode="telescope")
+            if m <= 256:
+                return TileHint(block_m=256, block_n=1024, block_k=nk,
+                                mma_dtype="bfloat16", decode_mode="telescope")
+            return TileHint(block_m=1024, block_n=4096, block_k=512,
+                            mma_dtype="bfloat16", decode_mode="telescope")
+        return None
     if w_dtype == "int2" and a_dtype == "int8":
         if m <= 16:
             # int8-MXU telescope: ingestion floor ~9us beats bf16's ~11us

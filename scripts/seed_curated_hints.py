@@ -25,16 +25,16 @@ U4 = dict(A_dtype="float16", W_dtype="uint4", with_scaling=True,
           group_size=128, fast_decoding=False, out_dtype="float16")
 I2 = dict(A_dtype="int8", W_dtype="int2", accum_dtype="int32",
           out_dtype="float32")
-CURATED = [(U4, m, curated_hint("uint4", "float16", m))
-           for m in (1, 16, 256, 4096)] + \
-          [(I2, m, curated_hint("int2", "int8", m))
-           for m in (1, 16, 256, 4096)]
+CURATED = [(U4, m, nk, curated_hint("uint4", "float16", m, nk=nk))
+           for m in (1, 16, 256, 4096) for nk in (4096, 8192)] + \
+          [(I2, m, nk, curated_hint("int2", "int8", m, nk=nk))
+           for m in (1, 16, 256, 4096) for nk in (4096, 8192)]
 
 
 def main():
     global_operator_cache.load_from_database(target=TARGET)
-    for kwargs, m, hint in CURATED:
-        cfg = MatmulConfig(M=m, N=N, K=K, **kwargs)
+    for kwargs, m, nk, hint in CURATED:
+        cfg = MatmulConfig(M=m, N=nk, K=nk, **kwargs)
         op = global_operator_cache.get(cfg)
         if op is None:
             op = Matmul(cfg, target=TARGET, enable_tuning=False,
