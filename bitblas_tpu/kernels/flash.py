@@ -134,56 +134,75 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         block_kv = _legal_block(block_kv, seq_len)
     nq = pl.cdiv(seq_len, block_q)
     nkv = pl.cdiv(seq_len, block_kv)
-    grid = (batch * heads, nq, nkv)
     f16 = jnp.dtype(jnp.float16)
     kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
                                  not interpret) else out_dtype
 
+    # Causal: FLATTENED TRIANGULAR grid — only live (qi, ki) pairs get a
+    # grid step at all. The previous shape, a dense (nq, nkv) grid with
+    # dead steps predicated off and their DMAs clamped away, still paid
+    # nearly full step time per dead step (measured 2026-08-19: causal
+    # 2103us vs non-causal 2201us at s=2048 bq=bkv=1024 — the skip saved
+    # ~nothing). The live (qi, ki) walk is static, so it is enumerated
+    # host-side and scalar-prefetched (the decode kernel's convention).
+    if causal:
+        walk = [(qi, ki)
+                for qi in range(nq)
+                for ki in range(min(nkv,
+                                    (qi * block_q + block_q - 1)
+                                    // block_kv + 1))]
+        qi_tab = jnp.asarray([w[0] for w in walk], jnp.int32)
+        ki_tab = jnp.asarray([w[1] for w in walk], jnp.int32)
+        grid = (batch * heads, len(walk))
+        live_frac = len(walk) / (nq * nkv)
+    else:
+        grid = (batch * heads, nq, nkv)
+        live_frac = 1.0
+
     # Index maps address heads inside the fused last dim: Q/out on
     # [B, S, H*D] (column block h), K/V on [B, S, Hkv*D]; trans_k K on
-    # [B, D, Hkv*S] (column block kvh*nkv + ki).
-    # Causal: clamp ki to the last block intersecting the diagonal for this
-    # q block, so fully-masked steps re-reference the previous block and
-    # Mosaic skips the DMA — upper-triangle K/V blocks never cross HBM
-    # (at s=2048 d=128 the un-clamped KV stream rivals the causal FLOP
-    # time, so this is ~free bandwidth back). Same trick as the decode
-    # kernel's length clamp.
-    def _ki_live(qi, ki):
-        if not causal:
-            return ki
-        last = (qi * block_q + block_q - 1) // block_kv
-        return jnp.minimum(ki, last)
+    # [B, D, Hkv*S] (column block kvh*nkv + ki). Causal maps decode
+    # (qi, ki) from the prefetched walk tables (refs arrive LAST).
+    if causal:
+        def q_map(bh, t, qt, kt):
+            del kt
+            return (bh // heads, qt[t], bh % heads)
 
-    def q_map(bh, qi, ki):
-        return (bh // heads, qi, bh % heads)
+        def kv_map(bh, t, qt, kt):
+            del qt
+            return (bh // heads, kt[t], (bh % heads) // group)
 
-    def kv_map(bh, qi, ki):
-        return (bh // heads, _ki_live(qi, ki), (bh % heads) // group)
+        def kt_map(bh, t, qt, kt):
+            del qt
+            return (bh // heads, 0,
+                    ((bh % heads) // group) * nkv + kt[t])
+    else:
+        def q_map(bh, qi, ki):
+            return (bh // heads, qi, bh % heads)
 
-    def kt_map(bh, qi, ki):
-        return (bh // heads, 0,
-                ((bh % heads) // group) * nkv + _ki_live(qi, ki))
+        def kv_map(bh, qi, ki):
+            return (bh // heads, ki, (bh % heads) // group)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
-        ki = pl.program_id(2)
+        def kt_map(bh, qi, ki):
+            return (bh // heads, 0, ((bh % heads) // group) * nkv + ki)
 
+    def body(qi, ki, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        """Shared step body; qi/ki are dynamic scalars (grid indices for
+        the dense grid, walk-table entries for the triangular one)."""
         @pl.when(ki == 0)
         def _():
             m_ref[...] = jnp.full_like(m_ref, NEG_INF)
             l_ref[...] = jnp.zeros_like(l_ref)
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        qi = pl.program_id(1)
         q_start = qi * block_q
         kv_start = ki * block_kv
 
         def step(masked):
             def _run():
-                q = q_ref[0]
-                k = k_ref[0]
-                v = v_ref[0]
                 m_new, l_new, acc_new = _attend_block(
-                    q, k, v, m_ref[...], l_ref[...], acc_ref[...],
+                    q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
+                    acc_ref[...],
                     scale=None, causal=masked, q_start=q_start,
                     kv_start=kv_start, block_q=block_q, block_kv=block_kv,
                     kv_len=seq_len if seq_len % block_kv else None,
@@ -194,20 +213,20 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
             return _run
 
         if causal:
-            # Three dynamic regimes per block (static python branch on
-            # `causal`, dynamic predicates on block indices): fully masked
-            # (skip entirely), diagonal-intersecting (iota mask), and fully
-            # allowed (no mask ops at all — the VPU softmax chain is the
-            # serial bottleneck, so the ~4 mask ops/element matter).
-            live = kv_start <= q_start + block_q - 1
+            # Every step in the triangular walk is live; the only dynamic
+            # split is diagonal-intersecting (iota mask) vs fully allowed
+            # (no mask ops — the VPU softmax chain is the serial
+            # bottleneck, so the ~4 mask ops/element matter).
             diag = kv_start + block_kv - 1 > q_start
-            pl.when(jnp.logical_and(live, diag))(step(True))
-            pl.when(jnp.logical_and(live, jnp.logical_not(diag)))(
-                step(False))
+            pl.when(diag)(step(True))
+            pl.when(jnp.logical_not(diag))(step(False))
+            last = (q_start + block_q - 1) // block_kv
+            emit = ki == jnp.minimum(last, nkv - 1)
         else:
             step(False)()
+            emit = ki == nkv - 1
 
-        @pl.when(ki == nkv - 1)
+        @pl.when(emit)
         def _():
             denom = jnp.maximum(l_ref[...], 1e-30)
             o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
@@ -218,26 +237,59 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
          pl.BlockSpec((1, block_kv, dim), kv_map)),
         pl.BlockSpec((1, block_kv, dim), kv_map),
     ]
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, dim), q_map),
-        out_shape=jax.ShapeDtypeStruct((batch, seq_len, heads * dim),
-                                       kernel_out),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, dim), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * batch * heads * seq_len * seq_len * dim,
-            bytes_accessed=batch * seq_len * dim * (heads * 2 + kv_heads * 2) * 2,
-            transcendentals=batch * heads * seq_len * seq_len,
-        ),
-        interpret=interpret,
+    out_spec = pl.BlockSpec((1, block_q, dim), q_map)
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, dim), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=int(4 * batch * heads * seq_len * seq_len * dim * live_frac),
+        bytes_accessed=batch * seq_len * dim * (heads * 2 + kv_heads * 2)
+        * 2,
+        transcendentals=int(batch * heads * seq_len * seq_len * live_frac),
     )
+
+    if causal:
+        def kernel(qt_ref, kt_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_ref, l_ref, acc_ref):
+            t = pl.program_id(1)
+            body(qt_ref[t], kt_ref[t], q_ref, k_ref, v_ref, o_ref,
+                 m_ref, l_ref, acc_ref)
+
+        tri_call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_spec,
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, seq_len, heads * dim),
+                                           kernel_out),
+            cost_estimate=cost,
+            interpret=interpret,
+        )
+
+        def call(q, k, v):
+            return tri_call(qi_tab, ki_tab, q, k, v)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+            body(pl.program_id(1), pl.program_id(2), q_ref, k_ref, v_ref,
+                 o_ref, m_ref, l_ref, acc_ref)
+
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((batch, seq_len, heads * dim),
+                                           kernel_out),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )
 
     def fn(Q, K, V):
         B, S, H, D = Q.shape

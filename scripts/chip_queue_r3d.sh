@@ -23,4 +23,7 @@ stage() {
 }
 
 stage smallm_exact 3600 python /root/repo/scripts/tpu_smallm_exact_probe.py
+# triangular-causal flash rework: correctness first, then re-tune
+stage flash_check 2400 python /root/repo/scripts/tpu_flash_check.py
+stage flash_tune2 5400 python /root/repo/scripts/tpu_flash_tune.py
 echo "=== phase D done $(date +%T)" | tee -a $LOG/queue.log
