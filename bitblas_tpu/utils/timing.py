@@ -55,20 +55,26 @@ def make_chained(fn: Callable, args: Sequence, inject: Optional[int] = None,
         inject = _default_inject(args)
 
     @jax.jit
-    def _chained(iters):
+    def _chained(iters, x0, params):
         # The injected array rides in the loop carry so XLA aliases its
         # buffer across iterations and the perturbation is a true in-place
         # single-element store. (Perturbing a closure constant instead
         # forces a full copy of the array every iteration — for a 4 MB
         # packed-weight arg that silently added ~10 us/iter on v5e and
         # inflated every GEMV "measurement" by ~2x.)
+        # The OTHER args are jit parameters, NOT closure constants: a
+        # closed-over array is serialized into the HLO as a literal — two
+        # 128 MB KV caches blew the remote-compile request past its body
+        # limit (HTTP 413, flash-decode sweep 2026-08-19) — and a constant
+        # also invites XLA to specialize on values, which a measurement
+        # must not allow.
         def body(i, carry):
             x, dep = carry
             idx = (0,) * x.ndim
             eps = (dep * 0).astype(jnp.float32)
             x = x.at[idx].set((x[idx].astype(jnp.float32) + eps)
                               .astype(x.dtype))
-            cur = list(args)
+            cur = list(params)
             cur[inject] = x
             out = fn(*cur)
             if isinstance(out, (tuple, list)):
@@ -78,15 +84,17 @@ def make_chained(fn: Callable, args: Sequence, inject: Optional[int] = None,
             else:
                 dep2 = out[(0,) * out.ndim].astype(jnp.float32)
             return (x, dep2 * 0 + dep + 1)
-        _, d = lax.fori_loop(0, iters, body,
-                             (args[inject], jnp.float32(0)))
+        _, d = lax.fori_loop(0, iters, body, (x0, jnp.float32(0)))
         return d
 
     # iters must be traced (jnp scalar), or every distinct count triggers a
     # full recompile — at ~40 s per remote Mosaic compile that dominated the
     # tuner's runtime.
+    params = list(args)
+    params[inject] = None  # rides the carry instead
+
     def chained(iters):
-        return _chained(jnp.int32(iters))
+        return _chained(jnp.int32(iters), args[inject], params)
 
     return chained
 
