@@ -334,10 +334,13 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         if spec.is_int_activation:
             pool = prefer(lambda h: h.mma_dtype == "int8", pool)
             pool = prefer(lambda h: h.block_n >= 2048, pool)
-            pool = prefer(lambda h: h.block_k >= 1024, pool)
+            # whole-K up to 8192: t16x2048x8192 measured 100.8% of roof at
+            # nk=8192 (2026-08-19 llama-shape sweep)
+            pool = prefer(lambda h: h.block_k >= min(spec.k, 8192), pool)
         else:
             pool = prefer(lambda h: h.mma_dtype == "float32", pool)
-            pool = prefer(lambda h: h.block_k >= min(spec.k, 4096), pool)
+            # whole-K up to 8192: t16x512x8192 84.3% vs 77.1% for bk=4096
+            pool = prefer(lambda h: h.block_k >= min(spec.k, 8192), pool)
             # m=1 wants bn=256 (16.6us vs 17.5), m=16 bn=512 (15.8us)
             bn_cap = 256 if spec.m <= 8 else 512
             pool = prefer(lambda h: h.block_n <= bn_cap, pool)
