@@ -38,24 +38,33 @@ def log(*a):
 
 def measure_proj(n, k, m, topk=2):
     from bitblas_tpu.tuner import TileHint
+    # Same config the serving DB tunes (scripts/tune_tp_serving_db.py:
+    # GPTQ zeros included) so the tuned winner is a cache hit here and the
+    # study reports what TPQuantLlama actually dispatches.
     cfg = MatmulConfig(M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
-                       with_scaling=True, group_size=128,
+                       with_scaling=True, with_zeros=True,
+                       zeros_mode="original", group_size=128,
                        fast_decoding=False, out_dtype="float16")
     spec = KernelSpec.from_config(cfg, m)
     arch = get_arch()
     ops = random_reference_operands(cfg, m, 0)
-    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
-    args = [jnp.asarray(ops.A), jnp.asarray(dw.qweight),
-            jnp.asarray(dw.scales)]
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales,
+                                      ops.zeros, ops.qzeros)
+    args = [jnp.asarray(ops.A)] + [jnp.asarray(a) for a in dw.args()]
     safe = TileHint(block_m=256, block_n=min(n, 1024),
                     block_k=min(k, 1024), mma_dtype="bfloat16",
                     decode_mode="telescope")
+    hints = enumerate_hints(spec, arch)[:topk] + [safe]
+    from bitblas_tpu.cache import global_operator_cache
+    cached = global_operator_cache.get(cfg)
+    if cached is not None:
+        hints.insert(0, cached.hint_for(m))
     best = None
-    for hint in enumerate_hints(spec, arch)[:topk] + [safe]:
+    for hint in hints:
         try:
             kf = make_dequant_matmul(spec, hint)
-            sec = measure_kernel(lambda a, w, s, _kf=kf: _kf(a, w, scales=s),
-                                 args)
+            sec = measure_kernel(
+                lambda a, *rest, _kf=kf: _kf(a, *rest), args)
             if best is None or sec < best:
                 best = sec
         except Exception as ex:  # noqa: BLE001
