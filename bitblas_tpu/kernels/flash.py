@@ -159,6 +159,22 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         grid = (batch * heads, nq, nkv)
         live_frac = 1.0
 
+    # Diagonal-step Q sub-chunking: a diagonal block (q_start == kv_start,
+    # only possible when block_q == block_kv) is half dead — row i attends
+    # just columns [0, i]. Q sub-chunk r (rows [r*sub, (r+1)*sub)) needs kv
+    # columns [0, (r+1)*sub) ONLY, and that width is STATIC, so the diag
+    # branch runs nsub narrow dots instead of one full-block dot: MXU+VPU
+    # work drops from 1.0 to (1 + 1/nsub)/2 of a full step (0.5625 at
+    # nsub=8). Sub-chunks touch disjoint m/l/acc row slices, so they carry
+    # no serial dependency. Requires S % block_kv == 0 (no kv_len masking
+    # folded into the narrow dots) and 128-multiple widths for trans_k's
+    # lane-axis slices.
+    diag_sub = max(128, block_q // 8)
+    use_tri_sub = (causal and block_q == block_kv
+                   and seq_len % block_kv == 0
+                   and block_q % diag_sub == 0 and block_q // diag_sub > 1)
+    n_sub = block_q // diag_sub if use_tri_sub else 1
+
     # Index maps address heads inside the fused last dim: Q/out on
     # [B, S, H*D] (column block h), K/V on [B, S, Hkv*D]; trans_k K on
     # [B, D, Hkv*S] (column block kvh*nkv + ki). Causal maps decode
@@ -212,13 +228,32 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                 acc_ref[...] = acc_new
             return _run
 
+        def diag_tri_step():
+            # q_start == kv_start here (bq == bkv diagonal step). Static
+            # r-loop: sub-chunks update disjoint m/l/acc row slices, so
+            # Mosaic is free to overlap their dots.
+            for r in range(n_sub):
+                lo, hi = r * diag_sub, (r + 1) * diag_sub
+                q_r = q_ref[0, lo:hi, :]
+                k_r = k_ref[0, :, :hi] if trans_k else k_ref[0, :hi, :]
+                m_new, l_new, acc_new = _attend_block(
+                    q_r, k_r, v_ref[0, :hi, :], m_ref[lo:hi, :],
+                    l_ref[lo:hi, :], acc_ref[lo:hi, :],
+                    scale=None, causal=True, q_start=q_start + lo,
+                    kv_start=kv_start, block_q=diag_sub, block_kv=hi,
+                    kv_len=None, k_transposed=trans_k)
+                m_ref[lo:hi, :] = m_new
+                l_ref[lo:hi, :] = l_new
+                acc_ref[lo:hi, :] = acc_new
+
         if causal:
             # Every step in the triangular walk is live; the only dynamic
-            # split is diagonal-intersecting (iota mask) vs fully allowed
-            # (no mask ops — the VPU softmax chain is the serial
-            # bottleneck, so the ~4 mask ops/element matter).
+            # split is diagonal-intersecting vs fully allowed (no mask ops
+            # — the VPU softmax chain is the serial bottleneck, so the ~4
+            # mask ops/element matter). Diagonal steps take the sub-chunked
+            # triangular path when legal (see use_tri_sub above).
             diag = kv_start + block_kv - 1 > q_start
-            pl.when(diag)(step(True))
+            pl.when(diag)(diag_tri_step if use_tri_sub else step(True))
             pl.when(jnp.logical_not(diag))(step(False))
             last = (q_start + block_q - 1) // block_kv
             emit = ki == jnp.minimum(last, nkv - 1)

@@ -44,6 +44,28 @@ def test_uneven_blocks():
     run_case(cfg)
 
 
+@pytest.mark.parametrize("blocks", [(256, 256), (512, 512), (256, 128)])
+def test_causal_diag_subchunk(blocks):
+    """bq == bkv >= 256 with S % bkv == 0 takes the sub-chunked triangular
+    diagonal path (kernels/flash.py use_tri_sub) — narrow static-width dots
+    instead of a half-masked full block. Must match the oracle exactly like
+    the plain masked path (the (256, 128) case pins the fallback)."""
+    from bitblas_tpu.kernels.flash import make_flash_attention
+    B, H, S, D = 2, 2, 512, 128
+    rng = np.random.default_rng(3)
+    Q = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    K = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    V = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    s = jnp.einsum("bqhd,bkhd->bhqk", Q, K) / np.sqrt(D)
+    s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None], s, -1e30)
+    expected = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), V)
+    bq, bkv = blocks
+    fn = make_flash_attention(batch=B, heads=H, seq_len=S, dim=D,
+                              causal=True, block_q=bq, block_kv=bkv,
+                              out_dtype=jnp.float32, interpret=True)
+    assert_close(fn(Q, K, V), expected, rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_ragged_seq_len(causal):
     """seq_len not divisible by the block: padded tail KV positions must be
