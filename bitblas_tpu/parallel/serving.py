@@ -184,7 +184,8 @@ class TPQuantLlama:
     def __init__(self, src: QuantLlama, mesh: Mesh, axis: str = "tp",
                  interpret: Optional[bool] = None,
                  quantized_collectives: bool = False,
-                 overlap_chunks: int = 1):
+                 overlap_chunks: int = 1,
+                 context_parallel: bool = False):
         import dataclasses as _dc
         cfg = src.cfg
         self.mesh = mesh
@@ -192,6 +193,7 @@ class TPQuantLlama:
         tp = mesh.shape[axis]
         self.tp = tp
         assert cfg.num_heads % tp == 0, "heads must divide tp"
+        assert axis != "cp", "'cp' is reserved for context parallelism"
         # GQA with fewer kv heads than tp: replicate each source kv head
         # tp/num_kv_heads times so cache and k/v projections still shard
         # evenly (eff kv head j = source head j // kv_rep; device d's q
@@ -204,8 +206,36 @@ class TPQuantLlama:
                 "need num_kv_heads % tp == 0 or tp % num_kv_heads == 0"
             self.kv_rep = tp // cfg.num_kv_heads
         eff_kv = cfg.num_kv_heads * self.kv_rep
-        # The engine reads .cfg for cache shapes -> publish effective counts.
-        self.cfg = _dc.replace(cfg, num_kv_heads=eff_kv)
+        self.kv_eff = eff_kv            # projection-level kv head count
+        self.kvl = eff_kv // tp         # kv heads computed per device
+        # Context parallelism (tp > num_kv_heads only): instead of
+        # REPLICATING each source kv head kv_rep-fold in the cache, shard
+        # the cache's SEQUENCE axis kv_rep-ways across each kv-head group
+        # — per-chip KV reads (the decode-attention HBM term) and cache
+        # footprint both drop kv_rep-fold; partial softmaxes merge with a
+        # tiny log-sum-exp collective over the cp subgroup
+        # (docs/Scaling70B.md). The k/v PROJECTIONS stay replicated
+        # (each device still computes its source head's k/v — a few
+        # columns); only storage and attention reads shard.
+        self.context_parallel = bool(context_parallel) and self.kv_rep > 1
+        if self.context_parallel:
+            self.cp = self.kv_rep
+            # Same devices, 2D view: axis-major ordering keeps shard d of
+            # any 16-way (axis, cp) sharding on the same device as shard d
+            # of the 1D mesh — weights placed via the 1D mesh feed the 2D
+            # shard_map without resharding, and cp pairs are ICI neighbors.
+            self.smesh = Mesh(mesh.devices.reshape(-1, self.cp),
+                              (axis, "cp"))
+            self.psum_axes = (axis, "cp")
+            # engine cache shapes: SOURCE kv heads, no replication
+            self.cfg = _dc.replace(cfg)
+        else:
+            self.cp = 1
+            self.smesh = mesh
+            self.psum_axes = axis
+            # engine reads .cfg for cache shapes -> publish effective
+            # (replicated) counts
+            self.cfg = _dc.replace(cfg, num_kv_heads=eff_kv)
         cfg = self.cfg
         arch = get_arch()
         self.interpret = arch.is_cpu if interpret is None else interpret
@@ -222,7 +252,7 @@ class TPQuantLlama:
         self.weights = []          # [layer][name] -> (qweight, scales, zeros)
         self.norms = []            # [layer] -> (attn_norm, mlp_norm)
         H = cfg.hidden_size
-        kv_size = cfg.num_kv_heads * cfg.head_dim
+        kv_size = self.kv_eff * cfg.head_dim
         self.fused_ns = {"qkv": (H, kv_size, kv_size),
                          "gateup": (cfg.intermediate_size,
                                     cfg.intermediate_size)}
@@ -279,8 +309,10 @@ class TPQuantLlama:
 
     # -- sharding handles ------------------------------------------------------
     def kv_cache_sharding(self) -> NamedSharding:
-        """[L, slots, S, Hkv, D] sharded on the kv_heads axis."""
-        return NamedSharding(self.mesh, P(None, None, None, self.axis, None))
+        """[L, slots, S, Hkv, D]: kv_heads axis always shards; under
+        context parallelism the sequence axis additionally shards over the
+        cp subgroups (source heads, no replication)."""
+        return NamedSharding(self.smesh, self._kv_spec)
 
     def _allreduce(self, part, axis):
         if self.quantized_collectives:
@@ -319,18 +351,20 @@ class TPQuantLlama:
         specs for a shard_map call — the one marshalling convention all
         decode/prefill variants share (column: shard N/last axis; row:
         shard K/first axis)."""
-        axis = self.axis
+        # Under cp the shard axis is the composite (axis, cp) — same
+        # 16-way split in the same device order as the 1D placement.
+        ax = self.psum_axes
         flat, w_specs = [], []
         for li in range(self.cfg.num_layers):
             for name in _FUSED:
                 W, S, Z = self.weights[li][name]
                 flat += [W, S, Z]
                 if name in _COLUMN:
-                    w_specs += [P(None, axis), P(None, None, axis),
-                                P(None, None, axis)]
+                    w_specs += [P(None, ax), P(None, None, ax),
+                                P(None, None, ax)]
                 else:
-                    w_specs += [P(axis, None), P(axis, None, None),
-                                P(axis, None, None)]
+                    w_specs += [P(ax, None), P(ax, None, None),
+                                P(ax, None, None)]
         return flat, w_specs
 
     def _row_proj(self, kern_fn, name: str, xin, W, S, Z, axis):
@@ -366,9 +400,9 @@ class TPQuantLlama:
         attention that `attend` returns are [B, T, heads_local, D]; k/v are
         [B, T, kv_local, D]."""
         cfg = self.cfg
-        axis = self.axis
+        axis = self.psum_axes
         hl = cfg.num_heads // self.tp
-        kvl = cfg.num_kv_heads // self.tp
+        kvl = self.kvl
         D = cfg.head_dim
         it = iter(flat)
         weights = [{name: (next(it), next(it), next(it)) for name in _FUSED}
@@ -420,47 +454,92 @@ class TPQuantLlama:
 
         flat, w_specs = self._flat_weights()
         sm = shard_map(
-            device_fn, mesh=self.mesh,
+            device_fn, mesh=self.smesh,
             in_specs=(P(), *cache_specs, *([P()] * ne), *w_specs),
             out_specs=(P(), *cache_specs), check_vma=False)
         return sm(x, *caches, *extras, *flat)
 
     @property
     def _kv_spec(self):
-        """codes [L, slots|blocks, S|bs, Hkv, D] -> shard on kv_heads."""
+        """codes [L, slots|blocks, S|bs, Hkv, D] -> shard on kv_heads
+        (and, under cp, the sequence axis over the cp subgroups)."""
+        if self.context_parallel:
+            return P(None, None, "cp", self.axis, None)
         return P(None, None, None, self.axis, None)
 
     @property
     def _ks_spec(self):
         """scale planes [L, slots|blocks, S|bs, Hkv] -> shard on kv_heads."""
+        if self.context_parallel:
+            return P(None, None, "cp", self.axis)
         return P(None, None, None, self.axis)
 
     def decode_step(self, x, caches_k, caches_v, slots, lengths):
-        """x [B, 1, H]; caches [L, slots, S, Hkv, D] kv_heads-sharded."""
-        def make_attend(cs, ex):
-            from ..serving.kv_cache import append_token, decode_attention
-            slots, lengths = ex
+        """x [B, 1, H]; caches [L, slots, S, Hkv, D] kv_heads-sharded (and
+        sequence-sharded under context parallelism)."""
+        if self.context_parallel:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (append_token_cp,
+                                                decode_attention_partial)
+                slots, lengths = ex
 
-            def attend(li, q, k, v):
-                ckl, cvl = append_token(cs[0][li], cs[1][li], slots,
-                                        lengths, k[:, 0], v[:, 0])
-                cs[0] = cs[0].at[li].set(ckl)
-                cs[1] = cs[1].at[li].set(cvl)
-                return decode_attention(q[:, 0], ckl, cvl, slots,
-                                        lengths + 1,
-                                        num_heads=q.shape[2])[:, None]
+                def attend(li, q, k, v):
+                    c = jax.lax.axis_index("cp")
+                    s_loc = cs[0].shape[2]       # local sequence extent
+                    ckl, cvl = append_token_cp(
+                        cs[0][li], cs[1][li], slots, lengths,
+                        k[:, 0], v[:, 0], cp_index=c, local_len=s_loc)
+                    cs[0] = cs[0].at[li].set(ckl)
+                    cs[1] = cs[1].at[li].set(cvl)
+                    lloc = jnp.clip(lengths + 1 - c * s_loc, 0, s_loc)
+                    acc, m, l = decode_attention_partial(
+                        q[:, 0], ckl, cvl, slots, lloc,
+                        num_heads=q.shape[2])
+                    # log-sum-exp merge across the cp subgroup: tiny
+                    # [B, hl(, D)] payloads over neighbor links
+                    m_g = jax.lax.pmax(m, "cp")
+                    w = jnp.exp(m - m_g)
+                    l_g = jax.lax.psum(l * w, "cp")
+                    acc_g = jax.lax.psum(acc * w[..., None], "cp")
+                    out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+                    return out.astype(q.dtype)[:, None]
 
-            return attend, lengths[:, None]
+                return attend, lengths[:, None]
+        else:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (append_token,
+                                                decode_attention)
+                slots, lengths = ex
+
+                def attend(li, q, k, v):
+                    ckl, cvl = append_token(cs[0][li], cs[1][li], slots,
+                                            lengths, k[:, 0], v[:, 0])
+                    cs[0] = cs[0].at[li].set(ckl)
+                    cs[1] = cs[1].at[li].set(cvl)
+                    return decode_attention(q[:, 0], ckl, cvl, slots,
+                                            lengths + 1,
+                                            num_heads=q.shape[2])[:, None]
+
+                return attend, lengths[:, None]
 
         kv = self._kv_spec
         return self._sharded_decode(x, (caches_k, caches_v), (kv, kv),
                                     (slots, lengths), make_attend, T=1)
+
+    def _no_cp(self, name):
+        if self.context_parallel:
+            raise NotImplementedError(
+                f"{name} does not support context_parallel yet — cp mode "
+                f"currently covers make_prefill + decode_step (the float "
+                f"slot-cache hot path); run with context_parallel=False "
+                f"for the quant/paged/chunked variants")
 
     def decode_chunk(self, x, caches_k, caches_v, slots, lengths):
         """TP twin of QuantLlama.decode_chunk: append T tokens per slot in
         one sharded pass (chunked prefill / speculative verify under TP).
         x [B, T, H]; local projections run at M=B*T so each device streams
         its weight shard once per chunk."""
+        self._no_cp("decode_chunk")
         T = x.shape[1]
 
         def make_attend(cs, ex):
@@ -488,6 +567,7 @@ class TPQuantLlama:
         """TP twin of QuantLlama.decode_chunk_quant: T-token append over
         the kv_heads-sharded int8 cache (codes + scales), chunk-causal
         attention, local projections at M=B*T."""
+        self._no_cp("decode_chunk_quant")
         T = x.shape[1]
 
         def make_attend(cs, ex):
@@ -522,6 +602,7 @@ class TPQuantLlama:
         decode bottleneck at long context) AND the cache footprint, on top
         of the TP sharding. Same two-psums-per-layer collective budget.
         """
+        self._no_cp("decode_step_quant")
         def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_quant,
                                             decode_attention_quant)
@@ -548,6 +629,7 @@ class TPQuantLlama:
                           offsets, lengths):
         """Paged-cache variant: caches [L, blocks, bs, Hkv, D] sharded on
         kv_heads; tables/block_rows/offsets replicated (host-managed)."""
+        self._no_cp("decode_step_paged")
         def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_paged,
                                             decode_attention_paged)
@@ -575,6 +657,7 @@ class TPQuantLlama:
                                 lengths):
         """Paged + int8-quantized cache: codes [L, blocks, bs, Hkv, D] and
         scale planes [L, blocks, bs, Hkv], both kv_heads-sharded."""
+        self._no_cp("decode_step_paged_quant")
         def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_paged_quant,
                                             decode_attention_paged_quant)
@@ -636,17 +719,28 @@ class TPQuantLlama:
 
                 x = self._tp_decode_layers(x, flat, kern, positions,
                                            attend, B, S)
-                # gather local-head K/V to full heads for the cache write
-                ks = [jax.lax.all_gather(k, axis, axis=1, tiled=True)
+                # gather local-head K/V to full heads for the cache write;
+                # under cp the gather runs over the composite axes (eff
+                # heads arrive in device order) and every kv_rep-th eff
+                # head is a distinct SOURCE head — the cache stores source
+                # heads only (eff head j = source j // kv_rep).
+                gax = self.psum_axes
+                ks = [jax.lax.all_gather(k, gax, axis=1,
+                                         tiled=True)[:, ::self.kv_rep]
+                      if self.context_parallel else
+                      jax.lax.all_gather(k, gax, axis=1, tiled=True)
                       for k in ks]
-                vs = [jax.lax.all_gather(v, axis, axis=1, tiled=True)
+                vs = [jax.lax.all_gather(v, gax, axis=1,
+                                         tiled=True)[:, ::self.kv_rep]
+                      if self.context_parallel else
+                      jax.lax.all_gather(v, gax, axis=1, tiled=True)
                       for v in vs]
                 return x, ks, vs
 
             flat, w_specs = self._flat_weights()
             nl = cfg.num_layers
             sm = shard_map(
-                device_prefill, mesh=self.mesh,
+                device_prefill, mesh=self.smesh,
                 in_specs=(P(), P(), *w_specs),
                 out_specs=(P(), [P()] * nl, [P()] * nl), check_vma=False)
             return sm(x, positions, *flat)

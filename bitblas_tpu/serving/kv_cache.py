@@ -465,6 +465,62 @@ class BlockAllocator:
         return len(self.free)
 
 
+def append_token_cp(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                    slots: jnp.ndarray, positions: jnp.ndarray,
+                    k_new: jnp.ndarray, v_new: jnp.ndarray, *,
+                    cp_index, local_len: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked decode append for a sequence-sharded (context-parallel) cache
+    shard owning global positions [cp_index*local_len, (cp_index+1)*
+    local_len). Non-owners write the current value back (a no-op update),
+    so each global position is stored exactly once across the cp group.
+    cache_k/v [slots, local_len, Hkv, D]; positions [B] global."""
+    p_loc = positions - cp_index * local_len
+    own = (p_loc >= 0) & (p_loc < local_len)
+    p_safe = jnp.clip(p_loc, 0, local_len - 1)
+    k_w = jnp.where(own[:, None, None], k_new.astype(cache_k.dtype),
+                    cache_k[slots, p_safe])
+    v_w = jnp.where(own[:, None, None], v_new.astype(cache_v.dtype),
+                    cache_v[slots, p_safe])
+    return cache_k.at[slots, p_safe].set(k_w), \
+        cache_v.at[slots, p_safe].set(v_w)
+
+
+def decode_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
+                             cache_v: jnp.ndarray, slots: jnp.ndarray,
+                             lengths_local: jnp.ndarray, *, num_heads: int
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                        jnp.ndarray]:
+    """Single-token attention stats over ONE sequence shard of the cache,
+    for a cross-shard log-sum-exp merge (context-parallel decode):
+
+      acc [B, H, D] f32  — unnormalized sum_j softmax_num(j) * v_j
+      m   [B, H]    f32  — local max logit (NEG_INF-ish when the shard
+                           holds no valid positions for that sequence)
+      l   [B, H]    f32  — local sum of exp(logit - m)
+
+    Merge across shards c with global m* = max_c m_c, w_c = exp(m_c - m*):
+    out = sum_c w_c*acc_c / sum_c w_c*l_c. An all-masked shard contributes
+    w_c = exp(-1e30 - m*) = 0, zeroing its (well-defined, finite) garbage.
+    lengths_local [B] = valid tokens in THIS shard (global valid length
+    clipped to the shard's position range)."""
+    B, H, D = q.shape
+    k = cache_k[slots]  # [B, Lloc, Hkv, D]
+    v = cache_v[slots]
+    L, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32)) \
+        / jnp.sqrt(jnp.float32(D))
+    mask = jnp.arange(L)[None, :] < lengths_local[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)            # [B, Hkv, group, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bhgl,blhd->bhgd", p, v.astype(jnp.float32))
+    return (acc.reshape(B, H, D), m.reshape(B, H), l.reshape(B, H))
+
+
 def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
                      cache_v: jnp.ndarray, slots: jnp.ndarray,
                      lengths: jnp.ndarray, *, num_heads: int,

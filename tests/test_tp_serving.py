@@ -97,6 +97,77 @@ def test_tp_kv_head_replication():
         rtol=2e-2, atol=2e-2)
 
 
+def test_tp_context_parallel_decode_matches_single_device():
+    """tp=8 > num_kv_heads=4 with context_parallel: the cache shards its
+    SEQUENCE axis across each kv-head pair instead of replicating heads —
+    per-chip KV reads and cache footprint halve; partial softmaxes merge
+    over the cp subgroup. Decode must match the single-device model and
+    the cache stays in SOURCE-head layout (no repeat)."""
+    mesh = _mesh(8)
+    import dataclasses
+    cfg8 = dataclasses.replace(CFG, group_size=32)
+    src = QuantLlama(cfg8, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh, context_parallel=True)
+    assert tpm.context_parallel and tpm.cp == 2
+    assert tpm.cfg.num_kv_heads == 4          # source heads, unreplicated
+
+    B, S = 4, 16
+    rng = np.random.default_rng(5)
+    ck = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    # lengths straddle the cp boundary (S_loc = 8): 3 and 5 live entirely
+    # in shard 0, 9 and 12 span both shards; appends land at 3/5 (shard 0)
+    # and 9/12 (shard 1).
+    lengths = jnp.asarray([3, 5, 9, 12], jnp.int32)
+
+    y_ref, ck_ref, cv_ref = src.decode_step(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_tp, ck_out, cv_out = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ck_out, np.float32),
+                               np.asarray(ck_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cv_out, np.float32),
+                               np.asarray(cv_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_tp_context_parallel_prefill_matches_single_device():
+    """cp prefill returns SOURCE-head K/V (de-replicated from the eff-head
+    gather) and the same hidden states."""
+    mesh = _mesh(8)
+    import dataclasses
+    cfg8 = dataclasses.replace(CFG, group_size=32)
+    src = QuantLlama(cfg8, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh, context_parallel=True)
+    rng = np.random.default_rng(6)
+    S = 8
+    x = jnp.asarray(rng.standard_normal((1, S, CFG.hidden_size))
+                    .astype(np.float16))
+    pos = jnp.arange(S)[None, :]
+    h_ref, ks_ref, vs_ref = src.make_prefill(S)(x, pos)
+    h_tp, ks_tp, vs_tp = tpm.make_prefill(S)(x, pos)
+    np.testing.assert_allclose(np.asarray(h_tp, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    for a, b in zip(ks_tp + vs_tp, ks_ref + vs_ref):
+        assert a.shape == b.shape            # source-head count
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_tp_prefill_matches_single_device():
     mesh = _mesh(4)
     src = QuantLlama(CFG, opt_m=(4,))
@@ -148,6 +219,34 @@ def test_engine_over_mesh_matches_single_device():
     src = QuantLlama(CFG, opt_m=(4,))
     tpm = TPQuantLlama(src, mesh)
     rng = np.random.default_rng(2)
+    prompts = [rng.standard_normal((s, CFG.hidden_size)).astype(np.float16)
+               for s in (3, 5)]
+
+    def run(model, cache_sharding=None):
+        eng = ContinuousBatchingEngine(model, num_slots=4, max_seq_len=32,
+                                       cache_sharding=cache_sharding)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(uid=i, prompt=p, max_new=3))
+        done = eng.run_to_completion()
+        assert len(done) == len(prompts)
+        return np.asarray(eng.last_hidden, np.float32)
+
+    h_ref = run(src)
+    h_tp = run(tpm, cache_sharding=tpm.kv_cache_sharding())
+    assert_close(h_tp, h_ref, rtol=5e-2, atol=5e-2,
+                 max_mismatched_ratio=0.02)
+
+
+def test_engine_over_cp_mesh_matches_single_device():
+    """Continuous batching end-to-end with the context-parallel cache
+    (tp=8 > kv_heads=4): admission prefill writes the sequence-sharded
+    source-head cache, decode merges partial softmaxes across cp."""
+    mesh = _mesh(8)
+    import dataclasses
+    cfg8 = dataclasses.replace(CFG, group_size=32)
+    src = QuantLlama(cfg8, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh, context_parallel=True)
+    rng = np.random.default_rng(9)
     prompts = [rng.standard_normal((s, CFG.hidden_size)).astype(np.float16)
                for s in (3, 5)]
 
