@@ -92,7 +92,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                          kv_heads: int = None, causal: bool = False,
                          trans_k: bool = False, block_q: int = 512,
                          block_kv: int = 1024, out_dtype=jnp.float16,
-                         interpret: bool = False):
+                         diag_sub: int = None, interpret: bool = False):
     """Build attention over Q [B, S, H, D], K/V [B, S, Hkv, D]
     (K [B, D, Hkv, S] when trans_k). Returns fn(Q, K, V) -> [B, S, H, D].
 
@@ -169,8 +169,14 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     # no serial dependency. Requires S % block_kv == 0 (no kv_len masking
     # folded into the narrow dots) and 128-multiple widths for trans_k's
     # lane-axis slices.
-    diag_sub = max(128, block_q // 8)
-    use_tri_sub = (causal and block_q == block_kv
+    # diag_sub: None = auto, 0 = disable (full-block masked diag step).
+    # Measured 2026-08-19 on-chip: ~neutral at s2048/s4096 bq=bkv=1024 —
+    # the elementwise-work saving is eaten by per-sub-chunk serialization
+    # (the same Mosaic intra-step behavior the decode/dot pipelining
+    # probes hit); kept because it is exact and the tuner can pick widths.
+    if diag_sub is None:
+        diag_sub = max(128, block_q // 8)
+    use_tri_sub = (causal and diag_sub > 0 and block_q == block_kv
                    and seq_len % block_kv == 0
                    and block_q % diag_sub == 0 and block_q // diag_sub > 1)
     n_sub = block_q // diag_sub if use_tri_sub else 1

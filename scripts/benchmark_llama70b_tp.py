@@ -109,17 +109,33 @@ def main():
         t_layer = t_compute + t_attn + t_comm
         tok_s = m / (t_layer * LAYERS)
         tok_s_q = m / ((t_compute + t_attn_q + t_comm_q) * LAYERS)
+        # Context-parallel attention (TPQuantLlama(context_parallel=True)):
+        # at tp > KV_HEADS the cache shards its sequence axis cp-ways
+        # instead of replicating heads, so the per-chip KV read drops to
+        # KV_HEADS/tp heads; the LSE merge is pmax + 2 psums of
+        # [m, heads/tp, head_dim] f32 over the cp subgroup ring.
+        cp = max(tp // KV_HEADS, 1)
+        t_attn_cpq = t_attn_q / cp
+        merge_b = m * (HEADS // tp) * HEAD_DIM * 4
+        t_merge = 3 * ((cp - 1) / cp) * merge_b / ICI_BW
+        tok_s_cpq = m / ((t_compute + t_attn_cpq + t_merge + t_comm_q)
+                         * LAYERS)
         results[tp] = dict(t_compute_us=t_compute * 1e6,
                            t_attn_us=t_attn * 1e6,
                            t_attn_int8kv_us=t_attn_q * 1e6,
+                           t_attn_cp_int8kv_us=t_attn_cpq * 1e6,
+                           t_cp_merge_us=t_merge * 1e6,
                            t_comm_us=t_comm * 1e6,
                            t_comm_int8_us=t_comm_q * 1e6,
                            ctx=ctx,
-                           tok_s=tok_s, tok_s_int8=tok_s_q, chips=tp)
+                           tok_s=tok_s, tok_s_int8=tok_s_q,
+                           tok_s_cp_int8=tok_s_cpq, chips=tp)
         log(f"tp={tp}: layer compute {t_compute*1e6:.1f}us + attn(ctx={ctx}) "
-            f"{t_attn*1e6:.1f}us (int8-kv {t_attn_q*1e6:.1f}us) + comm "
+            f"{t_attn*1e6:.1f}us (int8-kv {t_attn_q*1e6:.1f}us, cp+int8 "
+            f"{t_attn_cpq*1e6:.1f}+{t_merge*1e6:.1f}us) + comm "
             f"{t_comm*1e6:.1f}us (int8 {t_comm_q*1e6:.1f}us) -> "
-            f"{tok_s:.1f} tok/s ({tok_s_q:.1f} int8 kv+comm, batch {m})")
+            f"{tok_s:.1f} tok/s ({tok_s_q:.1f} int8 kv+comm, "
+            f"{tok_s_cpq:.1f} cp, batch {m})")
 
     # scaling efficiency tp=4 -> tp=16: ideal = 4x per-chip-count throughput
     if 4 in results and 16 in results:
