@@ -363,7 +363,8 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
 
 def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
                       kv_heads: int = None, block_kv: int = 512,
-                      out_dtype=jnp.float16, interpret: bool = False):
+                      out_dtype=jnp.float16, partial_stats: bool = False,
+                      interpret: bool = False):
     """Length-masked decode attention for serving KV caches.
 
     fn(q, k_cache, v_cache, lengths[, slots]) with q [B, H, D] (one new
@@ -379,6 +380,15 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
     are therefore length-proportional — the flash-decode analog for the
     slot cache engine (reference has no decode-attention kernel; its
     serving is delegated to vLLM).
+
+    partial_stats=True returns the online-softmax state instead of the
+    normalized output — fn(...) -> (acc [B,H,D] f32 unnormalized,
+    m [B,H] f32 natural-log-domain max, l [B,H] f32) — for the
+    context-parallel cross-shard log-sum-exp merge
+    (serving.kv_cache.decode_attention_partial): same length-proportional
+    reads over a sequence SHARD of the cache, where `lengths` is the
+    shard-local valid count (0 = nothing valid here; m comes back at
+    -1e30*ln2 so the merge weight underflows to zero).
     """
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
@@ -403,9 +413,7 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
         return (slots[b], jnp.minimum(ki, last), (bh % heads) // group)
 
-    def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
-               acc_ref):
-        del slot_ref  # consumed by the index maps
+    def body(len_ref, q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref):
         bh = pl.program_id(0)
         ki = pl.program_id(1)
         b = bh // heads
@@ -430,10 +438,43 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
             l_ref[...] = l_new
             acc_ref[...] = acc_new
 
-        @pl.when(ki == nkv - 1)
-        def _():
-            denom = jnp.maximum(l_ref[...], 1e-30)
-            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+        return ki == nkv - 1
+
+    if partial_stats:
+        def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, oa_ref, om_ref,
+                   ol_ref, m_ref, l_ref, acc_ref):
+            del slot_ref  # consumed by the index maps
+            emit = body(len_ref, q_ref, k_ref, v_ref, m_ref, l_ref,
+                        acc_ref)
+
+            @pl.when(emit)
+            def _():
+                oa_ref[0] = acc_ref[...]
+                om_ref[0] = m_ref[...]
+                ol_ref[0] = l_ref[...]
+
+        out_specs = (pl.BlockSpec((1, 8, dim), q_map),
+                     pl.BlockSpec((1, 8, 1), q_map),
+                     pl.BlockSpec((1, 8, 1), q_map))
+        out_shape = (
+            jax.ShapeDtypeStruct((batch * heads, 8, dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch * heads, 8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch * heads, 8, 1), jnp.float32))
+    else:
+        def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, o_ref, m_ref,
+                   l_ref, acc_ref):
+            del slot_ref  # consumed by the index maps
+            emit = body(len_ref, q_ref, k_ref, v_ref, m_ref, l_ref,
+                        acc_ref)
+
+            @pl.when(emit)
+            def _():
+                denom = jnp.maximum(l_ref[...], 1e-30)
+                o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+
+        out_specs = pl.BlockSpec((1, 8, dim), q_map)
+        out_shape = jax.ShapeDtypeStruct((batch * heads, 8, dim),
+                                         kernel_out)
 
     call = pl.pallas_call(
         kernel,
@@ -445,14 +486,14 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
                 pl.BlockSpec((1, block_kv, dim), kv_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
             ],
-            out_specs=pl.BlockSpec((1, 8, dim), q_map),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((8, 1), jnp.float32),
                 pltpu.VMEM((8, 1), jnp.float32),
                 pltpu.VMEM((8, dim), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((batch * heads, 8, dim), kernel_out),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * max_seq_len * dim,
             bytes_accessed=batch * max_seq_len * kv_heads * dim * 4,
@@ -477,6 +518,15 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
             q8, k2, v2 = (t.astype(jnp.bfloat16) for t in (q8, k2, v2))
         out = call(jnp.asarray(lengths, jnp.int32),
                    jnp.asarray(slots, jnp.int32), q8, k2, v2)
+        if partial_stats:
+            acc, m, l = out
+            # kernel softmax state lives in the base-2 domain (exp2);
+            # convert m to the natural-log domain the XLA partial and the
+            # cross-shard merge use: exp2(m2 - x2) == exp(m2*ln2 - x_e).
+            ln2 = 0.6931471805599453
+            return (acc[:, 0, :].reshape(B, H, D),
+                    (m[:, 0, 0] * ln2).reshape(B, H),
+                    l[:, 0, 0].reshape(B, H))
         return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
 
     return fn

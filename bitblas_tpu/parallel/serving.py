@@ -492,16 +492,28 @@ class TPQuantLlama:
                     cs[0] = cs[0].at[li].set(ckl)
                     cs[1] = cs[1].at[li].set(cvl)
                     lloc = jnp.clip(lengths + 1 - c * s_loc, 0, s_loc)
+                    # The cp subgroup's devices hold DISJOINT q-head sets
+                    # but share one kv head; an elementwise merge is only
+                    # meaningful over a COMMON head set. Gather the
+                    # subgroup's q heads (tiny [B, hl, D] payload), compute
+                    # partials for the union over the local shard (same
+                    # total FLOPs: cp x heads over S/cp positions), merge,
+                    # then keep this device's slice.
+                    hl = q.shape[2]
+                    qg = jax.lax.all_gather(q[:, 0], "cp", axis=1,
+                                            tiled=True)   # [B, cp*hl, D]
                     acc, m, l = decode_attention_partial(
-                        q[:, 0], ckl, cvl, slots, lloc,
-                        num_heads=q.shape[2])
+                        qg, ckl, cvl, slots, lloc,
+                        num_heads=qg.shape[1])
                     # log-sum-exp merge across the cp subgroup: tiny
-                    # [B, hl(, D)] payloads over neighbor links
+                    # [B, cp*hl(, D)] payloads over neighbor links
                     m_g = jax.lax.pmax(m, "cp")
                     w = jnp.exp(m - m_g)
                     l_g = jax.lax.psum(l * w, "cp")
                     acc_g = jax.lax.psum(acc * w[..., None], "cp")
                     out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+                    out = jax.lax.dynamic_slice_in_dim(out, c * hl, hl,
+                                                       axis=1)
                     return out.astype(q.dtype)[:, None]
 
                 return attend, lengths[:, None]
@@ -688,7 +700,6 @@ class TPQuantLlama:
         in-context causal attention over the local heads, collecting each
         layer's K/V for the cache."""
         cfg = self.cfg
-        axis = self.axis
 
         def prefill(x, positions):
             B, S, _ = x.shape

@@ -488,7 +488,8 @@ def append_token_cp(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
 
 def decode_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
                              cache_v: jnp.ndarray, slots: jnp.ndarray,
-                             lengths_local: jnp.ndarray, *, num_heads: int
+                             lengths_local: jnp.ndarray, *, num_heads: int,
+                             use_flash: bool = None
                              ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                         jnp.ndarray]:
     """Single-token attention stats over ONE sequence shard of the cache,
@@ -503,8 +504,23 @@ def decode_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
     out = sum_c w_c*acc_c / sum_c w_c*l_c. An all-masked shard contributes
     w_c = exp(-1e30 - m*) = 0, zeroing its (well-defined, finite) garbage.
     lengths_local [B] = valid tokens in THIS shard (global valid length
-    clipped to the shard's position range)."""
+    clipped to the shard's position range).
+
+    Lane-aligned head dims take the flash-decode kernel (partial_stats
+    mode): length-proportional shard reads, no [B, Lloc, Hkv, D] gather —
+    without it, cp mode would stream the whole shard per step and erode
+    the KV-read saving it exists for. The XLA path remains for odd dims."""
     B, H, D = q.shape
+    if use_flash is None:
+        use_flash = D % 128 == 0
+    if use_flash:
+        from ..kernels.flash import make_flash_decode
+        from ..tuner import get_arch
+        fn = make_flash_decode(
+            batch=B, heads=H, max_seq_len=cache_k.shape[1], dim=D,
+            kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            partial_stats=True, interpret=get_arch().is_cpu)
+        return fn(q, cache_k, cache_v, lengths_local, slots)
     k = cache_k[slots]  # [B, Lloc, Hkv, D]
     v = cache_v[slots]
     L, Hkv = k.shape[1], k.shape[2]

@@ -41,10 +41,14 @@ def measure_proj(n, k, m, topk=2):
     # Same config the serving DB tunes (scripts/tune_tp_serving_db.py:
     # GPTQ zeros included) so the tuned winner is a cache hit here and the
     # study reports what TPQuantLlama actually dispatches.
+    # EXACTLY the config tune_tp_serving_db.py caches (fast_decoding left
+    # to the legalizer — pinning it False made every DB lookup miss) so
+    # the tuned winner is a cache hit and the study reports what
+    # TPQuantLlama actually dispatches.
     cfg = MatmulConfig(M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
                        with_scaling=True, with_zeros=True,
                        zeros_mode="original", group_size=128,
-                       fast_decoding=False, out_dtype="float16")
+                       out_dtype="float16")
     spec = KernelSpec.from_config(cfg, m)
     arch = get_arch()
     ops = random_reference_operands(cfg, m, 0)
@@ -56,6 +60,7 @@ def measure_proj(n, k, m, topk=2):
                     decode_mode="telescope")
     hints = enumerate_hints(spec, arch)[:topk] + [safe]
     from bitblas_tpu.cache import global_operator_cache
+    global_operator_cache.load_from_database()
     cached = global_operator_cache.get(cfg)
     if cached is not None:
         hints.insert(0, cached.hint_for(m))

@@ -149,6 +149,50 @@ def test_flash_decode_slot_mapped():
                  np.asarray(out_ref, np.float32), rtol=2e-2, atol=2e-2)
 
 
+def test_flash_decode_partial_stats_merge():
+    """partial_stats flash decode over two sequence shards (the
+    context-parallel layout): per-shard stats from the flash kernel and
+    the XLA path agree, and the cross-shard log-sum-exp merge reproduces
+    the full-cache decode_attention. Amplified K keeps the softmax peaked
+    so shard/merge mistakes cannot hide in near-uniform attention."""
+    from bitblas_tpu.serving.kv_cache import (decode_attention,
+                                              decode_attention_partial)
+
+    B, H, Hkv, D, S = 3, 4, 2, 128, 64
+    SL = S // 2
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float16))
+    ck = jnp.asarray((4 * rng.standard_normal((B, S, Hkv, D)))
+                     .astype(np.float16))
+    cv = jnp.asarray(rng.standard_normal((B, S, Hkv, D))
+                     .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray(np.array([5, 33, 64], np.int32))  # straddle SL
+
+    full = np.asarray(decode_attention(q, ck, cv, slots, lengths,
+                                       num_heads=H, use_flash=False),
+                      np.float32)
+    def merged(use_flash):
+        stats = []
+        for c in (0, 1):
+            lloc = jnp.clip(lengths - c * SL, 0, SL)
+            stats.append(tuple(np.asarray(t, np.float32)
+                               for t in decode_attention_partial(
+                q, ck[:, c * SL:(c + 1) * SL], cv[:, c * SL:(c + 1) * SL],
+                slots, lloc, num_heads=H, use_flash=use_flash)))
+        (a0, m0, l0), (a1, m1, l1) = stats
+        # all-masked shards may report l as 0 (flash) or L_loc (XLA) —
+        # either is fine because its weight underflows to zero here
+        mg = np.maximum(m0, m1)
+        w0, w1 = np.exp(m0 - mg), np.exp(m1 - mg)
+        lg = l0 * w0 + l1 * w1
+        acc = a0 * w0[..., None] + a1 * w1[..., None]
+        return acc / np.maximum(lg, 1e-30)[..., None]
+
+    assert_close(merged(use_flash=False), full, rtol=3e-2, atol=3e-2)
+    assert_close(merged(use_flash=True), full, rtol=3e-2, atol=3e-2)
+
+
 def test_ntn_untileable_seq_falls_back_to_xla():
     """ntn with seq_len % 128 != 0 cannot tile on TPU (head-interleaved
     K^T lane layout); the op must serve through the XLA oracle instead of

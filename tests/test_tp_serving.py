@@ -113,7 +113,12 @@ def test_tp_context_parallel_decode_matches_single_device():
 
     B, S = 4, 16
     rng = np.random.default_rng(5)
-    ck = jnp.asarray(rng.standard_normal(
+    # Amplified K: random-init quantized weights yield near-zero logits and
+    # a near-uniform softmax, where every head's attention collapses to
+    # ~mean(V) and a head-mixing merge bug stays inside tolerance. Peaked
+    # softmax (20x K) made the original elementwise-merge-over-disjoint-
+    # head-sets bug fail at 0.145 abs while correct paths stay ~1e-3.
+    ck = jnp.asarray(20.0 * rng.standard_normal(
         (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
         .astype(np.float32), jnp.bfloat16)
     cv = jnp.asarray(rng.standard_normal(
