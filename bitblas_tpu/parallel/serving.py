@@ -542,33 +542,72 @@ class TPQuantLlama:
         if self.context_parallel:
             raise NotImplementedError(
                 f"{name} does not support context_parallel yet — cp mode "
-                f"currently covers make_prefill + decode_step (the float "
-                f"slot-cache hot path); run with context_parallel=False "
-                f"for the quant/paged/chunked variants")
+                f"currently covers make_prefill + decode_step + "
+                f"decode_chunk (the float slot-cache paths); run with "
+                f"context_parallel=False for the quant/paged variants")
 
     def decode_chunk(self, x, caches_k, caches_v, slots, lengths):
         """TP twin of QuantLlama.decode_chunk: append T tokens per slot in
         one sharded pass (chunked prefill / speculative verify under TP).
         x [B, T, H]; local projections run at M=B*T so each device streams
         its weight shard once per chunk."""
-        self._no_cp("decode_chunk")
         T = x.shape[1]
 
-        def make_attend(cs, ex):
-            from ..serving.kv_cache import append_chunk, chunk_attention
-            slots, lengths = ex
+        if self.context_parallel:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (append_chunk_cp,
+                                                chunk_attention_partial)
+                slots, lengths = ex
 
-            def attend(li, q, k, v):
-                ckl, cvl = append_chunk(cs[0][li], cs[1][li], slots,
-                                        lengths, k, v)
-                cs[0] = cs[0].at[li].set(ckl)
-                cs[1] = cs[1].at[li].set(cvl)
-                return chunk_attention(q, ckl, cvl, slots, lengths,
-                                       num_heads=q.shape[2])
+                def attend(li, q, k, v):
+                    c = jax.lax.axis_index("cp")
+                    s_loc = cs[0].shape[2]
+                    ckl, cvl = append_chunk_cp(
+                        cs[0][li], cs[1][li], slots, lengths, k, v,
+                        cp_index=c, local_len=s_loc)
+                    cs[0] = cs[0].at[li].set(ckl)
+                    cs[1] = cs[1].at[li].set(cvl)
+                    # per-query causal limit, clipped to this shard
+                    limit = (lengths[:, None]
+                             + jnp.arange(T, dtype=lengths.dtype) + 1)
+                    lloc = jnp.clip(limit - c * s_loc, 0, s_loc)
+                    # merge partners need a COMMON q-head set (see
+                    # decode_step): gather the subgroup's heads, merge,
+                    # keep this device's slice.
+                    hl = q.shape[2]
+                    qg = jax.lax.all_gather(q, "cp", axis=2, tiled=True)
+                    acc, m, l = chunk_attention_partial(
+                        qg, ckl, cvl, slots, lloc,
+                        num_heads=qg.shape[2])
+                    m_g = jax.lax.pmax(m, "cp")
+                    w = jnp.exp(m - m_g)
+                    l_g = jax.lax.psum(l * w, "cp")
+                    acc_g = jax.lax.psum(acc * w[..., None], "cp")
+                    out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+                    out = jax.lax.dynamic_slice_in_dim(out, c * hl, hl,
+                                                       axis=2)
+                    return out.astype(q.dtype)
 
-            positions = lengths[:, None] + jnp.arange(T,
-                                                      dtype=lengths.dtype)
-            return attend, positions
+                positions = lengths[:, None] + jnp.arange(
+                    T, dtype=lengths.dtype)
+                return attend, positions
+        else:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (append_chunk,
+                                                chunk_attention)
+                slots, lengths = ex
+
+                def attend(li, q, k, v):
+                    ckl, cvl = append_chunk(cs[0][li], cs[1][li], slots,
+                                            lengths, k, v)
+                    cs[0] = cs[0].at[li].set(ckl)
+                    cs[1] = cs[1].at[li].set(cvl)
+                    return chunk_attention(q, ckl, cvl, slots, lengths,
+                                           num_heads=q.shape[2])
+
+                positions = lengths[:, None] + jnp.arange(
+                    T, dtype=lengths.dtype)
+                return attend, positions
 
         kv = self._kv_spec
         return self._sharded_decode(x, (caches_k, caches_v), (kv, kv),

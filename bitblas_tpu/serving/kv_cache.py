@@ -472,18 +472,67 @@ def append_token_cp(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked decode append for a sequence-sharded (context-parallel) cache
     shard owning global positions [cp_index*local_len, (cp_index+1)*
-    local_len). Non-owners write the current value back (a no-op update),
-    so each global position is stored exactly once across the cp group.
+    local_len). Non-owned writes are routed to an out-of-bounds index and
+    scatter-dropped, so each global position is stored exactly once across
+    the cp group (clip-and-write-back would collide clipped indices with
+    real writes under duplicate-scatter's undefined ordering).
     cache_k/v [slots, local_len, Hkv, D]; positions [B] global."""
     p_loc = positions - cp_index * local_len
     own = (p_loc >= 0) & (p_loc < local_len)
-    p_safe = jnp.clip(p_loc, 0, local_len - 1)
-    k_w = jnp.where(own[:, None, None], k_new.astype(cache_k.dtype),
-                    cache_k[slots, p_safe])
-    v_w = jnp.where(own[:, None, None], v_new.astype(cache_v.dtype),
-                    cache_v[slots, p_safe])
-    return cache_k.at[slots, p_safe].set(k_w), \
-        cache_v.at[slots, p_safe].set(v_w)
+    idx = jnp.where(own, p_loc, local_len)          # local_len = OOB
+    return (cache_k.at[slots, idx].set(k_new.astype(cache_k.dtype),
+                                       mode="drop"),
+            cache_v.at[slots, idx].set(v_new.astype(cache_v.dtype),
+                                       mode="drop"))
+
+
+def append_chunk_cp(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                    slots: jnp.ndarray, starts: jnp.ndarray,
+                    k_new: jnp.ndarray, v_new: jnp.ndarray, *,
+                    cp_index, local_len: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """T-token append onto a sequence shard: token i of request b lands at
+    global position starts[b]+i; only this shard's owned positions write
+    (chunks may straddle the shard boundary). k/v_new [B, T, Hkv, D]."""
+    B, T = k_new.shape[:2]
+    pos = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]
+    p_loc = pos - cp_index * local_len
+    own = (p_loc >= 0) & (p_loc < local_len)
+    idx = jnp.where(own, p_loc, local_len)
+    return (cache_k.at[slots[:, None], idx].set(
+                k_new.astype(cache_k.dtype), mode="drop"),
+            cache_v.at[slots[:, None], idx].set(
+                v_new.astype(cache_v.dtype), mode="drop"))
+
+
+def chunk_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
+                            cache_v: jnp.ndarray, slots: jnp.ndarray,
+                            limits_local: jnp.ndarray, *, num_heads: int
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                       jnp.ndarray]:
+    """T-token causal attention stats over ONE sequence shard (the chunk
+    twin of decode_attention_partial): limits_local [B, T] = per-query
+    valid positions in THIS shard (global causal limit starts[b]+i+1
+    clipped to the shard's range). Returns (acc [B,T,H,D] f32, m [B,T,H],
+    l [B,T,H]) for the cross-shard log-sum-exp merge."""
+    B, T, H, D = q.shape
+    k = cache_k[slots]  # [B, Lloc, Hkv, D]
+    v = cache_v[slots]
+    L, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    s = jnp.einsum("bthgd,blhd->bhgtl", qf, k.astype(jnp.float32)) \
+        / jnp.sqrt(jnp.float32(D))
+    mask = jnp.arange(L)[None, None, :] < limits_local[:, :, None]
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)        # [B, Hkv, group, T, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bhgtl,blhd->bthgd", p, v.astype(jnp.float32))
+    perm = (0, 3, 1, 2, 4)                        # -> [B, T, Hkv, group, .]
+    return (acc.reshape(B, T, H, D),
+            m.transpose(*perm).reshape(B, T, H),
+            l.transpose(*perm).reshape(B, T, H))
 
 
 def decode_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,

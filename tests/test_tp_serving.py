@@ -148,6 +148,46 @@ def test_tp_context_parallel_decode_matches_single_device():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_tp_context_parallel_chunk_matches_single_device():
+    """cp decode_chunk: a T-token append straddling the shard boundary and
+    per-query causal limits must match the single-device chunk decode
+    (peaked K so head/shard mixing cannot hide)."""
+    mesh = _mesh(8)
+    import dataclasses
+    cfg8 = dataclasses.replace(CFG, group_size=32)
+    src = QuantLlama(cfg8, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh, context_parallel=True)
+
+    B, S, T = 4, 16, 3
+    rng = np.random.default_rng(12)
+    ck = jnp.asarray(20.0 * rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal(
+        (CFG.num_layers, B, S, CFG.num_kv_heads, CFG.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, T, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    # starts 6 and 7: the 3-token chunk straddles the S_loc=8 boundary
+    lengths = jnp.asarray([2, 6, 7, 12], jnp.int32)
+
+    y_ref, ck_ref, cv_ref = src.decode_chunk(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_tp, ck_out, cv_out = tpm.decode_chunk(x, ck_tp, cv_tp, slots, lengths)
+
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ck_out, np.float32),
+                               np.asarray(ck_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(cv_out, np.float32),
+                               np.asarray(cv_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_tp_context_parallel_prefill_matches_single_device():
     """cp prefill returns SOURCE-head K/V (de-replicated from the eff-head
     gather) and the same hidden states."""
