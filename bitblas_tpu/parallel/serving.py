@@ -542,9 +542,10 @@ class TPQuantLlama:
         if self.context_parallel:
             raise NotImplementedError(
                 f"{name} does not support context_parallel yet — cp mode "
-                f"currently covers make_prefill + decode_step + "
-                f"decode_chunk (the float slot-cache paths); run with "
-                f"context_parallel=False for the quant/paged variants")
+                f"covers make_prefill, decode_step, decode_chunk and "
+                f"decode_step_quant (the slot-cache serving paths); run "
+                f"with context_parallel=False for the paged and "
+                f"chunk-quant variants")
 
     def decode_chunk(self, x, caches_k, caches_v, slots, lengths):
         """TP twin of QuantLlama.decode_chunk: append T tokens per slot in
@@ -652,24 +653,59 @@ class TPQuantLlama:
         both kv_heads-sharded — halves the per-step KV HBM traffic (the
         decode bottleneck at long context) AND the cache footprint, on top
         of the TP sharding. Same two-psums-per-layer collective budget.
+        Under context_parallel the int8 codes AND scale planes additionally
+        shard their sequence axis (cp + int8 compound: kv_rep * 2x less KV
+        HBM per chip than replicated bf16).
         """
-        self._no_cp("decode_step_quant")
-        def make_attend(cs, ex):
-            from ..serving.kv_cache import (append_token_quant,
-                                            decode_attention_quant)
-            slots, lengths = ex
+        if self.context_parallel:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (
+                    append_token_quant_cp, decode_attention_quant_partial)
+                slots, lengths = ex
 
-            def attend(li, q, k, v):
-                ckl, cvl, skl, svl = append_token_quant(
-                    cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
-                    lengths, k[:, 0], v[:, 0])
-                for i, t in enumerate((ckl, cvl, skl, svl)):
-                    cs[i] = cs[i].at[li].set(t)
-                return decode_attention_quant(
-                    q[:, 0], ckl, cvl, skl, svl, slots, lengths + 1,
-                    num_heads=q.shape[2])[:, None]
+                def attend(li, q, k, v):
+                    c = jax.lax.axis_index("cp")
+                    s_loc = cs[0].shape[2]
+                    ckl, cvl, skl, svl = append_token_quant_cp(
+                        cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
+                        lengths, k[:, 0], v[:, 0], cp_index=c,
+                        local_len=s_loc)
+                    for i, t in enumerate((ckl, cvl, skl, svl)):
+                        cs[i] = cs[i].at[li].set(t)
+                    lloc = jnp.clip(lengths + 1 - c * s_loc, 0, s_loc)
+                    hl = q.shape[2]
+                    qg = jax.lax.all_gather(q[:, 0], "cp", axis=1,
+                                            tiled=True)
+                    acc, m, l = decode_attention_quant_partial(
+                        qg, ckl, cvl, skl, svl, slots, lloc,
+                        num_heads=qg.shape[1])
+                    m_g = jax.lax.pmax(m, "cp")
+                    w = jnp.exp(m - m_g)
+                    l_g = jax.lax.psum(l * w, "cp")
+                    acc_g = jax.lax.psum(acc * w[..., None], "cp")
+                    out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+                    out = jax.lax.dynamic_slice_in_dim(out, c * hl, hl,
+                                                       axis=1)
+                    return out.astype(q.dtype)[:, None]
 
-            return attend, lengths[:, None]
+                return attend, lengths[:, None]
+        else:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (append_token_quant,
+                                                decode_attention_quant)
+                slots, lengths = ex
+
+                def attend(li, q, k, v):
+                    ckl, cvl, skl, svl = append_token_quant(
+                        cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
+                        lengths, k[:, 0], v[:, 0])
+                    for i, t in enumerate((ckl, cvl, skl, svl)):
+                        cs[i] = cs[i].at[li].set(t)
+                    return decode_attention_quant(
+                        q[:, 0], ckl, cvl, skl, svl, slots, lengths + 1,
+                        num_heads=q.shape[2])[:, None]
+
+                return attend, lengths[:, None]
 
         kv, ks = self._kv_spec, self._ks_spec
         return self._sharded_decode(

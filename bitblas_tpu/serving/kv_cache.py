@@ -505,6 +505,57 @@ def append_chunk_cp(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
                 v_new.astype(cache_v.dtype), mode="drop"))
 
 
+def append_token_quant_cp(cache_k, cache_v, scale_k, scale_v,
+                          slots: jnp.ndarray, positions: jnp.ndarray,
+                          k_new: jnp.ndarray, v_new: jnp.ndarray, *,
+                          cp_index, local_len: int):
+    """Quantized twin of append_token_cp: codes AND scale planes write only
+    on the owning sequence shard (scatter-dropped elsewhere)."""
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    p_loc = positions - cp_index * local_len
+    own = (p_loc >= 0) & (p_loc < local_len)
+    idx = jnp.where(own, p_loc, local_len)
+    return (cache_k.at[slots, idx].set(kq, mode="drop"),
+            cache_v.at[slots, idx].set(vq, mode="drop"),
+            scale_k.at[slots, idx].set(ks, mode="drop"),
+            scale_v.at[slots, idx].set(vs, mode="drop"))
+
+
+def decode_attention_quant_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
+                                   cache_v: jnp.ndarray,
+                                   scale_k: jnp.ndarray,
+                                   scale_v: jnp.ndarray,
+                                   slots: jnp.ndarray,
+                                   lengths_local: jnp.ndarray, *,
+                                   num_heads: int
+                                   ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                              jnp.ndarray]:
+    """int8-KV twin of decode_attention_partial: logits scale by the K
+    scales before the local max, V scales fold into the (unnormalized)
+    softmax weights, l stays the raw exp-sum — the same factorization as
+    decode_attention_quant, returned as cross-shard LSE merge stats."""
+    B, H, D = q.shape
+    k = cache_k[slots]            # [B, Lloc, Hkv, D] int8
+    v = cache_v[slots]
+    ks = scale_k[slots]           # [B, Lloc, Hkv]
+    vs = scale_v[slots]
+    L, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, :] / jnp.sqrt(jnp.float32(D))
+    mask = jnp.arange(L)[None, :] < lengths_local[:, None]
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pw = jnp.where(mask[:, None, None, :],
+                   p * vs.transpose(0, 2, 1)[:, :, None, :], 0.0)
+    acc = jnp.einsum("bhgl,blhd->bhgd", pw, v.astype(jnp.float32))
+    return (acc.reshape(B, H, D), m.reshape(B, H), l.reshape(B, H))
+
+
 def chunk_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
                             cache_v: jnp.ndarray, slots: jnp.ndarray,
                             limits_local: jnp.ndarray, *, num_heads: int

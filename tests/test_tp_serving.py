@@ -188,6 +188,48 @@ def test_tp_context_parallel_chunk_matches_single_device():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_tp_context_parallel_quant_kv_decode():
+    """cp + int8 KV: sequence-sharded codes AND scale planes; decode
+    tracks the cp float-cache decode within int8 tolerance."""
+    from bitblas_tpu.serving.kv_cache import quantize_kv
+    mesh = _mesh(8)
+    import dataclasses
+    cfg8 = dataclasses.replace(CFG, group_size=32)
+    src = QuantLlama(cfg8, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh, context_parallel=True)
+
+    B, S = 4, 16
+    Hkv, D, Ly = CFG.num_kv_heads, CFG.head_dim, CFG.num_layers
+    rng = np.random.default_rng(15)
+    ck = jnp.asarray(4.0 * rng.standard_normal((Ly, B, S, Hkv, D))
+                     .astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal((Ly, B, S, Hkv, D))
+                     .astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, 1, CFG.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 5, 9, 12], jnp.int32)
+
+    y_f, *_ = tpm.decode_step(
+        jax.device_put(x, None),
+        jax.device_put(ck, tpm.kv_cache_sharding()),
+        jax.device_put(cv, tpm.kv_cache_sharding()), slots, lengths)
+
+    kq, ks = quantize_kv(ck)
+    vq, vs = quantize_kv(cv)
+    kvsh = tpm.kv_cache_sharding()
+    from jax.sharding import NamedSharding
+    ssh = NamedSharding(tpm.smesh, tpm._ks_spec)
+    y_q, *_ = tpm.decode_step_quant(
+        x, jax.device_put(kq, kvsh), jax.device_put(vq, kvsh),
+        jax.device_put(ks, ssh), jax.device_put(vs, ssh), slots, lengths)
+
+    a = np.asarray(y_f, np.float32)
+    b = np.asarray(y_q, np.float32)
+    rel = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
+    assert rel < 0.06, rel
+
+
 def test_tp_context_parallel_prefill_matches_single_device():
     """cp prefill returns SOURCE-head K/V (de-replicated from the eff-head
     gather) and the same hidden states."""
