@@ -36,6 +36,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _is_fatal(ex):
+    s = str(ex)
+    return any(t in s for t in ("UNAVAILABLE", "crashed", "restarted",
+                                "DEADLINE_EXCEEDED"))
+
+
+def _regate():
+    import subprocess
+    subprocess.run([sys.executable,
+                    "/root/repo/scripts/health_wait.py", "3600"],
+                   check=False)
+
+
 def measure_proj(n, k, m, topk=2):
     from bitblas_tpu.tuner import TileHint
     # Same config the serving DB tunes (scripts/tune_tp_serving_db.py:
@@ -66,14 +79,25 @@ def measure_proj(n, k, m, topk=2):
         hints.insert(0, cached.hint_for(m))
     best = None
     for hint in hints:
-        try:
-            kf = make_dequant_matmul(spec, hint)
-            sec = measure_kernel(
-                lambda a, *rest, _kf=kf: _kf(a, *rest), args)
-            if best is None or sec < best:
-                best = sec
-        except Exception as ex:  # noqa: BLE001
-            log(f"  cand fail {hint.short_name()}: {str(ex)[:60]}")
+        for attempt in (0, 1):
+            try:
+                kf = make_dequant_matmul(spec, hint)
+                sec = measure_kernel(
+                    lambda a, *rest, _kf=kf: _kf(a, *rest), args)
+                if best is None or sec < best:
+                    best = sec
+                break
+            except Exception as ex:  # noqa: BLE001
+                log(f"  cand fail {hint.short_name()}: {str(ex)[:60]}")
+                if not (_is_fatal(ex) and attempt == 0):
+                    break
+                # worker crash: wait out the outage, rebuild the device
+                # buffers (their handles died with the worker), try once
+                # more — a crash window otherwise poisons the row
+                # (phase-H study: 'down' read 2.3x slow off 3 dead cands)
+                _regate()
+                args = [jnp.asarray(ops.A)] + [jnp.asarray(a)
+                                               for a in dw.args()]
     return best
 
 
