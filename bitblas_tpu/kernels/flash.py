@@ -397,26 +397,30 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
     scale = 1.0 / math.sqrt(dim)
     block_kv = _legal_block(block_kv, max_seq_len)
     nkv = pl.cdiv(max_seq_len, block_kv)
-    grid = (batch * heads, nkv)
+    # One grid step per (sequence, KV HEAD): the whole GQA group's q rows
+    # attend the kv block together, so each block crosses HBM once per kv
+    # head instead of once per q head (group-fold fewer reads AND steps —
+    # the per-q-head grid measured 8x off the bandwidth roof at group=8).
+    grid = (batch * kv_heads, nkv)
+    qrows = max(8, -(-group // 8) * 8)   # group rows, sublane-padded
     f16 = jnp.dtype(jnp.float16)
     kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
                                  not interpret) else out_dtype
 
-    # q rows padded to 8 (skinny MXU passes are cheap); row 0 is real.
     # (Scalar-prefetch refs arrive LAST in index maps.)
     def q_map(bh, ki, lens, slots):
         del lens, slots, ki
         return (bh, 0, 0)
 
     def kv_map(bh, ki, lens, slots):
-        b = bh // heads
+        b = bh // kv_heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], jnp.minimum(ki, last), (bh % heads) // group)
+        return (slots[b], jnp.minimum(ki, last), bh % kv_heads)
 
     def body(len_ref, q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref):
         bh = pl.program_id(0)
         ki = pl.program_id(1)
-        b = bh // heads
+        b = bh // kv_heads
         length = len_ref[b]
 
         @pl.when(ki == 0)
@@ -432,7 +436,7 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
             m_new, l_new, acc_new = _attend_block(
                 q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
                 acc_ref[...], scale=scale, causal=False,
-                q_start=0, kv_start=kv_start, block_q=8,
+                q_start=0, kv_start=kv_start, block_q=qrows,
                 block_kv=block_kv, kv_len=length)
             m_ref[...] = m_new
             l_ref[...] = l_new
@@ -453,13 +457,15 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
                 om_ref[0] = m_ref[...]
                 ol_ref[0] = l_ref[...]
 
-        out_specs = (pl.BlockSpec((1, 8, dim), q_map),
-                     pl.BlockSpec((1, 8, 1), q_map),
-                     pl.BlockSpec((1, 8, 1), q_map))
+        out_specs = (pl.BlockSpec((1, qrows, dim), q_map),
+                     pl.BlockSpec((1, qrows, 1), q_map),
+                     pl.BlockSpec((1, qrows, 1), q_map))
         out_shape = (
-            jax.ShapeDtypeStruct((batch * heads, 8, dim), jnp.float32),
-            jax.ShapeDtypeStruct((batch * heads, 8, 1), jnp.float32),
-            jax.ShapeDtypeStruct((batch * heads, 8, 1), jnp.float32))
+            jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((batch * kv_heads, qrows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((batch * kv_heads, qrows, 1),
+                                 jnp.float32))
     else:
         def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, o_ref, m_ref,
                    l_ref, acc_ref):
@@ -472,8 +478,8 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
                 denom = jnp.maximum(l_ref[...], 1e-30)
                 o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
 
-        out_specs = pl.BlockSpec((1, 8, dim), q_map)
-        out_shape = jax.ShapeDtypeStruct((batch * heads, 8, dim),
+        out_specs = pl.BlockSpec((1, qrows, dim), q_map)
+        out_shape = jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
                                          kernel_out)
 
     call = pl.pallas_call(
@@ -482,15 +488,15 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 8, dim), q_map),
+                pl.BlockSpec((1, qrows, dim), q_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((8, 1), jnp.float32),
-                pltpu.VMEM((8, 1), jnp.float32),
-                pltpu.VMEM((8, dim), jnp.float32),
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, dim), jnp.float32),
             ],
         ),
         out_shape=out_shape,
@@ -510,8 +516,10 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
         if slots is None:
             slots = jnp.arange(B, dtype=jnp.int32)
             assert rows == B, (k_cache.shape, B)
-        q8 = jnp.zeros((B * H, 8, D), q.dtype).at[:, 0, :].set(
-            q.reshape(B * H, D))
+        # rows = GQA group members (+ sublane pad), one block per kv head
+        qg = q.reshape(B * kv_heads, group, D)
+        q8 = jnp.zeros((B * kv_heads, qrows, D), q.dtype
+                       ).at[:, :group, :].set(qg)
         k2 = k_cache.reshape(rows, Smax, kv_heads * D)
         v2 = v_cache.reshape(rows, Smax, kv_heads * D)
         if not interpret and q8.dtype == f16:
@@ -524,10 +532,10 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
             # convert m to the natural-log domain the XLA partial and the
             # cross-shard merge use: exp2(m2 - x2) == exp(m2*ln2 - x_e).
             ln2 = 0.6931471805599453
-            return (acc[:, 0, :].reshape(B, H, D),
-                    (m[:, 0, 0] * ln2).reshape(B, H),
-                    l[:, 0, 0].reshape(B, H))
-        return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
+            return (acc[:, :group, :].reshape(B, H, D),
+                    (m[:, :group, 0] * ln2).reshape(B, H),
+                    l[:, :group, 0].reshape(B, H))
+        return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
 
     return fn
 
@@ -557,7 +565,10 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
     scale = 1.0 / math.sqrt(dim)
     block_kv = _legal_block(block_kv, max_seq_len)
     nkv = pl.cdiv(max_seq_len, block_kv)
-    grid = (batch * heads, nkv)
+    # GQA-grouped grid (see make_flash_decode): one step per (sequence,
+    # kv head) — each int8 block crosses HBM once per kv head.
+    grid = (batch * kv_heads, nkv)
+    qrows = max(8, -(-group // 8) * 8)
     f16 = jnp.dtype(jnp.float16)
     kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
                                  not interpret) else out_dtype
@@ -568,25 +579,25 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         return (bh, 0, 0)
 
     def kv_map(bh, ki, lens, slots):
-        b = bh // heads
+        b = bh // kv_heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], jnp.minimum(ki, last), (bh % heads) // group)
+        return (slots[b], jnp.minimum(ki, last), bh % kv_heads)
 
     def sc_map(bh, ki, lens, slots):
         # scales arrive pre-transposed [rows, Hkv, 1, Smax]: lane dim is
         # the (128-aligned) kv-position axis; the size-1 dim -2 keeps the
         # sublane block full-dim (Mosaic: sublane blocks must be 8-multiples
         # or the full dim — a (1,1,BKV) block over [rows,Hkv,Smax] is not)
-        b = bh // heads
+        b = bh // kv_heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], (bh % heads) // group, 0, jnp.minimum(ki, last))
+        return (slots[b], bh % kv_heads, 0, jnp.minimum(ki, last))
 
     def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                o_ref, m_ref, l_ref, acc_ref):
         del slot_ref
         bh = pl.program_id(0)
         ki = pl.program_id(1)
-        b = bh // heads
+        b = bh // kv_heads
         length = len_ref[b]
 
         @pl.when(ki == 0)
@@ -599,7 +610,7 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
 
         @pl.when(kv_start < length)
         def _attend():
-            q = q_ref[0].astype(jnp.float32)              # [8, D]
+            q = q_ref[0].astype(jnp.float32)              # [qrows, D]
             k = k_ref[0].astype(jnp.float32)              # [BKV, D]
             v = v_ref[0].astype(jnp.float32)
             ksc = ks_ref[0, 0, 0].astype(jnp.float32)     # [BKV]
@@ -611,7 +622,7 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
                 preferred_element_type=jnp.float32)
             s = s * ksc[None, :] * (scale * log2e)
             kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (8, block_kv), 1)
+                                                     (qrows, block_kv), 1)
             s = jnp.where(kj < length, s, NEG_INF)
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m_ref[...], m_cur)
@@ -642,20 +653,21 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 8, dim), q_map),
+                pl.BlockSpec((1, qrows, dim), q_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
                 pl.BlockSpec((1, block_kv, dim), kv_map),
                 pl.BlockSpec((1, 1, 1, block_kv), sc_map),
                 pl.BlockSpec((1, 1, 1, block_kv), sc_map),
             ],
-            out_specs=pl.BlockSpec((1, 8, dim), q_map),
+            out_specs=pl.BlockSpec((1, qrows, dim), q_map),
             scratch_shapes=[
-                pltpu.VMEM((8, 1), jnp.float32),
-                pltpu.VMEM((8, 1), jnp.float32),
-                pltpu.VMEM((8, dim), jnp.float32),
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, dim), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((batch * heads, 8, dim), kernel_out),
+        out_shape=jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
+                                       kernel_out),
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * max_seq_len * dim,
             bytes_accessed=batch * max_seq_len * kv_heads * dim * 2,
@@ -672,8 +684,9 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         if slots is None:
             slots = jnp.arange(B, dtype=jnp.int32)
             assert rows == B, (k_cache.shape, B)
-        q8 = jnp.zeros((B * H, 8, D), jnp.float32).at[:, 0, :].set(
-            q.astype(jnp.float32).reshape(B * H, D))
+        qg = q.astype(jnp.float32).reshape(B * kv_heads, group, D)
+        q8 = jnp.zeros((B * kv_heads, qrows, D), jnp.float32
+                       ).at[:, :group, :].set(qg)
         k2 = k_cache.reshape(rows, Smax, kv_heads * D)
         v2 = v_cache.reshape(rows, Smax, kv_heads * D)
         # [rows, Smax, Hkv] -> [rows, Hkv, 1, Smax]: the scale blocks' lane
@@ -684,6 +697,6 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         vs2 = v_scale.transpose(0, 2, 1)[:, :, None, :]
         out = call(jnp.asarray(lengths, jnp.int32),
                    jnp.asarray(slots, jnp.int32), q8, k2, v2, ks2, vs2)
-        return out[:, 0, :].reshape(B, H, D).astype(out_dtype)
+        return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
 
     return fn
