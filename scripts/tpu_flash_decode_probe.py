@@ -39,3 +39,28 @@ for bkv in (256, 512, 1024, 2048):
               f"({kv_elems/secq/1e9:6.0f} GB/s)", flush=True)
     except Exception as ex:  # noqa: BLE001
         print(f"flash-decode bkv={bkv}: FAIL {str(ex)[:90]}", flush=True)
+
+# partial_stats lowering check on hardware (the cp merge path): flash
+# shard stats merged across two halves must equal the full-cache oracle.
+from bitblas_tpu.serving.kv_cache import (decode_attention,
+                                          decode_attention_partial)
+SL = L // 2
+full = np.asarray(decode_attention(q, ck_b, cv_b, slots, lengths,
+                                   num_heads=H, use_flash=False),
+                  np.float32)
+stats = []
+for c in (0, 1):
+    lloc = jnp.clip(lengths - c * SL, 0, SL)
+    stats.append(tuple(np.asarray(t, np.float32)
+                       for t in decode_attention_partial(
+        q, ck_b[:, c * SL:(c + 1) * SL], cv_b[:, c * SL:(c + 1) * SL],
+        slots, lloc, num_heads=H, use_flash=True)))
+(a0, m0, l0), (a1, m1, l1) = stats
+mg = np.maximum(m0, m1)
+w0, w1 = np.exp(m0 - mg), np.exp(m1 - mg)
+lg = l0 * w0 + l1 * w1
+merged = (a0 * w0[..., None] + a1 * w1[..., None]) \
+    / np.maximum(lg, 1e-30)[..., None]
+err = np.abs(merged - full).max() / max(1e-6, np.abs(full).max())
+print(f"partial-stats cp merge vs full oracle: rel {err:.2e} "
+      f"{'PASS' if err < 0.02 else 'FAIL'}", flush=True)
