@@ -131,6 +131,52 @@ def test_token_engine_over_tp_mesh_matches_single_device(lm):
         assert r.out_tokens == rr.out_tokens, r.uid
 
 
+def test_token_engine_over_cp_mesh_matches_single_device():
+    """Token-for-token parity with the context-parallel cache (tp=4 >
+    kv_heads=2: sequence-sharded source-head KV, LSE-merged decode).
+    Own model: row-sharded scale planes need K/group_size % tp == 0,
+    so group_size=64 (the shared fixture's 128 leaves only 2 groups)."""
+    import jax
+    from jax.sharding import Mesh
+    from bitblas_tpu.parallel.serving import TPQuantLlama
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    cfg = LlamaConfig(hidden_size=H, intermediate_size=512, num_heads=4,
+                      num_kv_heads=2, num_layers=2, vocab_size=V,
+                      group_size=64)
+    model = QuantLlama(cfg, opt_m=(1, 4, 16))
+    rng = np.random.default_rng(0)
+    head = LMHead(
+        embed=jnp.asarray(rng.standard_normal((V, H)) * 0.05, jnp.float16),
+        final_norm=jnp.ones((H,), jnp.float32),
+        lm_head=jnp.asarray(rng.standard_normal((V, H)) * 0.05,
+                            jnp.float32),
+    )
+    lm2 = QuantLlamaLM(model, head)
+    mesh = Mesh(np.array(devs[:4]).reshape(4), ("tp",))
+    tpm = TPQuantLlama(model, mesh, context_parallel=True)
+    assert tpm.context_parallel and tpm.cfg.num_kv_heads == 2
+
+    prompts = [np.arange(5, dtype=np.int32),
+               (np.arange(4, dtype=np.int32) + 9)]
+    ref = _engine(lm2)
+    ref_reqs = [ref.submit_tokens(uid=i, tokens=p, max_new=4)
+                for i, p in enumerate(prompts)]
+    ref.run_to_completion()
+
+    eng = TokenContinuousBatchingEngine(
+        tpm, head, num_slots=2, max_seq_len=64,
+        cache_sharding=tpm.kv_cache_sharding())
+    reqs = [eng.submit_tokens(uid=i, tokens=p, max_new=4)
+            for i, p in enumerate(prompts)]
+    eng.run_to_completion()
+    for r, rr in zip(reqs, ref_reqs):
+        assert r.done
+        assert r.out_tokens == rr.out_tokens, r.uid
+
+
 def test_plain_requests_coexist_with_token_requests(lm):
     """The token engine still honors the base hidden-state Request API:
     plain requests decode with hidden feedback, token requests sample."""
