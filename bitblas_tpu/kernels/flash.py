@@ -170,12 +170,15 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     # folded into the narrow dots) and 128-multiple widths for trans_k's
     # lane-axis slices.
     # diag_sub: None = auto, 0 = disable (full-block masked diag step).
-    # Measured 2026-08-19 on-chip: ~neutral at s2048/s4096 bq=bkv=1024 —
-    # the elementwise-work saving is eaten by per-sub-chunk serialization
-    # (the same Mosaic intra-step behavior the decode/dot pipelining
-    # probes hit); kept because it is exact and the tuner can pick widths.
+    # One-window sweep (tpu_flash_diag_probe, 2026-08-19, bq=bkv=1024):
+    # HALF-block sub-chunking wins — s2048 causal 82.4 TF/s vs 71.8 off /
+    # 76.7 @256 / 69.0 @128; s4096 109.3 vs 99.0. Two sub-chunks cut the
+    # diagonal step to 0.75x work; finer splits drown the saving in
+    # per-sub-chunk serialization (the Mosaic intra-step behavior every
+    # pipelining probe hits). 82.4 sits AT the triangular-geometry
+    # ceiling (2/3 of the 122.7 dense rate).
     if diag_sub is None:
-        diag_sub = max(128, block_q // 8)
+        diag_sub = max(128, block_q // 2)
     use_tri_sub = (causal and diag_sub > 0 and block_q == block_kv
                    and seq_len % block_kv == 0
                    and block_q % diag_sub == 0 and block_q // diag_sub > 1)
