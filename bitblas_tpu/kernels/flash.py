@@ -365,7 +365,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
 
 
 def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
-                      kv_heads: int = None, block_kv: int = 512,
+                      kv_heads: int = None, block_kv: int = 1024,
                       out_dtype=jnp.float16, partial_stats: bool = False,
                       interpret: bool = False):
     """Length-masked decode attention for serving KV caches.
@@ -545,7 +545,7 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
 
 def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
                             dim: int, kv_heads: int = None,
-                            block_kv: int = 512, out_dtype=jnp.float16,
+                            block_kv: int = 1024, out_dtype=jnp.float16,
                             interpret: bool = False):
     """Length-masked decode attention over the int8-quantized KV cache.
 
