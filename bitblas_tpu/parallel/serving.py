@@ -542,10 +542,9 @@ class TPQuantLlama:
         if self.context_parallel:
             raise NotImplementedError(
                 f"{name} does not support context_parallel yet — cp mode "
-                f"covers make_prefill, decode_step, decode_chunk and "
-                f"decode_step_quant (the slot-cache serving paths); run "
-                f"with context_parallel=False for the paged and "
-                f"chunk-quant variants")
+                f"covers every slot-cache serving path (prefill, "
+                f"decode_step/chunk, float + int8 KV); run with "
+                f"context_parallel=False for the paged variants")
 
     def decode_chunk(self, x, caches_k, caches_v, slots, lengths):
         """TP twin of QuantLlama.decode_chunk: append T tokens per slot in
@@ -619,26 +618,61 @@ class TPQuantLlama:
         """TP twin of QuantLlama.decode_chunk_quant: T-token append over
         the kv_heads-sharded int8 cache (codes + scales), chunk-causal
         attention, local projections at M=B*T."""
-        self._no_cp("decode_chunk_quant")
         T = x.shape[1]
 
-        def make_attend(cs, ex):
-            from ..serving.kv_cache import (append_chunk_quant,
-                                            chunk_attention_quant)
-            slots, lengths = ex
+        if self.context_parallel:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (
+                    append_chunk_quant_cp, chunk_attention_quant_partial)
+                slots, lengths = ex
 
-            def attend(li, q, k, v):
-                ckl, cvl, skl, svl = append_chunk_quant(
-                    cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
-                    lengths, k, v)
-                for i, t in enumerate((ckl, cvl, skl, svl)):
-                    cs[i] = cs[i].at[li].set(t)
-                return chunk_attention_quant(q, ckl, cvl, skl, svl, slots,
-                                             lengths, num_heads=q.shape[2])
+                def attend(li, q, k, v):
+                    c = jax.lax.axis_index("cp")
+                    s_loc = cs[0].shape[2]
+                    ckl, cvl, skl, svl = append_chunk_quant_cp(
+                        cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
+                        lengths, k, v, cp_index=c, local_len=s_loc)
+                    for i, t in enumerate((ckl, cvl, skl, svl)):
+                        cs[i] = cs[i].at[li].set(t)
+                    limit = (lengths[:, None]
+                             + jnp.arange(T, dtype=lengths.dtype) + 1)
+                    lloc = jnp.clip(limit - c * s_loc, 0, s_loc)
+                    hl = q.shape[2]
+                    qg = jax.lax.all_gather(q, "cp", axis=2, tiled=True)
+                    acc, m, l = chunk_attention_quant_partial(
+                        qg, ckl, cvl, skl, svl, slots, lloc,
+                        num_heads=qg.shape[2])
+                    m_g = jax.lax.pmax(m, "cp")
+                    w = jnp.exp(m - m_g)
+                    l_g = jax.lax.psum(l * w, "cp")
+                    acc_g = jax.lax.psum(acc * w[..., None], "cp")
+                    out = acc_g / jnp.maximum(l_g, 1e-30)[..., None]
+                    out = jax.lax.dynamic_slice_in_dim(out, c * hl, hl,
+                                                       axis=2)
+                    return out.astype(q.dtype)
 
-            positions = lengths[:, None] + jnp.arange(T,
-                                                      dtype=lengths.dtype)
-            return attend, positions
+                positions = lengths[:, None] + jnp.arange(
+                    T, dtype=lengths.dtype)
+                return attend, positions
+        else:
+            def make_attend(cs, ex):
+                from ..serving.kv_cache import (append_chunk_quant,
+                                                chunk_attention_quant)
+                slots, lengths = ex
+
+                def attend(li, q, k, v):
+                    ckl, cvl, skl, svl = append_chunk_quant(
+                        cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
+                        lengths, k, v)
+                    for i, t in enumerate((ckl, cvl, skl, svl)):
+                        cs[i] = cs[i].at[li].set(t)
+                    return chunk_attention_quant(
+                        q, ckl, cvl, skl, svl, slots, lengths,
+                        num_heads=q.shape[2])
+
+                positions = lengths[:, None] + jnp.arange(
+                    T, dtype=lengths.dtype)
+                return attend, positions
 
         kv, ks = self._kv_spec, self._ks_spec
         return self._sharded_decode(

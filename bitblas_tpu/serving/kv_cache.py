@@ -522,6 +522,62 @@ def append_token_quant_cp(cache_k, cache_v, scale_k, scale_v,
             scale_v.at[slots, idx].set(vs, mode="drop"))
 
 
+def append_chunk_quant_cp(cache_k, cache_v, scale_k, scale_v,
+                          slots: jnp.ndarray, starts: jnp.ndarray,
+                          k_new: jnp.ndarray, v_new: jnp.ndarray, *,
+                          cp_index, local_len: int):
+    """Quantized twin of append_chunk_cp: T tokens' codes + scales land on
+    their owning sequence shard only (scatter-dropped elsewhere)."""
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    T = k_new.shape[1]
+    pos = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]
+    p_loc = pos - cp_index * local_len
+    own = (p_loc >= 0) & (p_loc < local_len)
+    idx = jnp.where(own, p_loc, local_len)
+    b = slots[:, None]
+    return (cache_k.at[b, idx].set(kq, mode="drop"),
+            cache_v.at[b, idx].set(vq, mode="drop"),
+            scale_k.at[b, idx].set(ks, mode="drop"),
+            scale_v.at[b, idx].set(vs, mode="drop"))
+
+
+def chunk_attention_quant_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
+                                  cache_v: jnp.ndarray,
+                                  scale_k: jnp.ndarray,
+                                  scale_v: jnp.ndarray,
+                                  slots: jnp.ndarray,
+                                  limits_local: jnp.ndarray, *,
+                                  num_heads: int
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray]:
+    """int8-KV twin of chunk_attention_partial (same stats contract;
+    scale factorization of chunk_attention_quant)."""
+    B, T, H, D = q.shape
+    k = cache_k[slots]            # [B, Lloc, Hkv, D] int8
+    v = cache_v[slots]
+    ks = scale_k[slots]           # [B, Lloc, Hkv]
+    vs = scale_v[slots]
+    L, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    s = jnp.einsum("bthgd,blhd->bhgtl", qf,
+                   k.astype(jnp.float32)) / jnp.sqrt(jnp.float32(D))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, None, :]
+    mask = jnp.arange(L)[None, None, :] < limits_local[:, :, None]
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pw = jnp.where(mask[:, None, None, :, :],
+                   p * vs.transpose(0, 2, 1)[:, :, None, None, :], 0.0)
+    acc = jnp.einsum("bhgtl,blhd->bthgd", pw, v.astype(jnp.float32))
+    perm = (0, 3, 1, 2, 4)
+    return (acc.reshape(B, T, H, D),
+            m.transpose(*perm).reshape(B, T, H),
+            l.transpose(*perm).reshape(B, T, H))
+
+
 def decode_attention_quant_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
                                    cache_v: jnp.ndarray,
                                    scale_k: jnp.ndarray,

@@ -229,6 +229,23 @@ def test_tp_context_parallel_quant_kv_decode():
     rel = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
     assert rel < 0.06, rel
 
+    # chunked twin: T tokens straddling the shard boundary over the same
+    # int8 cp cache tracks the float cp chunk decode
+    T = 3
+    xc = jnp.asarray(rng.standard_normal((B, T, CFG.hidden_size))
+                     .astype(np.float16))
+    lengths_c = jnp.asarray([2, 6, 7, 12], jnp.int32)
+    y_cf, *_ = tpm.decode_chunk(
+        xc, jax.device_put(ck, kvsh), jax.device_put(cv, kvsh),
+        slots, lengths_c)
+    y_cq, *_ = tpm.decode_chunk_quant(
+        xc, jax.device_put(kq, kvsh), jax.device_put(vq, kvsh),
+        jax.device_put(ks, ssh), jax.device_put(vs, ssh), slots, lengths_c)
+    a = np.asarray(y_cf, np.float32)
+    b = np.asarray(y_cq, np.float32)
+    rel = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
+    assert rel < 0.06, rel
+
 
 def test_tp_context_parallel_prefill_matches_single_device():
     """cp prefill returns SOURCE-head K/V (de-replicated from the eff-head
