@@ -703,3 +703,270 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
 
     return fn
+
+
+def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
+                            max_blocks: int, dim: int, kv_heads: int = None,
+                            out_dtype=jnp.float16, interpret: bool = False):
+    """Paged decode attention: the TPU PagedAttention kernel.
+
+    fn(q, k_cache, v_cache, tables, lengths) with q [B, H, D], caches
+    [num_blocks, block_size, Hkv, D] (the vLLM-style block pool —
+    serving/kv_cache.py PagedKVConfig), tables [B, max_blocks] int32
+    physical block ids (page j of request b holds global positions
+    [j*block_size, (j+1)*block_size); unused entries may be any valid
+    id), lengths [B]. Returns [B, H, D].
+
+    Same GQA-grouped grid as make_flash_decode — one step per (sequence,
+    KV HEAD), the whole q-head group rides along — but the kv index map
+    dereferences the scalar-prefetched block TABLE instead of a slot row,
+    and clamps past each sequence's last live page, so reads stay
+    length-proportional. The XLA paged path gathers every table entry
+    every step; this reads only live pages. The reference delegates paged
+    attention to vLLM's CUDA kernel — this is the Pallas equivalent.
+
+    Per-step DMA granularity is [block_size, D] per K and V: prefer
+    block_size >= 64 (16KB bf16 at d=128) so the stream stays
+    bandwidth-efficient.
+    """
+    kv_heads = kv_heads or heads
+    assert heads % kv_heads == 0
+    assert dim % 128 == 0, "flash decode needs lane-aligned head dim"
+    assert block_size % 8 == 0, "paged blocks must be sublane-aligned"
+    group = heads // kv_heads
+    scale = 1.0 / math.sqrt(dim)
+    grid = (batch * kv_heads, max_blocks)
+    qrows = max(8, -(-group // 8) * 8)
+    f16 = jnp.dtype(jnp.float16)
+    kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
+                                 not interpret) else out_dtype
+
+    def q_map(bh, j, lens, tabs):
+        del lens, tabs, j
+        return (bh, 0, 0)
+
+    def kv_map(bh, j, lens, tabs):
+        b = bh // kv_heads
+        last = jnp.maximum(lens[b] - 1, 0) // block_size
+        return (tabs[b, jnp.minimum(j, last)], 0, bh % kv_heads)
+
+    def kernel(len_ref, tab_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+               acc_ref):
+        del tab_ref  # consumed by the index maps
+        bh = pl.program_id(0)
+        j = pl.program_id(1)
+        b = bh // kv_heads
+        length = len_ref[b]
+
+        @pl.when(j == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        kv_start = j * block_size
+
+        @pl.when(kv_start < length)
+        def _attend():
+            m_new, l_new, acc_new = _attend_block(
+                q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
+                acc_ref[...], scale=scale, causal=False,
+                q_start=0, kv_start=kv_start, block_q=qrows,
+                block_kv=block_size, kv_len=length)
+            m_ref[...] = m_new
+            l_ref[...] = l_new
+            acc_ref[...] = acc_new
+
+        @pl.when(j == max_blocks - 1)
+        def _():
+            denom = jnp.maximum(l_ref[...], 1e-30)
+            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, qrows, dim), q_map),
+                pl.BlockSpec((1, block_size, dim), kv_map),
+                pl.BlockSpec((1, block_size, dim), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, qrows, dim), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
+                                       kernel_out),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * max_blocks * block_size * dim,
+            bytes_accessed=batch * max_blocks * block_size * kv_heads
+            * dim * 4,
+            transcendentals=batch * heads * max_blocks * block_size,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(q, k_cache, v_cache, tables, lengths):
+        B, H, D = q.shape
+        assert (B, H, D) == (batch, heads, dim), (q.shape,)
+        blocks, bs = k_cache.shape[0], k_cache.shape[1]
+        assert bs == block_size, (k_cache.shape,)
+        assert tables.shape == (batch, max_blocks), (tables.shape,)
+        qg = q.reshape(B * kv_heads, group, D)
+        q8 = jnp.zeros((B * kv_heads, qrows, D), q.dtype
+                       ).at[:, :group, :].set(qg)
+        k2 = k_cache.reshape(blocks, bs, kv_heads * D)
+        v2 = v_cache.reshape(blocks, bs, kv_heads * D)
+        if not interpret and q8.dtype == f16:
+            q8, k2, v2 = (t.astype(jnp.bfloat16) for t in (q8, k2, v2))
+        out = call(jnp.asarray(lengths, jnp.int32),
+                   jnp.asarray(tables, jnp.int32), q8, k2, v2)
+        return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
+
+    return fn
+
+
+def make_flash_decode_paged_quant(*, batch: int, heads: int,
+                                  block_size: int, max_blocks: int,
+                                  dim: int, kv_heads: int = None,
+                                  out_dtype=jnp.float16,
+                                  interpret: bool = False):
+    """Paged decode attention over the int8-quantized block pool.
+
+    fn(q, k_cache, v_cache, k_scale, v_scale, tables, lengths) with codes
+    [num_blocks, block_size, Hkv, D] int8 + scale planes
+    [num_blocks, block_size, Hkv] f32. Same table-walking grid as
+    make_flash_decode_paged, same scale factorization as the slot quant
+    kernel (K scales on logit columns pre-max, V scales folded into the
+    weights)."""
+    kv_heads = kv_heads or heads
+    assert heads % kv_heads == 0
+    assert dim % 128 == 0, "flash decode needs lane-aligned head dim"
+    assert block_size % 8 == 0, "paged blocks must be sublane-aligned"
+    group = heads // kv_heads
+    scale = 1.0 / math.sqrt(dim)
+    grid = (batch * kv_heads, max_blocks)
+    qrows = max(8, -(-group // 8) * 8)
+    f16 = jnp.dtype(jnp.float16)
+    kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
+                                 not interpret) else out_dtype
+    log2e = 1.4426950408889634
+
+    def q_map(bh, j, lens, tabs):
+        del lens, tabs, j
+        return (bh, 0, 0)
+
+    def kv_map(bh, j, lens, tabs):
+        b = bh // kv_heads
+        last = jnp.maximum(lens[b] - 1, 0) // block_size
+        return (tabs[b, jnp.minimum(j, last)], 0, bh % kv_heads)
+
+    def sc_map(bh, j, lens, tabs):
+        # scales pre-transposed [blocks, Hkv, 1, block_size] (lane dim =
+        # in-block position; size-1 dim -2 keeps sublane blocks full-dim)
+        b = bh // kv_heads
+        last = jnp.maximum(lens[b] - 1, 0) // block_size
+        return (tabs[b, jnp.minimum(j, last)], bh % kv_heads, 0, 0)
+
+    def kernel(len_ref, tab_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+               o_ref, m_ref, l_ref, acc_ref):
+        del tab_ref
+        bh = pl.program_id(0)
+        j = pl.program_id(1)
+        b = bh // kv_heads
+        length = len_ref[b]
+
+        @pl.when(j == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        kv_start = j * block_size
+
+        @pl.when(kv_start < length)
+        def _attend():
+            q = q_ref[0].astype(jnp.float32)
+            k = k_ref[0].astype(jnp.float32)
+            v = v_ref[0].astype(jnp.float32)
+            ksc = ks_ref[0, 0, 0].astype(jnp.float32)
+            vsc = vs_ref[0, 0, 0].astype(jnp.float32)
+            vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                       v.shape, 0)
+            v = jnp.where(vrow < length, v, jnp.zeros_like(v))
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * ksc[None, :] * (scale * log2e)
+            kj = kv_start + jax.lax.broadcasted_iota(
+                jnp.int32, (qrows, block_size), 1)
+            s = jnp.where(kj < length, s, NEG_INF)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_ref[...], m_cur)
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_ref[...] - m_new)
+            l_ref[...] = alpha * l_ref[...] + jnp.sum(p, axis=1,
+                                                      keepdims=True)
+            pw = jnp.where(kj < length, p * vsc[None, :], 0.0)
+            pv = jax.lax.dot_general(
+                pw, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[...] = acc_ref[...] * alpha + pv
+            m_ref[...] = m_new
+
+        @pl.when(j == max_blocks - 1)
+        def _():
+            denom = jnp.maximum(l_ref[...], 1e-30)
+            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, qrows, dim), q_map),
+                pl.BlockSpec((1, block_size, dim), kv_map),
+                pl.BlockSpec((1, block_size, dim), kv_map),
+                pl.BlockSpec((1, 1, 1, block_size), sc_map),
+                pl.BlockSpec((1, 1, 1, block_size), sc_map),
+            ],
+            out_specs=pl.BlockSpec((1, qrows, dim), q_map),
+            scratch_shapes=[
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, 1), jnp.float32),
+                pltpu.VMEM((qrows, dim), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
+                                       kernel_out),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * heads * max_blocks * block_size * dim,
+            bytes_accessed=batch * max_blocks * block_size * kv_heads
+            * dim * 2,
+            transcendentals=batch * heads * max_blocks * block_size,
+        ),
+        interpret=interpret,
+    )
+
+    def fn(q, k_cache, v_cache, k_scale, v_scale, tables, lengths):
+        B, H, D = q.shape
+        assert (B, H, D) == (batch, heads, dim), (q.shape,)
+        blocks, bs = k_cache.shape[0], k_cache.shape[1]
+        assert bs == block_size, (k_cache.shape,)
+        qg = q.astype(jnp.float32).reshape(B * kv_heads, group, D)
+        q8 = jnp.zeros((B * kv_heads, qrows, D), jnp.float32
+                       ).at[:, :group, :].set(qg)
+        k2 = k_cache.reshape(blocks, bs, kv_heads * D)
+        v2 = v_cache.reshape(blocks, bs, kv_heads * D)
+        ks2 = k_scale.transpose(0, 2, 1)[:, :, None, :]
+        vs2 = v_scale.transpose(0, 2, 1)[:, :, None, :]
+        out = call(jnp.asarray(lengths, jnp.int32),
+                   jnp.asarray(tables, jnp.int32), q8, k2, v2, ks2, vs2)
+        return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
+
+    return fn

@@ -169,16 +169,30 @@ def append_token_paged(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
 
 def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
                            cache_v: jnp.ndarray, tables: jnp.ndarray,
-                           lengths: jnp.ndarray, *,
-                           num_heads: int) -> jnp.ndarray:
+                           lengths: jnp.ndarray, *, num_heads: int,
+                           use_flash: bool = None) -> jnp.ndarray:
     """Single-token attention against the paged cache.
 
     q [B, H, D]; cache_k/v [blocks, bs, Hkv, D]; tables [B, MB] physical
     block ids per request (unused entries may be any valid id — masked);
     lengths [B] = valid tokens. Returns [B, H, D].
+
+    Lane-aligned head dims take the paged flash kernel (the Pallas
+    PagedAttention): the scalar-prefetched table walk reads only LIVE
+    pages, where the XLA path gathers every table entry every step.
     """
     B, H, D = q.shape
     bs = cache_k.shape[1]
+    if use_flash is None:
+        use_flash = D % 128 == 0 and bs % 8 == 0
+    if use_flash:
+        from ..kernels.flash import make_flash_decode_paged
+        from ..tuner import get_arch
+        fn = make_flash_decode_paged(
+            batch=B, heads=H, block_size=bs, max_blocks=tables.shape[1],
+            dim=D, kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            interpret=get_arch().is_cpu)
+        return fn(q, cache_k, cache_v, tables, lengths)
     k = cache_k[tables]            # [B, MB, bs, Hkv, D]
     v = cache_v[tables]
     MB = tables.shape[1]
@@ -370,12 +384,23 @@ def append_token_paged_quant(cache_k, cache_v, scale_k, scale_v,
 def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                                  cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                                  scale_v: jnp.ndarray, tables: jnp.ndarray,
-                                 lengths: jnp.ndarray, *,
-                                 num_heads: int) -> jnp.ndarray:
+                                 lengths: jnp.ndarray, *, num_heads: int,
+                                 use_flash: bool = None) -> jnp.ndarray:
     """Quantized twin of decode_attention_paged: same scale-on-results math
-    as decode_attention_quant over the gathered block pool."""
+    as decode_attention_quant over the block pool (flash table-walk kernel
+    for lane-aligned dims, XLA gather otherwise)."""
     B, H, D = q.shape
     bs = cache_k.shape[1]
+    if use_flash is None:
+        use_flash = D % 128 == 0 and bs % 8 == 0
+    if use_flash:
+        from ..kernels.flash import make_flash_decode_paged_quant
+        from ..tuner import get_arch
+        fn = make_flash_decode_paged_quant(
+            batch=B, heads=H, block_size=bs, max_blocks=tables.shape[1],
+            dim=D, kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            interpret=get_arch().is_cpu)
+        return fn(q, cache_k, cache_v, scale_k, scale_v, tables, lengths)
     k = cache_k[tables]            # [B, MB, bs, Hkv, D] int8
     v = cache_v[tables]
     ks = scale_k[tables]           # [B, MB, bs, Hkv]

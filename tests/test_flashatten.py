@@ -149,6 +149,45 @@ def test_flash_decode_slot_mapped():
                  np.asarray(out_ref, np.float32), rtol=2e-2, atol=2e-2)
 
 
+def test_flash_decode_paged_matches_xla():
+    """Paged flash decode (scalar-prefetched table walk) vs the XLA
+    gather oracle: out-of-order block tables, lengths mid-page, GQA
+    group riding one grid step, float + int8-scale variants."""
+    from bitblas_tpu.serving.kv_cache import (decode_attention_paged,
+                                              decode_attention_paged_quant,
+                                              quantize_kv)
+
+    B, H, Hkv, D = 3, 8, 2, 128
+    blocks, bs, MB = 12, 16, 4
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, H, D)).astype(np.float16))
+    ck = jnp.asarray(rng.standard_normal((blocks, bs, Hkv, D))
+                     .astype(np.float16))
+    cv = jnp.asarray(rng.standard_normal((blocks, bs, Hkv, D))
+                     .astype(np.float16))
+    tables = jnp.asarray(
+        rng.permutation(blocks)[:B * MB].reshape(B, MB), jnp.int32)
+    lengths = jnp.asarray([5, 64, 37], jnp.int32)   # mid-page, full, 3rd pg
+
+    out_f = decode_attention_paged(q, ck, cv, tables, lengths,
+                                   num_heads=H, use_flash=True)
+    out_x = decode_attention_paged(q, ck, cv, tables, lengths,
+                                   num_heads=H, use_flash=False)
+    assert_close(np.asarray(out_f, np.float32),
+                 np.asarray(out_x, np.float32), rtol=2e-2, atol=2e-2)
+
+    kq, ks = quantize_kv(ck)
+    vq, vs = quantize_kv(cv)
+    out_fq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
+                                          lengths, num_heads=H,
+                                          use_flash=True)
+    out_xq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
+                                          lengths, num_heads=H,
+                                          use_flash=False)
+    assert_close(np.asarray(out_fq, np.float32),
+                 np.asarray(out_xq, np.float32), rtol=2e-2, atol=2e-2)
+
+
 def test_flash_decode_partial_stats_merge():
     """partial_stats flash decode over two sequence shards (the
     context-parallel layout): per-shard stats from the flash kernel and
