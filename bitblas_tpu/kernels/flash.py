@@ -546,6 +546,7 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
 def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
                             dim: int, kv_heads: int = None,
                             block_kv: int = 1024, out_dtype=jnp.float16,
+                            partial_stats: bool = False,
                             interpret: bool = False):
     """Length-masked decode attention over the int8-quantized KV cache.
 
@@ -560,6 +561,10 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
     softmax: K scales multiply the logit columns before the running max,
     V scales fold into the softmax weights before the PV dot — the same
     factorization as serving.kv_cache.decode_attention_quant.
+
+    partial_stats=True returns (acc, m, l) in the natural-log domain for
+    the context-parallel cross-shard merge (see make_flash_decode) — same
+    length-proportional int8 shard reads.
     """
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
@@ -595,9 +600,8 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
         return (slots[b], bh % kv_heads, 0, jnp.minimum(ki, last))
 
-    def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-               o_ref, m_ref, l_ref, acc_ref):
-        del slot_ref
+    def body(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, m_ref, l_ref,
+             acc_ref):
         bh = pl.program_id(0)
         ki = pl.program_id(1)
         b = bh // kv_heads
@@ -645,10 +649,46 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             acc_ref[...] = acc_ref[...] * alpha + pv
             m_ref[...] = m_new
 
-        @pl.when(ki == nkv - 1)
-        def _():
-            denom = jnp.maximum(l_ref[...], 1e-30)
-            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+        return ki == nkv - 1
+
+    if partial_stats:
+        def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   oa_ref, om_ref, ol_ref, m_ref, l_ref, acc_ref):
+            del slot_ref
+            emit = body(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                        m_ref, l_ref, acc_ref)
+
+            @pl.when(emit)
+            def _():
+                oa_ref[0] = acc_ref[...]
+                om_ref[0] = m_ref[...]
+                ol_ref[0] = l_ref[...]
+
+        out_specs = (pl.BlockSpec((1, qrows, dim), q_map),
+                     pl.BlockSpec((1, qrows, 1), q_map),
+                     pl.BlockSpec((1, qrows, 1), q_map))
+        out_shape = (
+            jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((batch * kv_heads, qrows, 1),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((batch * kv_heads, qrows, 1),
+                                 jnp.float32))
+    else:
+        def kernel(len_ref, slot_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   o_ref, m_ref, l_ref, acc_ref):
+            del slot_ref
+            emit = body(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                        m_ref, l_ref, acc_ref)
+
+            @pl.when(emit)
+            def _():
+                denom = jnp.maximum(l_ref[...], 1e-30)
+                o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+
+        out_specs = pl.BlockSpec((1, qrows, dim), q_map)
+        out_shape = jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
+                                         kernel_out)
 
     call = pl.pallas_call(
         kernel,
@@ -662,15 +702,14 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
                 pl.BlockSpec((1, 1, 1, block_kv), sc_map),
                 pl.BlockSpec((1, 1, 1, block_kv), sc_map),
             ],
-            out_specs=pl.BlockSpec((1, qrows, dim), q_map),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((qrows, 1), jnp.float32),
                 pltpu.VMEM((qrows, 1), jnp.float32),
                 pltpu.VMEM((qrows, dim), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((batch * kv_heads, qrows, dim),
-                                       kernel_out),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * heads * max_seq_len * dim,
             bytes_accessed=batch * max_seq_len * kv_heads * dim * 2,
@@ -700,6 +739,13 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         vs2 = v_scale.transpose(0, 2, 1)[:, :, None, :]
         out = call(jnp.asarray(lengths, jnp.int32),
                    jnp.asarray(slots, jnp.int32), q8, k2, v2, ks2, vs2)
+        if partial_stats:
+            acc, m, l = out
+            # base-2 kernel domain -> natural log (see make_flash_decode)
+            ln2 = 0.6931471805599453
+            return (acc[:, :group, :].reshape(B, H, D),
+                    (m[:, :group, 0] * ln2).reshape(B, H),
+                    l[:, :group, 0].reshape(B, H))
         return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
 
     return fn

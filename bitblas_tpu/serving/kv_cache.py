@@ -609,14 +609,28 @@ def decode_attention_quant_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
                                    scale_v: jnp.ndarray,
                                    slots: jnp.ndarray,
                                    lengths_local: jnp.ndarray, *,
-                                   num_heads: int
+                                   num_heads: int, use_flash: bool = None
                                    ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                               jnp.ndarray]:
     """int8-KV twin of decode_attention_partial: logits scale by the K
     scales before the local max, V scales fold into the (unnormalized)
     softmax weights, l stays the raw exp-sum — the same factorization as
-    decode_attention_quant, returned as cross-shard LSE merge stats."""
+    decode_attention_quant, returned as cross-shard LSE merge stats.
+    Lane-aligned dims take the quant flash kernel in partial_stats mode
+    (length-proportional int8 shard reads — without it cp+int8 decode
+    would stream the whole shard per step)."""
     B, H, D = q.shape
+    if use_flash is None:
+        use_flash = D % 128 == 0
+    if use_flash:
+        from ..kernels.flash import make_flash_decode_quant
+        from ..tuner import get_arch
+        fn = make_flash_decode_quant(
+            batch=B, heads=H, max_seq_len=cache_k.shape[1], dim=D,
+            kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            partial_stats=True, interpret=get_arch().is_cpu)
+        return fn(q, cache_k, cache_v, scale_k, scale_v, lengths_local,
+                  slots)
     k = cache_k[slots]            # [B, Lloc, Hkv, D] int8
     v = cache_v[slots]
     ks = scale_k[slots]           # [B, Lloc, Hkv]

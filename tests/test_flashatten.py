@@ -231,6 +231,36 @@ def test_flash_decode_partial_stats_merge():
     assert_close(merged(use_flash=False), full, rtol=3e-2, atol=3e-2)
     assert_close(merged(use_flash=True), full, rtol=3e-2, atol=3e-2)
 
+    # int8-KV twin: quant shard stats (flash + XLA) merge to the quant
+    # full-cache oracle
+    from bitblas_tpu.serving.kv_cache import (decode_attention_quant,
+                                              decode_attention_quant_partial,
+                                              quantize_kv)
+    kq, ksc = quantize_kv(ck)
+    vq, vsc = quantize_kv(cv)
+    full_q = np.asarray(decode_attention_quant(
+        q, kq, vq, ksc, vsc, slots, lengths, num_heads=H,
+        use_flash=False), np.float32)
+
+    def merged_q(use_flash):
+        stats = []
+        for c in (0, 1):
+            lloc = jnp.clip(lengths - c * SL, 0, SL)
+            stats.append(tuple(np.asarray(t, np.float32)
+                               for t in decode_attention_quant_partial(
+                q, kq[:, c * SL:(c + 1) * SL], vq[:, c * SL:(c + 1) * SL],
+                ksc[:, c * SL:(c + 1) * SL], vsc[:, c * SL:(c + 1) * SL],
+                slots, lloc, num_heads=H, use_flash=use_flash)))
+        (a0, m0, l0), (a1, m1, l1) = stats
+        mg = np.maximum(m0, m1)
+        w0, w1 = np.exp(m0 - mg), np.exp(m1 - mg)
+        lg = l0 * w0 + l1 * w1
+        acc = a0 * w0[..., None] + a1 * w1[..., None]
+        return acc / np.maximum(lg, 1e-30)[..., None]
+
+    assert_close(merged_q(use_flash=False), full_q, rtol=3e-2, atol=3e-2)
+    assert_close(merged_q(use_flash=True), full_q, rtol=3e-2, atol=3e-2)
+
 
 def test_ntn_untileable_seq_falls_back_to_xla():
     """ntn with seq_len % 128 != 0 cannot tile on TPU (head-interleaved
