@@ -763,17 +763,15 @@ def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
     [j*block_size, (j+1)*block_size); unused entries may be any valid
     id), lengths [B]. Returns [B, H, D].
 
-    Same GQA-grouped grid as make_flash_decode — one step per (sequence,
-    KV HEAD), the whole q-head group rides along — but the kv index map
-    dereferences the scalar-prefetched block TABLE instead of a slot row,
-    and clamps past each sequence's last live page, so reads stay
-    length-proportional. The XLA paged path gathers every table entry
-    every step; this reads only live pages. The reference delegates paged
-    attention to vLLM's CUDA kernel — this is the Pallas equivalent.
-
-    Per-step DMA granularity is [block_size, D] per K and V: prefer
-    block_size >= 64 (16KB bf16 at d=128) so the stream stays
-    bandwidth-efficient.
+    One grid step per (sequence, KV HEAD) — the whole GQA q-head group
+    rides along — and inside each step a dynamic fori_loop walks that
+    sequence's LIVE pages with manual double-buffered HBM->VMEM copies
+    (pltpu.make_async_copy): page j+1 streams while page j computes. The
+    earlier BlockSpec-per-page grid paid the ~0.25us grid-step overhead
+    per page (measured 121 GB/s at bs=128 — 4096 steps of [128, 128]);
+    the caches stay in ANY/HBM space and only live pages ever cross,
+    pipelined. The reference delegates paged attention to vLLM's CUDA
+    kernel — this is the Pallas equivalent.
     """
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
@@ -781,52 +779,63 @@ def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
     assert block_size % 8 == 0, "paged blocks must be sublane-aligned"
     group = heads // kv_heads
     scale = 1.0 / math.sqrt(dim)
-    grid = (batch * kv_heads, max_blocks)
+    grid = (batch * kv_heads,)
     qrows = max(8, -(-group // 8) * 8)
     f16 = jnp.dtype(jnp.float16)
     kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
                                  not interpret) else out_dtype
 
-    def q_map(bh, j, lens, tabs):
-        del lens, tabs, j
+    def q_map(bh, lens, tabs):
+        del lens, tabs
         return (bh, 0, 0)
 
-    def kv_map(bh, j, lens, tabs):
-        b = bh // kv_heads
-        last = jnp.maximum(lens[b] - 1, 0) // block_size
-        return (tabs[b, jnp.minimum(j, last)], 0, bh % kv_heads)
-
-    def kernel(len_ref, tab_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
-               acc_ref):
-        del tab_ref  # consumed by the index maps
+    def kernel(len_ref, tab_ref, q_ref, k_any, v_any, o_ref,
+               kbuf, vbuf, sem, m_ref, l_ref, acc_ref):
         bh = pl.program_id(0)
-        j = pl.program_id(1)
         b = bh // kv_heads
+        head = bh % kv_heads
         length = len_ref[b]
+        npages = pl.cdiv(length, block_size)
 
-        @pl.when(j == 0)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def page_copy(j, slot):
+            tab = tab_ref[b, j]
+            return (pltpu.make_async_copy(k_any.at[tab, :, head],
+                                          kbuf.at[slot], sem.at[slot, 0]),
+                    pltpu.make_async_copy(v_any.at[tab, :, head],
+                                          vbuf.at[slot], sem.at[slot, 1]))
+
+        @pl.when(npages > 0)
         def _():
-            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-            l_ref[...] = jnp.zeros_like(l_ref)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            for dma in page_copy(0, 0):
+                dma.start()
 
-        kv_start = j * block_size
+        def body(j, carry):
+            slot = jax.lax.rem(j, 2)
 
-        @pl.when(kv_start < length)
-        def _attend():
+            @pl.when(j + 1 < npages)
+            def _():
+                for dma in page_copy(j + 1, jax.lax.rem(j + 1, 2)):
+                    dma.start()
+
+            for dma in page_copy(j, slot):
+                dma.wait()
             m_new, l_new, acc_new = _attend_block(
-                q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
+                q_ref[0], kbuf[slot], vbuf[slot], m_ref[...], l_ref[...],
                 acc_ref[...], scale=scale, causal=False,
-                q_start=0, kv_start=kv_start, block_q=qrows,
+                q_start=0, kv_start=j * block_size, block_q=qrows,
                 block_kv=block_size, kv_len=length)
             m_ref[...] = m_new
             l_ref[...] = l_new
             acc_ref[...] = acc_new
+            return carry
 
-        @pl.when(j == max_blocks - 1)
-        def _():
-            denom = jnp.maximum(l_ref[...], 1e-30)
-            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+        jax.lax.fori_loop(0, npages, body, 0)
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
 
     call = pl.pallas_call(
         kernel,
@@ -835,11 +844,14 @@ def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, qrows, dim), q_map),
-                pl.BlockSpec((1, block_size, dim), kv_map),
-                pl.BlockSpec((1, block_size, dim), kv_map),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, qrows, dim), q_map),
             scratch_shapes=[
+                pltpu.VMEM((2, block_size, dim), jnp.bfloat16),
+                pltpu.VMEM((2, block_size, dim), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.VMEM((qrows, 1), jnp.float32),
                 pltpu.VMEM((qrows, 1), jnp.float32),
                 pltpu.VMEM((qrows, dim), jnp.float32),
@@ -865,10 +877,11 @@ def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
         qg = q.reshape(B * kv_heads, group, D)
         q8 = jnp.zeros((B * kv_heads, qrows, D), q.dtype
                        ).at[:, :group, :].set(qg)
-        k2 = k_cache.reshape(blocks, bs, kv_heads * D)
-        v2 = v_cache.reshape(blocks, bs, kv_heads * D)
+        # copies land in bf16 VMEM buffers — cast the pool once here
+        k2 = k_cache.astype(jnp.bfloat16)
+        v2 = v_cache.astype(jnp.bfloat16)
         if not interpret and q8.dtype == f16:
-            q8, k2, v2 = (t.astype(jnp.bfloat16) for t in (q8, k2, v2))
+            q8 = q8.astype(jnp.bfloat16)
         out = call(jnp.asarray(lengths, jnp.int32),
                    jnp.asarray(tables, jnp.int32), q8, k2, v2)
         return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
@@ -885,8 +898,9 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
 
     fn(q, k_cache, v_cache, k_scale, v_scale, tables, lengths) with codes
     [num_blocks, block_size, Hkv, D] int8 + scale planes
-    [num_blocks, block_size, Hkv] f32. Same table-walking grid as
-    make_flash_decode_paged, same scale factorization as the slot quant
+    [num_blocks, block_size, Hkv] f32. Same manual double-buffered page
+    pipeline as make_flash_decode_paged (int8 codes + the tiny scale rows
+    stream per live page), same scale factorization as the slot quant
     kernel (K scales on logit columns pre-max, V scales folded into the
     weights)."""
     kv_heads = kv_heads or heads
@@ -895,52 +909,64 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
     assert block_size % 8 == 0, "paged blocks must be sublane-aligned"
     group = heads // kv_heads
     scale = 1.0 / math.sqrt(dim)
-    grid = (batch * kv_heads, max_blocks)
+    grid = (batch * kv_heads,)
     qrows = max(8, -(-group // 8) * 8)
     f16 = jnp.dtype(jnp.float16)
     kernel_out = jnp.float32 if (jnp.dtype(out_dtype) == f16 and
                                  not interpret) else out_dtype
     log2e = 1.4426950408889634
 
-    def q_map(bh, j, lens, tabs):
-        del lens, tabs, j
+    def q_map(bh, lens, tabs):
+        del lens, tabs
         return (bh, 0, 0)
 
-    def kv_map(bh, j, lens, tabs):
-        b = bh // kv_heads
-        last = jnp.maximum(lens[b] - 1, 0) // block_size
-        return (tabs[b, jnp.minimum(j, last)], 0, bh % kv_heads)
-
-    def sc_map(bh, j, lens, tabs):
-        # scales pre-transposed [blocks, Hkv, 1, block_size] (lane dim =
-        # in-block position; size-1 dim -2 keeps sublane blocks full-dim)
-        b = bh // kv_heads
-        last = jnp.maximum(lens[b] - 1, 0) // block_size
-        return (tabs[b, jnp.minimum(j, last)], bh % kv_heads, 0, 0)
-
-    def kernel(len_ref, tab_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-               o_ref, m_ref, l_ref, acc_ref):
-        del tab_ref
+    def kernel(len_ref, tab_ref, q_ref, k_any, v_any, ks_any, vs_any,
+               o_ref, kbuf, vbuf, ksbuf, vsbuf, sem, m_ref, l_ref,
+               acc_ref):
         bh = pl.program_id(0)
-        j = pl.program_id(1)
         b = bh // kv_heads
+        head = bh % kv_heads
         length = len_ref[b]
+        npages = pl.cdiv(length, block_size)
 
-        @pl.when(j == 0)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def page_copy(j, slot):
+            tab = tab_ref[b, j]
+            return (pltpu.make_async_copy(k_any.at[tab, :, head],
+                                          kbuf.at[slot], sem.at[slot, 0]),
+                    pltpu.make_async_copy(v_any.at[tab, :, head],
+                                          vbuf.at[slot], sem.at[slot, 1]),
+                    pltpu.make_async_copy(ks_any.at[tab, head],
+                                          ksbuf.at[slot],
+                                          sem.at[slot, 2]),
+                    pltpu.make_async_copy(vs_any.at[tab, head],
+                                          vsbuf.at[slot],
+                                          sem.at[slot, 3]))
+
+        @pl.when(npages > 0)
         def _():
-            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-            l_ref[...] = jnp.zeros_like(l_ref)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            for dma in page_copy(0, 0):
+                dma.start()
 
-        kv_start = j * block_size
+        def body(j, carry):
+            slot = jax.lax.rem(j, 2)
 
-        @pl.when(kv_start < length)
-        def _attend():
+            @pl.when(j + 1 < npages)
+            def _():
+                for dma in page_copy(j + 1, jax.lax.rem(j + 1, 2)):
+                    dma.start()
+
+            for dma in page_copy(j, slot):
+                dma.wait()
+            kv_start = j * block_size
             q = q_ref[0].astype(jnp.float32)
-            k = k_ref[0].astype(jnp.float32)
-            v = v_ref[0].astype(jnp.float32)
-            ksc = ks_ref[0, 0, 0].astype(jnp.float32)
-            vsc = vs_ref[0, 0, 0].astype(jnp.float32)
+            k = kbuf[slot].astype(jnp.float32)
+            v = vbuf[slot].astype(jnp.float32)
+            ksc = ksbuf[slot, 0].astype(jnp.float32)
+            vsc = vsbuf[slot, 0].astype(jnp.float32)
             vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32,
                                                        v.shape, 0)
             v = jnp.where(vrow < length, v, jnp.zeros_like(v))
@@ -963,11 +989,11 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
                 preferred_element_type=jnp.float32)
             acc_ref[...] = acc_ref[...] * alpha + pv
             m_ref[...] = m_new
+            return carry
 
-        @pl.when(j == max_blocks - 1)
-        def _():
-            denom = jnp.maximum(l_ref[...], 1e-30)
-            o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
+        jax.lax.fori_loop(0, npages, body, 0)
+        denom = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0] = (acc_ref[...] / denom).astype(kernel_out)
 
     call = pl.pallas_call(
         kernel,
@@ -976,13 +1002,18 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, qrows, dim), q_map),
-                pl.BlockSpec((1, block_size, dim), kv_map),
-                pl.BlockSpec((1, block_size, dim), kv_map),
-                pl.BlockSpec((1, 1, 1, block_size), sc_map),
-                pl.BlockSpec((1, 1, 1, block_size), sc_map),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, qrows, dim), q_map),
             scratch_shapes=[
+                pltpu.VMEM((2, block_size, dim), jnp.int8),
+                pltpu.VMEM((2, block_size, dim), jnp.int8),
+                pltpu.VMEM((2, 1, block_size), jnp.float32),
+                pltpu.VMEM((2, 1, block_size), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
                 pltpu.VMEM((qrows, 1), jnp.float32),
                 pltpu.VMEM((qrows, 1), jnp.float32),
                 pltpu.VMEM((qrows, dim), jnp.float32),
@@ -1007,12 +1038,13 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
         qg = q.astype(jnp.float32).reshape(B * kv_heads, group, D)
         q8 = jnp.zeros((B * kv_heads, qrows, D), jnp.float32
                        ).at[:, :group, :].set(qg)
-        k2 = k_cache.reshape(blocks, bs, kv_heads * D)
-        v2 = v_cache.reshape(blocks, bs, kv_heads * D)
+        # scale planes pre-transposed [blocks, Hkv, 1, bs]: the page DMA
+        # grabs one [1, bs] row per (page, head)
         ks2 = k_scale.transpose(0, 2, 1)[:, :, None, :]
         vs2 = v_scale.transpose(0, 2, 1)[:, :, None, :]
         out = call(jnp.asarray(lengths, jnp.int32),
-                   jnp.asarray(tables, jnp.int32), q8, k2, v2, ks2, vs2)
+                   jnp.asarray(tables, jnp.int32), q8, k_cache, v_cache,
+                   ks2, vs2)
         return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
 
     return fn
