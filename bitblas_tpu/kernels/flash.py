@@ -802,10 +802,15 @@ def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
         def page_copy(j, slot):
+            # pools arrive as the fused [blocks, bs, Hkv*D] view: a
+            # singleton slice on a middle Hkv axis violates Mosaic's
+            # (sublane, lane) tiling for DMAs, a 128-aligned dynamic lane
+            # slice does not
             tab = tab_ref[b, j]
-            return (pltpu.make_async_copy(k_any.at[tab, :, head],
+            lane = pl.ds(head * dim, dim)
+            return (pltpu.make_async_copy(k_any.at[tab, :, lane],
                                           kbuf.at[slot], sem.at[slot, 0]),
-                    pltpu.make_async_copy(v_any.at[tab, :, head],
+                    pltpu.make_async_copy(v_any.at[tab, :, lane],
                                           vbuf.at[slot], sem.at[slot, 1]))
 
         @pl.when(npages > 0)
@@ -878,8 +883,11 @@ def make_flash_decode_paged(*, batch: int, heads: int, block_size: int,
         q8 = jnp.zeros((B * kv_heads, qrows, D), q.dtype
                        ).at[:, :group, :].set(qg)
         # copies land in bf16 VMEM buffers — cast the pool once here
-        k2 = k_cache.astype(jnp.bfloat16)
-        v2 = v_cache.astype(jnp.bfloat16)
+        # (free when the pool is already bf16) and fuse heads into lanes
+        k2 = k_cache.astype(jnp.bfloat16).reshape(blocks, bs,
+                                                  kv_heads * D)
+        v2 = v_cache.astype(jnp.bfloat16).reshape(blocks, bs,
+                                                  kv_heads * D)
         if not interpret and q8.dtype == f16:
             q8 = q8.astype(jnp.bfloat16)
         out = call(jnp.asarray(lengths, jnp.int32),
@@ -934,10 +942,14 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
         def page_copy(j, slot):
+            # codes use the fused [blocks, bs, Hkv*D] lane-slice form (see
+            # the float kernel); scale planes are [blocks, Hkv, 1, bs] so
+            # indexing (tab, head) leaves a tiling-legal [1, bs] row
             tab = tab_ref[b, j]
-            return (pltpu.make_async_copy(k_any.at[tab, :, head],
+            lane = pl.ds(head * dim, dim)
+            return (pltpu.make_async_copy(k_any.at[tab, :, lane],
                                           kbuf.at[slot], sem.at[slot, 0]),
-                    pltpu.make_async_copy(v_any.at[tab, :, head],
+                    pltpu.make_async_copy(v_any.at[tab, :, lane],
                                           vbuf.at[slot], sem.at[slot, 1]),
                     pltpu.make_async_copy(ks_any.at[tab, head],
                                           ksbuf.at[slot],
@@ -1042,8 +1054,10 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
         # grabs one [1, bs] row per (page, head)
         ks2 = k_scale.transpose(0, 2, 1)[:, :, None, :]
         vs2 = v_scale.transpose(0, 2, 1)[:, :, None, :]
+        k2 = k_cache.reshape(blocks, bs, kv_heads * D)
+        v2 = v_cache.reshape(blocks, bs, kv_heads * D)
         out = call(jnp.asarray(lengths, jnp.int32),
-                   jnp.asarray(tables, jnp.int32), q8, k_cache, v_cache,
+                   jnp.asarray(tables, jnp.int32), q8, k2, v2,
                    ks2, vs2)
         return out[:, :group, :].reshape(B, H, D).astype(out_dtype)
 
