@@ -914,7 +914,9 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
     assert dim % 128 == 0, "flash decode needs lane-aligned head dim"
-    assert block_size % 8 == 0, "paged blocks must be sublane-aligned"
+    assert block_size % 128 == 0, \
+        "quant paged flash needs 128-multiple pages (scale rows ride the" \
+        " lane axis; Mosaic DMA lane slices must be 128-aligned)"
     group = heads // kv_heads
     scale = 1.0 / math.sqrt(dim)
     grid = (batch * kv_heads,)

@@ -392,7 +392,10 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
     B, H, D = q.shape
     bs = cache_k.shape[1]
     if use_flash is None:
-        use_flash = D % 128 == 0 and bs % 8 == 0
+        # the scale-plane page DMA puts block_size on the lane axis —
+        # Mosaic requires 128-aligned lane slices (float pages have no
+        # such operand, so bs % 8 suffices there)
+        use_flash = D % 128 == 0 and bs % 128 == 0
     if use_flash:
         from ..kernels.flash import make_flash_decode_paged_quant
         from ..tuner import get_arch

@@ -27,7 +27,8 @@ for bs in (64, 128):
     lengths = jnp.asarray(rng.integers(L // 2, L + 1, B), jnp.int32)
     kv_elems = float(np.sum(np.asarray(lengths))) * Hkv * D * 2
 
-    # correctness vs the XLA gather oracle
+    # correctness vs the XLA gather oracle (per-variant guard so one
+    # lowering failure doesn't kill the sweep)
     out_f = decode_attention_paged(q, ck, cv, tables, lengths,
                                    num_heads=H, use_flash=True)
     out_x = decode_attention_paged(q, ck, cv, tables, lengths,
@@ -42,21 +43,25 @@ for bs in (64, 128):
         [q, ck, cv, tables, lengths], inject=0)
     kq, ks = quantize_kv(jnp.asarray(ck))
     vq, vs = quantize_kv(jnp.asarray(cv))
-    out_fq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
-                                          lengths, num_heads=H,
-                                          use_flash=True)
-    out_xq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
-                                          lengths, num_heads=H,
-                                          use_flash=False)
-    relq = float(jnp.max(jnp.abs(out_fq.astype(jnp.float32)
-                                 - out_xq.astype(jnp.float32)))) \
-        / max(1e-6, float(jnp.max(jnp.abs(out_xq.astype(jnp.float32)))))
-    okq = "PASS" if relq < 0.02 else f"FAIL rel={relq:.3f}"
-    secq = measure_kernel(
-        lambda *a: decode_attention_paged_quant(
-            *a, num_heads=H, use_flash=True),
-        [q, kq, vq, ks, vs, tables, lengths], inject=0)
+    try:
+        out_fq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
+                                              lengths, num_heads=H,
+                                              use_flash=bs % 128 == 0)
+        out_xq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
+                                              lengths, num_heads=H,
+                                              use_flash=False)
+        relq = float(jnp.max(jnp.abs(out_fq.astype(jnp.float32)
+                                     - out_xq.astype(jnp.float32)))) \
+            / max(1e-6,
+                  float(jnp.max(jnp.abs(out_xq.astype(jnp.float32)))))
+        okq = "PASS" if relq < 0.02 else f"FAIL rel={relq:.3f}"
+        secq = measure_kernel(
+            lambda *a: decode_attention_paged_quant(
+                *a, num_heads=H, use_flash=bs % 128 == 0),
+            [q, kq, vq, ks, vs, tables, lengths], inject=0)
+        qmsg = (f"int8 {secq*1e6:7.1f}us ({kv_elems/secq/1e9:6.0f} GB/s) "
+                f"[{okq}{'' if bs % 128 == 0 else ' xla'}]")
+    except Exception as ex:  # noqa: BLE001
+        qmsg = f"int8 FAIL {str(ex)[:60]}"
     print(f"paged bs={bs}: bf16 {sec*1e6:7.1f}us "
-          f"({kv_elems*2/sec/1e9:6.0f} GB/s) [{ok}] | int8 "
-          f"{secq*1e6:7.1f}us ({kv_elems/secq/1e9:6.0f} GB/s) [{okq}]",
-          flush=True)
+          f"({kv_elems*2/sec/1e9:6.0f} GB/s) [{ok}] | {qmsg}", flush=True)

@@ -176,13 +176,24 @@ def test_flash_decode_paged_matches_xla():
     assert_close(np.asarray(out_f, np.float32),
                  np.asarray(out_x, np.float32), rtol=2e-2, atol=2e-2)
 
-    kq, ks = quantize_kv(ck)
-    vq, vs = quantize_kv(cv)
-    out_fq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
-                                          lengths, num_heads=H,
+    # quant flash requires 128-multiple pages (scale rows ride the DMA
+    # lane axis) — rebuild the pool at bs=128
+    bs2, MB2 = 128, 2
+    blocks2 = 6
+    ck2 = jnp.asarray(rng.standard_normal((blocks2, bs2, Hkv, D))
+                      .astype(np.float16))
+    cv2 = jnp.asarray(rng.standard_normal((blocks2, bs2, Hkv, D))
+                      .astype(np.float16))
+    tables2 = jnp.asarray(
+        rng.permutation(blocks2)[:B * MB2].reshape(B, MB2), jnp.int32)
+    lengths2 = jnp.asarray([5, 256, 130], jnp.int32)
+    kq, ks = quantize_kv(ck2)
+    vq, vs = quantize_kv(cv2)
+    out_fq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables2,
+                                          lengths2, num_heads=H,
                                           use_flash=True)
-    out_xq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables,
-                                          lengths, num_heads=H,
+    out_xq = decode_attention_paged_quant(q, kq, vq, ks, vs, tables2,
+                                          lengths2, num_heads=H,
                                           use_flash=False)
     assert_close(np.asarray(out_fq, np.float32),
                  np.asarray(out_xq, np.float32), rtol=2e-2, atol=2e-2)
