@@ -177,14 +177,17 @@ def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
     block ids per request (unused entries may be any valid id — masked);
     lengths [B] = valid tokens. Returns [B, H, D].
 
-    Lane-aligned head dims take the paged flash kernel (the Pallas
-    PagedAttention): the scalar-prefetched table walk reads only LIVE
-    pages, where the XLA path gathers every table entry every step.
+    The XLA gather path is the measured default: on v5e it fuses the
+    table gather into the attention at ~620 GB/s effective (2026-08-19,
+    llama-70B decode shapes), while the Pallas table-walk kernel's
+    per-page DMAs reach only ~140 GB/s — opt in via use_flash=True for
+    the length-proportional read pattern if a future Mosaic improves
+    small strided HBM copies (scripts/tpu_flash_paged_probe.py re-checks).
     """
     B, H, D = q.shape
     bs = cache_k.shape[1]
     if use_flash is None:
-        use_flash = D % 128 == 0 and bs % 8 == 0
+        use_flash = False
     if use_flash:
         from ..kernels.flash import make_flash_decode_paged
         from ..tuner import get_arch
@@ -387,15 +390,14 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                                  lengths: jnp.ndarray, *, num_heads: int,
                                  use_flash: bool = None) -> jnp.ndarray:
     """Quantized twin of decode_attention_paged: same scale-on-results math
-    as decode_attention_quant over the block pool (flash table-walk kernel
-    for lane-aligned dims, XLA gather otherwise)."""
+    as decode_attention_quant over the block pool. XLA gather is the
+    measured default (see decode_attention_paged); the flash table-walk
+    kernel additionally needs 128-multiple pages (scale rows ride the DMA
+    lane axis)."""
     B, H, D = q.shape
     bs = cache_k.shape[1]
     if use_flash is None:
-        # the scale-plane page DMA puts block_size on the lane axis —
-        # Mosaic requires 128-aligned lane slices (float pages have no
-        # such operand, so bs % 8 suffices there)
-        use_flash = D % 128 == 0 and bs % 128 == 0
+        use_flash = False
     if use_flash:
         from ..kernels.flash import make_flash_decode_paged_quant
         from ..tuner import get_arch
