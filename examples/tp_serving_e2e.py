@@ -87,6 +87,30 @@ def main():
         print(f"  request {r.uid}: generated {r.generated} tokens, "
               f"|hidden|max {np.abs(r.final_hidden).max():.3f}")
 
+    # 5. context parallelism: at tp > num_kv_heads, shard the slot cache's
+    #    SEQUENCE axis per kv-head group instead of replicating heads —
+    #    per-chip attention reads and cache footprint drop tp/kv_heads-fold
+    #    (docs/Scaling70B.md). Same engine, different cache sharding.
+    if len(jax.devices()) >= 8:
+        from bitblas_tpu.serving.engine import ContinuousBatchingEngine
+        mesh8 = Mesh(np.array(jax.devices()[:8]).reshape(8), ("tp",))
+        cpm = TPQuantLlama(restored, mesh8, context_parallel=True)
+        print(f"tp=8 context-parallel: cp={cpm.cp}, cache keeps "
+              f"{cpm.cfg.num_kv_heads} SOURCE kv heads, sharding "
+              f"{cpm.kv_cache_sharding().spec}")
+        eng_cp = ContinuousBatchingEngine(
+            cpm, num_slots=4, max_seq_len=32,
+            cache_sharding=cpm.kv_cache_sharding())
+        for uid in range(3):
+            eng_cp.submit(Request(
+                uid=uid,
+                prompt=rng.standard_normal(
+                    (int(rng.integers(3, 8)),
+                     cfg.hidden_size)).astype(np.float16),
+                max_new=3))
+        done_cp = eng_cp.run_to_completion()
+        print(f"cp engine served {len(done_cp)} requests")
+
 
 if __name__ == "__main__":
     main()
