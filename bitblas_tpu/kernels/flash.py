@@ -1049,6 +1049,7 @@ def make_flash_decode_paged_quant(*, batch: int, heads: int,
         assert (B, H, D) == (batch, heads, dim), (q.shape,)
         blocks, bs = k_cache.shape[0], k_cache.shape[1]
         assert bs == block_size, (k_cache.shape,)
+        assert tables.shape == (batch, max_blocks), (tables.shape,)
         qg = q.astype(jnp.float32).reshape(B * kv_heads, group, D)
         q8 = jnp.zeros((B * kv_heads, qrows, D), jnp.float32
                        ).at[:, :group, :].set(qg)

@@ -170,7 +170,7 @@ def append_token_paged(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
 def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
                            cache_v: jnp.ndarray, tables: jnp.ndarray,
                            lengths: jnp.ndarray, *, num_heads: int,
-                           use_flash: bool = None) -> jnp.ndarray:
+                           use_flash: bool = False) -> jnp.ndarray:
     """Single-token attention against the paged cache.
 
     q [B, H, D]; cache_k/v [blocks, bs, Hkv, D]; tables [B, MB] physical
@@ -186,8 +186,8 @@ def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
     """
     B, H, D = q.shape
     bs = cache_k.shape[1]
-    if use_flash is None:
-        use_flash = False
+    if use_flash and (D % 128 or bs % 8):
+        use_flash = False            # kernel constraints: fall back
     if use_flash:
         from ..kernels.flash import make_flash_decode_paged
         from ..tuner import get_arch
@@ -388,7 +388,7 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                                  cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                                  scale_v: jnp.ndarray, tables: jnp.ndarray,
                                  lengths: jnp.ndarray, *, num_heads: int,
-                                 use_flash: bool = None) -> jnp.ndarray:
+                                 use_flash: bool = False) -> jnp.ndarray:
     """Quantized twin of decode_attention_paged: same scale-on-results math
     as decode_attention_quant over the block pool. XLA gather is the
     measured default (see decode_attention_paged); the flash table-walk
@@ -396,8 +396,8 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
     lane axis)."""
     B, H, D = q.shape
     bs = cache_k.shape[1]
-    if use_flash is None:
-        use_flash = False
+    if use_flash and (D % 128 or bs % 128):
+        use_flash = False            # scale-row DMA needs 128-mult pages
     if use_flash:
         from ..kernels.flash import make_flash_decode_paged_quant
         from ..tuner import get_arch

@@ -1,7 +1,10 @@
 #!/bin/bash
 # Round-3 chip queue, phase P: pipelined paged flash-decode on hardware
 # (manual DMA + dynamic fori lowering check + bandwidth). Waits for
-# phase O.
+# phase O. NOTE (historical): phases O and P invoke the same probe FILE
+# but measured different kernels — the paged kernel was rewritten from
+# the per-page BlockSpec grid to the manual DMA pipeline between the two
+# runs; do not re-run both against one code state.
 set -u
 export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
 LOG=/tmp/chipq_r3p

@@ -27,20 +27,31 @@ for bs in (64, 128):
     lengths = jnp.asarray(rng.integers(L // 2, L + 1, B), jnp.int32)
     kv_elems = float(np.sum(np.asarray(lengths))) * Hkv * D * 2
 
-    # correctness vs the XLA gather oracle (per-variant guard so one
-    # lowering failure doesn't kill the sweep)
-    out_f = decode_attention_paged(q, ck, cv, tables, lengths,
-                                   num_heads=H, use_flash=True)
-    out_x = decode_attention_paged(q, ck, cv, tables, lengths,
-                                   num_heads=H, use_flash=False)
-    err = float(jnp.max(jnp.abs(out_f.astype(jnp.float32)
-                                - out_x.astype(jnp.float32))))
-    rel = err / max(1e-6, float(jnp.max(jnp.abs(out_x.astype(
-        jnp.float32)))))
-    ok = "PASS" if rel < 0.02 else f"FAIL rel={rel:.3f}"
-    sec = measure_kernel(
-        lambda *a: decode_attention_paged(*a, num_heads=H, use_flash=True),
+    # XLA fused-gather baseline IN THE SAME WINDOW (the flash-vs-XLA
+    # dispatch decision this probe re-checks per Mosaic bump)
+    sec_x = measure_kernel(
+        lambda *a: decode_attention_paged(*a, num_heads=H,
+                                          use_flash=False),
         [q, ck, cv, tables, lengths], inject=0)
+    print(f"paged bs={bs}: XLA baseline {sec_x*1e6:7.1f}us "
+          f"({kv_elems*2/sec_x/1e9:6.0f} GB/s live)", flush=True)
+    # per-variant guards: one lowering failure must not kill the sweep
+    try:
+        out_f = decode_attention_paged(q, ck, cv, tables, lengths,
+                                       num_heads=H, use_flash=True)
+        out_x = decode_attention_paged(q, ck, cv, tables, lengths,
+                                       num_heads=H, use_flash=False)
+        err = float(jnp.max(jnp.abs(out_f.astype(jnp.float32)
+                                    - out_x.astype(jnp.float32))))
+        rel = err / max(1e-6, float(jnp.max(jnp.abs(out_x.astype(
+            jnp.float32)))))
+        ok = "PASS" if rel < 0.02 else f"FAIL rel={rel:.3f}"
+        sec = measure_kernel(
+            lambda *a: decode_attention_paged(*a, num_heads=H,
+                                              use_flash=True),
+            [q, ck, cv, tables, lengths], inject=0)
+    except Exception as ex:  # noqa: BLE001
+        ok, sec = f"FAIL {str(ex)[:60]}", float("inf")
     kq, ks = quantize_kv(jnp.asarray(ck))
     vq, vs = quantize_kv(jnp.asarray(cv))
     try:
