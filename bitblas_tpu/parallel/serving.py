@@ -341,6 +341,11 @@ class TPQuantLlama:
             except Exception:  # noqa: BLE001 - cache is best-effort
                 pass
             if hint is None:
+                # committed measured winners for the 70B TP-local shapes
+                # (survive operator-DB/cache wipes)
+                from ..tuner.curated import tp_serving_hint
+                hint = tp_serving_hint(lcfg.N, lcfg.K, m)
+            if hint is None:
                 hint = default_hint(spec, get_arch())
             self._decode_kernels[key] = make_dequant_matmul(
                 spec, hint, interpret=self.interpret)

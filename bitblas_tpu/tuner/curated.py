@@ -91,3 +91,32 @@ def flash_block_hint(seq_len: int, dim: int,
     if seq_len >= 2048:
         return 512, 1024
     return min(512, seq_len), min(1024, seq_len)
+
+
+def tp_serving_hint(n: int, k: int, m: int) -> Optional[TileHint]:
+    """Measured-best hint for a Llama-3-70B TP-LOCAL projection shape
+    (scripts/tune_tp_serving_db.py winners exported to
+    tp_serving_hints.json so they survive cache wipes), else None.
+    Consumed by TPQuantLlama._kernel after an operator-DB miss."""
+    table = _tp_serving_table()
+    return table.get((n, k, m))
+
+
+def _tp_serving_table():
+    global _TP_TABLE
+    if _TP_TABLE is None:
+        import json
+        import os
+        path = os.path.join(os.path.dirname(__file__),
+                            "tp_serving_hints.json")
+        tab = {}
+        try:
+            for e in json.load(open(path)):
+                tab[(e["n"], e["k"], e["m"])] = TileHint(**e["hint"])
+        except FileNotFoundError:  # pragma: no cover - packaging safety
+            pass
+        _TP_TABLE = tab
+    return _TP_TABLE
+
+
+_TP_TABLE = None
