@@ -81,15 +81,16 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
 
 def flash_block_hint(seq_len: int, dim: int,
                      causal: bool) -> "tuple[int, int]":
-    """(block_q, block_kv) for the flash prefill kernel — the single knob
-    pair the on-chip sweep tunes (scripts/tpu_flash_tune.py). Consumed by
+    """(block_q, block_kv) for the flash prefill kernel — the knob pair
+    the on-chip sweep tunes (scripts/tpu_flash_tune.py). Consumed by
     FlashAtten's construction default and QuantLlama.make_prefill so a
-    measured winner propagates to every prefill site. Values below are the
-    pre-measurement defaults (v5e; r1 sweep preferred large kv blocks);
-    update from the flash-tune stage output."""
-    del dim, causal
+    measured winner propagates to every prefill site; the operator hint
+    DB overrides this when a tuned entry exists. 2026-08-19 sweep (v5e,
+    d=128): causal wants square 1024 blocks at every s (the triangular
+    walk + half-block diag sub-chunking), dense wants the wide kv block."""
+    del dim
     if seq_len >= 2048:
-        return 512, 1024
+        return (1024, 1024) if causal else (1024, 2048)
     return min(512, seq_len), min(1024, seq_len)
 
 
