@@ -97,6 +97,37 @@ def test_tp_kv_head_replication():
         rtol=2e-2, atol=2e-2)
 
 
+def test_tp_serving_hint_table_loads_and_kernels_build():
+    """The committed tp_serving_hints.json (measured 70B TP-local winners,
+    survives operator-DB wipes) loads, covers the tp={4,8,16} x
+    m={16,64,256} grid for the four fused projections, and every hint
+    builds a kernel for its exact local shape."""
+    from bitblas_tpu.tuner.curated import tp_serving_hint
+    from bitblas_tpu.kernels.dequant_matmul import make_dequant_matmul
+    from bitblas_tpu.kernels.spec import KernelSpec
+    from bitblas_tpu.ops.matmul_config import MatmulConfig
+
+    HID, KVH, D, INTER = 8192, 8, 128, 28672
+    found = 0
+    for tp in (4, 8, 16):
+        kv = KVH * D
+        for (k, n) in ((HID, (HID + 2 * kv) // tp), (HID // tp, HID),
+                       (HID, 2 * INTER // tp), (INTER // tp, HID)):
+            for m in (16, 64, 256):
+                h = tp_serving_hint(n, k, m)
+                if h is None:
+                    continue
+                found += 1
+                cfg = MatmulConfig(
+                    M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
+                    with_scaling=True, with_zeros=True,
+                    zeros_mode="original", group_size=128,
+                    out_dtype="float16")
+                spec = KernelSpec.from_config(cfg, m)
+                make_dequant_matmul(spec, h, interpret=True)  # must build
+    assert found >= 30, found
+
+
 def test_tp_context_parallel_decode_matches_single_device():
     """tp=8 > num_kv_heads=4 with context_parallel: the cache shards its
     SEQUENCE axis across each kv-head pair instead of replicating heads —
