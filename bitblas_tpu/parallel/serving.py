@@ -340,9 +340,14 @@ class TPQuantLlama:
                     hint = cached.hint_for(m)
             except Exception:  # noqa: BLE001 - cache is best-effort
                 pass
-            if hint is None:
+            if hint is None and (lcfg.W_dtype == "uint4"
+                                 and lcfg.A_dtype == "float16"
+                                 and lcfg.group_size == 128):
                 # committed measured winners for the 70B TP-local shapes
-                # (survive operator-DB/cache wipes)
+                # (survive operator-DB/cache wipes). Keyed on (N, K, m)
+                # only, so gate on the exact config family the table was
+                # tuned for — a coincident shape with another group_size
+                # could get tiles the kernel legalizer rejects.
                 from ..tuner.curated import tp_serving_hint
                 hint = tp_serving_hint(lcfg.N, lcfg.K, m)
             if hint is None:

@@ -111,11 +111,16 @@ def _tp_serving_table():
         path = os.path.join(os.path.dirname(__file__),
                             "tp_serving_hints.json")
         tab = {}
+        # Best-effort like the operator-DB lookup above it: a corrupt or
+        # field-drifted JSON must degrade to default_hint, never crash the
+        # decode hot path (the table is a performance fallback only).
         try:
-            for e in json.load(open(path)):
+            with open(path) as f:
+                entries = json.load(f)
+            for e in entries:
                 tab[(e["n"], e["k"], e["m"])] = TileHint(**e["hint"])
-        except FileNotFoundError:  # pragma: no cover - packaging safety
-            pass
+        except Exception:  # noqa: BLE001  # pragma: no cover - packaging safety
+            tab = {}
         _TP_TABLE = tab
     return _TP_TABLE
 

@@ -18,7 +18,7 @@ from bitblas_tpu.testing import random_reference_operands
 from bitblas_tpu.tuner import TileHint
 from bitblas_tpu.utils.timing import measure_kernel
 
-N = K = 4096
+N = K = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
 
 def log(*a):
@@ -49,6 +49,11 @@ def run(cfg, m, hints, roof_us):
 
 
 def main():
+    # MXU-compute roofs at this shape (int8 410 TF/s, bf16 205 TF/s)
+    i2_roof = 4096 * N * K * 2 / 410e12 * 1e6
+    u4_roof = 4096 * N * K * 2 / 205e12 * 1e6
+    i2s_roof = 256 * N * K * 2 / 410e12 * 1e6
+
     i2 = MatmulConfig(M=4096, N=N, K=K, A_dtype="int8", W_dtype="int2",
                       accum_dtype="int32", out_dtype="float32")
     hints = []
@@ -59,7 +64,7 @@ def main():
                     hints.append(TileHint(block_m=bm, block_n=bn,
                                           block_k=bk, mma_dtype="int8",
                                           decode_mode=dm))
-    run(i2, 4096, hints, 335.2)
+    run(i2, 4096, hints, i2_roof)
 
     u4 = MatmulConfig(M=4096, N=N, K=K, A_dtype="float16", W_dtype="uint4",
                       with_scaling=True, group_size=128,
@@ -68,7 +73,7 @@ def main():
                       mma_dtype="bfloat16", decode_mode="telescope")
              for bm in (2048, 4096) for bn in (1024, 2048)
              for bk in (512, 1024)]
-    run(u4, 4096, hints, 670.4)
+    run(u4, 4096, hints, u4_roof)
 
     # i2 m=256 wider-N / whole-K attempts
     i2s = MatmulConfig(M=256, N=N, K=K, A_dtype="int8", W_dtype="int2",
@@ -77,7 +82,7 @@ def main():
                       mma_dtype="int8", decode_mode=dm)
              for bn in (2048, 4096) for bk in (512, 1024, 2048)
              for dm in ("telescope", "mask")]
-    run(i2s, 256, hints, 21.0)
+    run(i2s, 256, hints, i2s_roof)
 
 
 if __name__ == "__main__":

@@ -24,7 +24,12 @@ FORCE = len(sys.argv) > 4 and sys.argv[4] == "force"
 
 
 def main():
-    kv = KV_HEADS * HEAD_DIM
+    # GQA replication: at TP > KV_HEADS each source kv head is replicated
+    # across the head group (TPQuantLlama kv_eff), so the fused qkv local N
+    # uses the REPLICATED kv head count — (8192+2*16*128)/16 = 768 at tp=16,
+    # not 640. (A round-3 review caught the unreplicated formula tuning a
+    # shape the serving lookup can never hit.)
+    kv = max(KV_HEADS, TP) * HEAD_DIM
     projs = {
         "qkv": (HIDDEN, (HIDDEN + 2 * kv) // TP),
         "o": (HIDDEN // TP, HIDDEN),

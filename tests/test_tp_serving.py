@@ -108,16 +108,20 @@ def test_tp_serving_hint_table_loads_and_kernels_build():
     from bitblas_tpu.ops.matmul_config import MatmulConfig
 
     HID, KVH, D, INTER = 8192, 8, 128, 28672
-    found = 0
+    missing = set()
     for tp in (4, 8, 16):
-        kv = KVH * D
+        # REPLICATED kv head count (TPQuantLlama kv_eff): at tp > kv_heads
+        # the fused qkv local N is (8192 + 2*16*128)/16 = 768, not 640 —
+        # deriving the grid with the unreplicated formula once hid three
+        # dead table keys the serving lookup could never hit.
+        kv = max(KVH, tp) * D
         for (k, n) in ((HID, (HID + 2 * kv) // tp), (HID // tp, HID),
                        (HID, 2 * INTER // tp), (INTER // tp, HID)):
             for m in (16, 64, 256):
                 h = tp_serving_hint(n, k, m)
                 if h is None:
+                    missing.add((n, k, m))
                     continue
-                found += 1
                 cfg = MatmulConfig(
                     M=m, N=n, K=k, A_dtype="float16", W_dtype="uint4",
                     with_scaling=True, with_zeros=True,
@@ -125,7 +129,11 @@ def test_tp_serving_hint_table_loads_and_kernels_build():
                     out_dtype="float16")
                 spec = KernelSpec.from_config(cfg, m)
                 make_dequant_matmul(spec, h, interpret=True)  # must build
-    assert found >= 30, found
+    # Every grid cell must resolve, except cells known untuned (tp=8 m=16
+    # never ran on chip — queued; tighten to empty once it lands).
+    known_untuned = {(1280, 8192, 16), (8192, 1024, 16),
+                     (7168, 8192, 16), (8192, 3584, 16)}
+    assert missing <= known_untuned, sorted(missing - known_untuned)
 
 
 def test_tp_context_parallel_decode_matches_single_device():
