@@ -28,9 +28,14 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
                 return TileHint(block_m=max(m, 8), block_n=2048, block_k=nk,
                                 mma_dtype="int8", decode_mode="telescope")
             if m <= 256:
-                return TileHint(block_m=256, block_n=4096, block_k=512,
-                                mma_dtype="int8", decode_mode="telescope")
-            return TileHint(block_m=1024, block_n=1024, block_k=1024,
+                # 2026-08-19 sweep (in-window): bk=2048 mask 92.9us (90.2%)
+                # vs the old bk=512 tele tile's 101.2us in the same run.
+                return TileHint(block_m=256, block_n=4096, block_k=2048,
+                                mma_dtype="int8", decode_mode="mask")
+            # 2026-08-19 head-to-head (in-window): t2048x2048x1024 1505us
+            # (89.1%) vs t1024x1024x1024's 1606us (83.5%) — fewer W
+            # re-streams at the taller bm.
+            return TileHint(block_m=2048, block_n=2048, block_k=1024,
                             mma_dtype="int8", decode_mode="mask")
         if w_dtype == "uint4" and a_dtype in ("float16", "bfloat16"):
             if m <= 8:
@@ -53,9 +58,10 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
         if m <= 256:
             return TileHint(block_m=256, block_n=4096, block_k=512,
                             mma_dtype="int8", decode_mode="telescope")
-        # compute-bound W2A8 wants the int8 MXU; bm=1024 halves W
-        # re-streams vs bm=512 (418us vs 473us at 4096^3)
-        return TileHint(block_m=1024, block_n=1024, block_k=1024,
+        # compute-bound W2A8 wants the int8 MXU; taller bm cuts W
+        # re-streams — 2026-08-19 in-window head-to-head: t2048x2048x1024
+        # 417.8us (80.2%) vs t1024x1024x1024's 423.0us (79.3%).
+        return TileHint(block_m=2048, block_n=2048, block_k=1024,
                         mma_dtype="int8", decode_mode="mask")
     if w_dtype == "uint4" and a_dtype in ("float16", "bfloat16"):
         if m <= 8:
@@ -117,10 +123,15 @@ def _tp_serving_table():
         try:
             with open(path) as f:
                 entries = json.load(f)
-            for e in entries:
-                tab[(e["n"], e["k"], e["m"])] = TileHint(**e["hint"])
         except Exception:  # noqa: BLE001  # pragma: no cover - packaging safety
-            tab = {}
+            entries = []
+        for e in entries:
+            # Per-entry: one malformed/field-drifted entry must not drop
+            # the whole table (from_dict filters unknown fields).
+            try:
+                tab[(e["n"], e["k"], e["m"])] = TileHint.from_dict(e["hint"])
+            except Exception:  # noqa: BLE001
+                continue
         _TP_TABLE = tab
     return _TP_TABLE
 

@@ -56,9 +56,13 @@ def main():
                     table.append(entry)
                     by_key[key] = entry
                     added += 1
-    with open(PATH, "w") as f:
+    # Atomic replace: queue stages run under `timeout`, and a truncated
+    # table silently degrades every serving shape to default_hint.
+    tmp = PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(table, f, indent=1)
         f.write("\n")
+    os.replace(tmp, PATH)
     print(f"added {added}, replaced {replaced}, total {len(table)}")
 
 

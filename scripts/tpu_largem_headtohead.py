@@ -47,7 +47,12 @@ def main():
         roof = 4096 * nk * nk * 2 / 410e12 * 1e6
         cur = curated_hint("int2", "int8", 4096, nk)
         for name, h in (("curated", cur), ("challenger", challenger)):
-            sec = measure(cfg, 4096, h)
+            try:
+                sec = measure(cfg, 4096, h)
+            except Exception as e:  # noqa: BLE001 - Mosaic HTTP 500s happen
+                log(f"i2 m=4096 nk={nk} {name} "
+                    f"{h.short_name()}_{h.decode_mode}: FAIL {str(e)[:120]}")
+                continue
             log(f"i2 m=4096 nk={nk} {name} {h.short_name()}_{h.decode_mode}:"
                 f" {sec*1e6:7.1f}us ({100*roof/(sec*1e6):5.1f}%)")
 
