@@ -1,0 +1,92 @@
+"""On-chip MoE (Mixtral-geometry) decode benchmark.
+
+Same posture as scripts/benchmark_serving.py (end-to-end host-driven
+token-engine loop, dispatch overhead included) but over QuantMixtral:
+real Mixtral-8x7B layer geometry (4096 hidden / 14336 intermediate,
+8 experts top-2, GQA 32/8), 2 layers — per-layer costs scale linearly,
+so tok/s extrapolates by layer count. The reference has no MoE support
+at all; this records the routed-expert serving path's measured state.
+
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts/benchmark_moe_serving.py [--cpu]
+Writes one JSON line per measurement to stdout.
+"""
+
+import sys as _sys
+if "--cpu" in _sys.argv:
+    _sys.argv.remove("--cpu")
+    import os as _os
+    _os.environ.setdefault("XLA_FLAGS",
+                           "--xla_force_host_platform_device_count=8")
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
+import json
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from bitblas_tpu.models.quant_moe import MixtralConfig, QuantMixtral
+from bitblas_tpu.models.hf_import import LMHead
+from bitblas_tpu.serving import TokenContinuousBatchingEngine
+
+
+def log(*a):
+    print(*a, file=_sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from bitblas_tpu.tuner import get_arch
+    if get_arch().is_cpu:
+        cfg = MixtralConfig(hidden_size=256, intermediate_size=512,
+                            num_heads=4, num_kv_heads=2, num_layers=2,
+                            vocab_size=128, group_size=128,
+                            n_experts=4, top_k=2)
+    else:
+        # Mixtral-8x7B layer geometry, 2 layers (weights ~1.4 GiB int4).
+        cfg = MixtralConfig(hidden_size=4096, intermediate_size=14336,
+                            num_heads=32, num_kv_heads=8, num_layers=2,
+                            vocab_size=1024, group_size=128,
+                            n_experts=8, top_k=2)
+    log(f"building QuantMixtral ({cfg.hidden_size}/{cfg.intermediate_size}"
+        f" x{cfg.num_layers} layers, {cfg.n_experts} experts top-"
+        f"{cfg.top_k})...")
+    model = QuantMixtral(cfg, opt_m=(1, 4, 8, 16), moe_tokens=32)
+    rng = np.random.default_rng(0)
+    head = LMHead(
+        embed=jnp.asarray(rng.standard_normal(
+            (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float16),
+        final_norm=jnp.ones((cfg.hidden_size,), jnp.float32),
+        lm_head=jnp.asarray(rng.standard_normal(
+            (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float32),
+    )
+
+    for kvq in (False, True):
+        for bs in (1, 4, 8):
+            try:
+                eng = TokenContinuousBatchingEngine(
+                    model, head, num_slots=bs, max_seq_len=256,
+                    kv_quant=kvq)
+                for i in range(bs):
+                    eng.submit_tokens(uid=i, tokens=rng.integers(
+                        0, cfg.vocab_size, 16), max_new=40)
+                eng.step()  # admit + compile
+                t0 = time.perf_counter()
+                steps = 0
+                while eng.active and steps < 32:
+                    eng.step()
+                    steps += 1
+                dt = time.perf_counter() - t0
+                emit(metric="moe_decode_tok_s", batch=bs, kv_quant=kvq,
+                     value=round(steps * bs / dt, 1), unit="tok/s")
+            except Exception as ex:  # noqa: BLE001 - per-cell isolation
+                emit(metric="moe_decode_tok_s", batch=bs, kv_quant=kvq,
+                     error=str(ex)[:160])
+
+
+if __name__ == "__main__":
+    main()
