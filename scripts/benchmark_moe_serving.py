@@ -21,10 +21,13 @@ if "--cpu" in _sys.argv:
     _jax.config.update("jax_platforms", "cpu")
 
 import json
+import sys
 import time
 
 import numpy as np
 import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
 
 from bitblas_tpu.models.quant_moe import MixtralConfig, QuantMixtral
 from bitblas_tpu.models.hf_import import LMHead

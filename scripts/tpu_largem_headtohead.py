@@ -38,7 +38,10 @@ def measure(cfg, m, hint):
 
 
 def main():
-    challenger = TileHint(block_m=2048, block_n=2048, block_k=1024,
+    # 2026-08-20: curated ADOPTED the t2048 winner, so the in-window
+    # comparison is now curated(t2048) vs the PREVIOUS tile (t1024) —
+    # reruns re-verify the decision instead of measuring one tile twice.
+    challenger = TileHint(block_m=1024, block_n=1024, block_k=1024,
                           mma_dtype="int8", decode_mode="mask")
     for nk in (8192, 4096):
         cfg = MatmulConfig(M=4096, N=nk, K=nk, A_dtype="int8",
@@ -46,7 +49,7 @@ def main():
                            out_dtype="float32")
         roof = 4096 * nk * nk * 2 / 410e12 * 1e6
         cur = curated_hint("int2", "int8", 4096, nk)
-        for name, h in (("curated", cur), ("challenger", challenger)):
+        for name, h in (("curated", cur), ("previous", challenger)):
             try:
                 sec = measure(cfg, 4096, h)
             except Exception as e:  # noqa: BLE001 - Mosaic HTTP 500s happen

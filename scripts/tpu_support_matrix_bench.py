@@ -87,7 +87,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _is_fatal(ex) -> bool:
+    # bench.py's worker-crash markers: these kill every device buffer.
+    s = str(ex)
+    return any(k in s for k in (
+        "UNAVAILABLE", "crashed", "restarted", "DEADLINE_EXCEEDED"))
+
+
 def main():
+    # Health-gate BEFORE any backend init: jax.devices() itself wedges on
+    # a dead tunnel (CLAUDE.md; same order as bench.py).
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from health_wait import wait as health_wait
+    if health_wait(float(os.environ.get(
+            "BITBLAS_TPU_SMB_HEALTH_WAIT", 3600))) != 0:
+        log("support-matrix: tunnel never became healthy — refusing to "
+            "measure")
+        sys.exit(2)
     import jax
     log("devices:", jax.devices())
     arch = get_arch()
@@ -121,58 +137,71 @@ def main():
                 out_dtype="float32" if int_act else "float16")
             spec = KernelSpec.from_config(cfg, m)
             row = {"a": a_dtype, "w": w_dtype, "scaling": scaling, "m": m}
-            try:
-                ops = random_reference_operands(cfg, m, 0)
-                # hint: operator DB -> curated -> analytic default
-                hint = None
-                op = global_operator_cache.get(cfg)
-                if op is not None:
-                    hint = op.hint_for(m)
-                if hint is None:
-                    hint = curated_hint(w_dtype, a_dtype, m, nk=N)
-                if hint is None:
-                    hint = default_hint(spec, arch)
-                if cfg.is_native_compute():
-                    kf = make_dense_matmul(spec, hint, interpret=interpret)
-                    args = [jnp.asarray(ops.A), jnp.asarray(ops.qweight)]
-                    fn = kf
-                else:
-                    dw = transform_reference_operands(cfg, ops.qweight,
-                                                      ops.scales)
-                    args = [jnp.asarray(ops.A), jnp.asarray(dw.qweight)]
-                    kf = make_dequant_matmul(spec, hint,
-                                             interpret=interpret)
-                    if dw.scales is not None:
-                        args.append(jnp.asarray(dw.scales))
-                        fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)  # noqa: E731,E501
-                    else:
-                        fn = kf
-                sec = min(measure_kernel(fn, args) for _ in range(2))
-
-                # envelope (bench.py model)
-                wbits = cfg.bit
-                abytes = ABYTES[a_dtype]
-                obytes = 2 if cfg.out_dtype == "float16" else 4
-                wbytes = N * K * wbits // 8 + (
-                    N * K // cfg.effective_group_size * 4 if scaling else 0)
-                total = wbytes + m * K * abytes + m * N * obytes
-                mxu = arch.flops_int8 if int_act else (
-                    arch.flops_f32 if a_dtype == "float32"
-                    else arch.flops_bf16)
-                ingest = (arch.mxu_ingest_int8 if int_act
-                          else arch.mxu_ingest_bf16)
-                roof = max(total / arch.hbm_bandwidth,
-                           2 * m * N * K / mxu, N * K / ingest)
-                row.update(us=round(sec * 1e6, 1),
-                           pct_roofline=round(100 * roof / sec, 1),
-                           hint=hint.short_name() + "_" + hint.decode_mode)
-            except Exception as ex:  # noqa: BLE001 - per-row isolation
-                row["error"] = str(ex)[:160]
+            for attempt in (0, 1):
+                try:
+                    _measure_row(row, cfg, spec, m, int_act, scaling,
+                                 arch, interpret)
+                    break
+                except Exception as ex:  # noqa: BLE001 - per-row isolation
+                    if attempt == 0 and _is_fatal(ex):
+                        # Worker crash killed this attempt's buffers:
+                        # wait for the tunnel, rebuild from scratch once
+                        # (bench.py / 70B-study retry pattern).
+                        log(f"row {w_dtype}x{a_dtype} m={m} worker fault: "
+                            f"{str(ex)[:120]} — re-gating + retrying")
+                        if health_wait(3600) == 0:
+                            continue
+                    row["error"] = str(ex)[:160]
+                    break
             rows.append(row)
             print(json.dumps(row), flush=True)
             flush()
     flush()
     log(f"done: {len(rows)} rows -> {OUT}")
+
+
+def _measure_row(row, cfg, spec, m, int_act, scaling, arch, interpret):
+    a_dtype, w_dtype = cfg.A_dtype, cfg.W_dtype
+    ops = random_reference_operands(cfg, m, 0)
+    # hint: operator DB -> curated (swept shape families only) -> default
+    hint = None
+    op = global_operator_cache.get(cfg)
+    if op is not None:
+        hint = op.hint_for(m)
+    if hint is None and N in (4096, 8192):
+        hint = curated_hint(w_dtype, a_dtype, m, nk=N)
+    if hint is None:
+        hint = default_hint(spec, arch)
+    if cfg.is_native_compute():
+        kf = make_dense_matmul(spec, hint, interpret=interpret)
+        args = [jnp.asarray(ops.A), jnp.asarray(ops.qweight)]
+        fn = kf
+    else:
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        args = [jnp.asarray(ops.A), jnp.asarray(dw.qweight)]
+        kf = make_dequant_matmul(spec, hint, interpret=interpret)
+        if dw.scales is not None:
+            args.append(jnp.asarray(dw.scales))
+            fn = lambda A, W, S, _kf=kf: _kf(A, W, scales=S)  # noqa: E731
+        else:
+            fn = kf
+    sec = min(measure_kernel(fn, args) for _ in range(2))
+
+    # envelope (bench.py model)
+    wbits = cfg.bit
+    abytes = ABYTES[a_dtype]
+    obytes = 2 if cfg.out_dtype == "float16" else 4
+    wbytes = N * K * wbits // 8 + (
+        N * K // cfg.effective_group_size * 4 if scaling else 0)
+    total = wbytes + m * K * abytes + m * N * obytes
+    mxu = arch.flops_int8 if int_act else (
+        arch.flops_f32 if a_dtype == "float32" else arch.flops_bf16)
+    ingest = arch.mxu_ingest_int8 if int_act else arch.mxu_ingest_bf16
+    roof = max(total / arch.hbm_bandwidth,
+               2 * m * N * K / mxu, N * K / ingest)
+    row.update(us=round(sec * 1e6, 1),
+               pct_roofline=round(100 * roof / sec, 1),
+               hint=hint.short_name() + "_" + hint.decode_mode)
 
 
 if __name__ == "__main__":

@@ -49,7 +49,9 @@ def test_curated_hint_traces_and_fits(w, a, m, nk):
     kf = make_dequant_matmul(spec, hint, interpret=True)
     A = jax.ShapeDtypeStruct((m, nk), jnp.float16 if a == "float16"
                              else jnp.int8)
-    W = jax.ShapeDtypeStruct(spec.packed_k_major_shape, jnp.int32)
+    # device packed-weight layout is int8 words [K, N_padded*bits/8]
+    # (ops/weight_transform.reference_weight_to_device)
+    W = jax.ShapeDtypeStruct(spec.packed_k_major_shape, jnp.int8)
     if cfg.with_scaling:
         # device scales layout: [K/g, 1, N_padded] (weight_transform)
         S = jax.ShapeDtypeStruct(
