@@ -13,6 +13,12 @@ from typing import Optional
 from .hint import TileHint
 
 
+def _bm8(m: int) -> int:
+    """Exact-m block rounded UP to the sublane multiple (Mosaic: dim -2
+    block sizes must be multiples of 8)."""
+    return max(8, -(-m // 8) * 8)
+
+
 def curated_hint(w_dtype: str, a_dtype: str, m: int,
                  nk: int = 4096) -> Optional[TileHint]:
     """Measured-best hint for a headline (W, A, m) regime, else None.
@@ -25,7 +31,7 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
     if nk >= 8192:
         if w_dtype == "int2" and a_dtype == "int8":
             if m <= 16:
-                return TileHint(block_m=max(m, 8), block_n=2048, block_k=nk,
+                return TileHint(block_m=_bm8(m), block_n=2048, block_k=nk,
                                 mma_dtype="int8", decode_mode="telescope")
             if m <= 256:
                 # 2026-08-19 sweep (in-window): bk=2048 mask 92.9us (90.2%)
@@ -39,7 +45,7 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
                             mma_dtype="int8", decode_mode="mask")
         if w_dtype == "uint4" and a_dtype in ("float16", "bfloat16"):
             if m <= 8:
-                return TileHint(block_m=max(m, 8), block_n=256, block_k=nk,
+                return TileHint(block_m=_bm8(m), block_n=256, block_k=nk,
                                 mma_dtype="float32", decode_mode="telescope")
             if m <= 16:
                 return TileHint(block_m=16, block_n=512, block_k=nk,
@@ -52,8 +58,11 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
         return None
     if w_dtype == "int2" and a_dtype == "int8":
         if m <= 16:
-            # int8-MXU telescope: ingestion floor ~9us beats bf16's ~11us
-            return TileHint(block_m=256, block_n=2048, block_k=1024,
+            # exact-m tile (2026-08-20 in-window probe): t16x2048x2048
+            # 10.0us vs the old bm=256 tile's 11.7 at m=16; t8x2048x2048
+            # 11.7 vs 12.5 at m=1 — the padded-M grid re-read costs ~6-15%
+            # at 4096^2 too (the 8192-sweep lesson transfers).
+            return TileHint(block_m=_bm8(m), block_n=2048, block_k=2048,
                             mma_dtype="int8", decode_mode="telescope")
         if m <= 256:
             return TileHint(block_m=256, block_n=4096, block_k=512,
@@ -67,12 +76,14 @@ def curated_hint(w_dtype: str, a_dtype: str, m: int,
         if m <= 8:
             # f32 operands: int32->f32 casts are cheaper than ->bf16 and
             # the MXU ingests f32 at the bf16 element rate at small M.
-            # bn=256 measured 16.6us vs 17.5 at bn=512 (whole-K blocks).
-            return TileHint(block_m=256, block_n=256, block_k=4096,
+            # exact-m bn=128 whole-K: 17.0us vs 17.4 bm=256 in-window
+            # (2026-08-20 probe) — at the serial ingest+decode floor.
+            return TileHint(block_m=_bm8(m), block_n=128, block_k=4096,
                             mma_dtype="float32", decode_mode="telescope")
         if m <= 16:
-            # bn=512 whole-K: 15.8us (m=16 sweep 2026-08-17)
-            return TileHint(block_m=256, block_n=512, block_k=4096,
+            # exact-m bn=512 whole-K: 15.8us vs 16.6 bm=256 in-window
+            # (2026-08-20 probe)
+            return TileHint(block_m=16, block_n=512, block_k=4096,
                             mma_dtype="float32", decode_mode="telescope")
         if m <= 256:
             # whole-K block: one fat W DMA per N tile (~43us vs 56us)
