@@ -68,6 +68,33 @@ def main():
             (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float32),
     )
 
+    # Device-side decode step (chained timer, dispatch excluded) — the
+    # host loop below pays the remote tunnel's ~25 ms per dispatch,
+    # which buries the model math on this rig (CLAUDE.md).
+    from bitblas_tpu.utils.timing import measure_kernel
+    for bs in (1, 8):
+        try:
+            Lmax, L = 256, cfg.num_layers
+            ck = jnp.zeros((L, bs, Lmax, cfg.num_kv_heads, cfg.head_dim),
+                           jnp.float16)
+            cv = jnp.zeros_like(ck)
+            x = jnp.asarray(rng.standard_normal(
+                (bs, 1, cfg.hidden_size)) * 0.02, jnp.float16)
+            slots = jnp.arange(bs, dtype=jnp.int32)
+            lengths = jnp.full((bs,), 16, jnp.int32)
+
+            def step(x, ck, cv, slots, lengths):
+                h, ck2, cv2 = model.decode_step(x, ck, cv, slots, lengths)
+                return h
+
+            sec = measure_kernel(step, (x, ck, cv, slots, lengths))
+            emit(metric="moe_decode_step_device_s", batch=bs,
+                 value=round(sec * 1e6, 1), unit="us",
+                 device_tok_s=round(bs / sec, 1))
+        except Exception as ex:  # noqa: BLE001
+            emit(metric="moe_decode_step_device_s", batch=bs,
+                 error=str(ex)[:160])
+
     for kvq in (False, True):
         for bs in (1, 4, 8):
             try:

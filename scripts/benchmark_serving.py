@@ -69,8 +69,11 @@ def main():
     )
     lm = QuantLlamaLM(model, head)
 
+    import os
+    device_only = bool(os.environ.get("BITBLAS_TPU_SERVING_DEVICE_ONLY"))
+
     # -- 1. decode throughput ------------------------------------------------
-    for kvq in (False, True):
+    for kvq in (() if device_only else (False, True)):
         for bs in (1, 4, 8):
             eng = TokenContinuousBatchingEngine(
                 model, head, num_slots=bs, max_seq_len=256, kv_quant=kvq)
@@ -87,6 +90,39 @@ def main():
             toks = steps * bs
             emit(metric="decode_tok_s", batch=bs, kv_quant=kvq,
                  value=round(toks / dt, 1), unit="tok/s")
+
+    # -- 1b. device-side decode step (chained timer, dispatch excluded) -------
+    # The host-driven engine loop above pays the remote tunnel's ~25 ms
+    # per dispatch several times per step, which buries the model math on
+    # this rig (CLAUDE.md). This measures the SAME decode_step executable
+    # with the elision-proof chained timer — the number a local (untunneled)
+    # host would approach per engine step.
+    from bitblas_tpu.utils.timing import measure_kernel
+    for bs in (1, 8):
+        try:
+            Lmax, L = 256, cfg.num_layers
+            ck = jnp.zeros((L, bs, Lmax, cfg.num_kv_heads, cfg.head_dim),
+                           jnp.float16)
+            cv = jnp.zeros_like(ck)
+            x = jnp.asarray(rng.standard_normal(
+                (bs, 1, cfg.hidden_size)) * 0.02, jnp.float16)
+            slots = jnp.arange(bs, dtype=jnp.int32)
+            lengths = jnp.full((bs,), 16, jnp.int32)
+
+            def step(x, ck, cv, slots, lengths):
+                h, ck2, cv2 = model.decode_step(x, ck, cv, slots, lengths)
+                return h
+
+            sec = measure_kernel(step, (x, ck, cv, slots, lengths))
+            emit(metric="decode_step_device_s", batch=bs,
+                 value=round(sec * 1e6, 1), unit="us",
+                 device_tok_s=round(bs / sec, 1))
+        except Exception as ex:  # noqa: BLE001
+            emit(metric="decode_step_device_s", batch=bs,
+                 error=str(ex)[:160])
+
+    if device_only:
+        return
 
     # -- 2. prefill admission: bucketed vs chunked -----------------------------
     for mode, kw in (("bucketed", {}), ("chunked", {"prefill_chunk": 64})):
