@@ -158,8 +158,10 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
     g = spec.group_size if spec.group_size > 0 else K
 
     m_pad = max(M, 8)
+    # 2048 included: the i2 m=4096 winner is t2048x2048x1024_mask (int8
+    # accumulators tolerate the VMEM pressure; 2026-08-19/20 head-to-heads).
     bm_opts = sorted({min(b, 1 << (m_pad - 1).bit_length())
-                      for b in (8, 16, 32, 64, 128, 256, 512, 1024)
+                      for b in (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
                       if b <= 2 * m_pad})
 
     # N here is spec.n_padded: always a whole number of 128*e pack tiles
@@ -331,17 +333,31 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
     if spec.bits < 8 and spec.family in ("uint", "int") and spec.m <= 16:
         pool = hints
         pool = prefer(lambda h: h.decode_mode == "telescope", pool)
+        # exact-m blocks beat padded bm=256 at BOTH swept shapes (8192
+        # sweep 2026-08-19; 4096 probe 2026-08-20: i2 m=16 10.0us vs 11.7,
+        # u4 m=16 15.8 vs 16.6) — the padded grid re-reads A for rows that
+        # contribute nothing.
+        m_exact = max(8, -(-spec.m // 8) * 8)
+        pool = prefer(lambda h: h.block_m == m_exact, pool)
         if spec.is_int_activation:
             pool = prefer(lambda h: h.mma_dtype == "int8", pool)
-            pool = prefer(lambda h: h.block_n >= 2048, pool)
-            # whole-K up to 8192: t16x2048x8192 measured 100.8% of roof at
-            # nk=8192 (2026-08-19 llama-shape sweep)
-            pool = prefer(lambda h: h.block_k >= min(spec.k, 8192), pool)
+            # bn=2048 at both swept nk; wider bn degrades (4096-probe
+            # whole-K m=1: bn 1024/2048/4096 -> 11.7/12.8/14.9us)
+            pool = prefer(lambda h: h.block_n == 2048, pool)
+            if spec.k >= 8192:
+                # whole-K up to 8192: t16x2048x8192 measured 100.8% of
+                # roof at nk=8192 (2026-08-19 llama-shape sweep)
+                pool = prefer(lambda h: h.block_k >= min(spec.k, 8192),
+                              pool)
+            else:
+                # at k<=4096 the half-K block wins: t16x2048x2048 10.0us
+                # vs whole-K t16x2048x4096 11.7 (2026-08-20 probe)
+                pool = prefer(lambda h: h.block_k == 2048, pool)
         else:
             pool = prefer(lambda h: h.mma_dtype == "float32", pool)
             # whole-K up to 8192: t16x512x8192 84.3% vs 77.1% for bk=4096
             pool = prefer(lambda h: h.block_k >= min(spec.k, 8192), pool)
-            # m=1 wants bn=256 (16.6us vs 17.5), m=16 bn=512 (15.8us)
+            # m=1 wants narrow bn (t8x128x4096 17.0us), m=16 bn=512 (15.8)
             bn_cap = 256 if spec.m <= 8 else 512
             pool = prefer(lambda h: h.block_n <= bn_cap, pool)
         return pool[0]   # prefer() preserves the roofline-sorted order
@@ -363,8 +379,12 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             pool = prefer(lambda h: h.decode_mode == dm, hints)
             pool = prefer(lambda h: h.mma_dtype == "int8", pool)
             pool = prefer(lambda h: h.block_m >= 1024, pool)
-            if spec.bits == 2:   # measured winner 1024x1024x1024 (83%)
-                pool = prefer(lambda h: h.block_n <= 1024, pool)
+            if spec.bits == 2:
+                # in-window head-to-heads (2026-08-19/20): t2048x2048x1024
+                # 89.1% vs t1024^3 83.5% at 8192^2 (re-confirmed 87.3 vs
+                # 83.7 in a 3rd window), 80.2 vs 79.3 at 4096^2.
+                pool = prefer(lambda h: h.block_m >= 2048, pool)
+                pool = prefer(lambda h: h.block_n <= 2048, pool)
                 pool = prefer(lambda h: h.block_k == 1024, pool)
             else:                # u4 tele: 1024x2048x512 family (542us)
                 pool = prefer(lambda h: h.block_n <= 2048, pool)
