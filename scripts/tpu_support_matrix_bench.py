@@ -34,15 +34,18 @@ from bitblas_tpu.tuner.curated import curated_hint
 from bitblas_tpu.utils.timing import measure_kernel
 
 N = K = 4096
-MS = (1, 256)
+MS = tuple(int(x) for x in os.environ.get(
+    "BITBLAS_TPU_SMB_MS", "1,256").split(","))
 if "--cpu" in sys.argv:  # logic smoke on the host: tiny shapes, interpret
     sys.argv.remove("--cpu")
     import jax
     jax.config.update("jax_platforms", "cpu")
     N = K = 256
     MS = (16,)
+_SUFFIX = "" if MS == (1, 256) else "_m" + "_".join(map(str, MS))
 OUT = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "docs", "support_matrix_bench_v5e.json")
+    os.path.abspath(__file__))), "docs",
+    f"support_matrix_bench_v5e{_SUFFIX}.json")
 if N != 4096:  # CPU smoke must never clobber the recorded chip artifact
     OUT = "/tmp/support_matrix_cpu_smoke.json"
 
