@@ -596,6 +596,13 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
     def fn(A, Wp, scales=None, zeros=None, bias=None):
         if not interpret and A.dtype == f16:
             A = A.astype(mma if mma != jnp.int8 else jnp.float32)
+        if A.dtype in (jnp.int4, jnp.uint4):
+            # Sub-byte activations (A_dtype int4/uint4, stored S4/U4):
+            # Mosaic cannot take sub-byte Pallas inputs on hardware (and a
+            # failed S4 lowering poisons the process's backend client —
+            # 2026-08-20 support-matrix sweep). int8 staging is exact for
+            # 4-bit values and feeds the int8-MXU path unchanged.
+            A = A.astype(jnp.int8)
         if A.shape[0] != padded_m:
             A = jnp.pad(A, ((0, padded_m - A.shape[0]), (0, 0)))
         args = [A, Wp]

@@ -109,7 +109,11 @@ def decode_int_field(field: jnp.ndarray, bits: int, dtype) -> jnp.ndarray:
     packing, general_matmul/__init__.py:684-690.)
     """
     bias = 1 << (bits - 1)
-    return field.astype(jnp.int32).astype(dtype) - jnp.array(bias, dtype)
+    # Subtract in int32 FIRST: the biased field spans [0, 2^bits) which
+    # does not fit a narrow signed target (int4 activations: casting 15 to
+    # S4 wraps before the bias comes off — 2026-08-20 support-matrix bug).
+    # The debiased value spans [-2^(bits-1), 2^(bits-1)) and fits exactly.
+    return (field.astype(jnp.int32) - bias).astype(dtype)
 
 
 def decode_uint_field_with_zeros(field: jnp.ndarray, zero: jnp.ndarray,

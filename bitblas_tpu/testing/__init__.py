@@ -85,10 +85,12 @@ def random_reference_operands(config: MatmulConfig, m: int,
     elif config.A_dtype == "int8":
         A = rng.integers(-8, 8, (m, K), dtype=np.int64).astype(np.int8)
     elif config.A_dtype in ("int4", "uint4"):
-        import ml_dtypes
+        # int8 STORAGE for sub-byte activations: the axon TPU plugin
+        # cannot device-put or operate on S4/U4 arrays at all (any op on
+        # one wedges the process's backend client — 2026-08-20 support-
+        # matrix sweep), and the int8-MXU path is exact for 4-bit values.
         lo, hi = (-8, 8) if config.A_dtype == "int4" else (0, 16)
-        dt = ml_dtypes.int4 if config.A_dtype == "int4" else ml_dtypes.uint4
-        A = rng.integers(lo, hi, (m, K), dtype=np.int64).astype(dt)
+        A = rng.integers(lo, hi, (m, K), dtype=np.int64).astype(np.int8)
     elif config.A_dtype in ("e4m3_float8", "e5m2_float8"):
         import ml_dtypes
         dt = (ml_dtypes.float8_e4m3fn if config.A_dtype == "e4m3_float8"

@@ -70,11 +70,17 @@ def main():
 
     # Device-side decode step (chained timer, dispatch excluded) — the
     # host loop below pays the remote tunnel's ~25 ms per dispatch,
-    # which buries the model math on this rig (CLAUDE.md).
+    # which buries the model math on this rig (CLAUDE.md). Measured on a
+    # ONE-layer twin (per-layer cost scales linearly) because the 2-layer
+    # MoE closure (~1.4 GiB of expert weights) exceeds what the remote
+    # compile transport accepts (broken pipe, 2026-08-20).
     from bitblas_tpu.utils.timing import measure_kernel
+    import dataclasses
+    dev_cfg = dataclasses.replace(cfg, num_layers=1)
+    dev_model = QuantMixtral(dev_cfg, opt_m=(1, 4, 8, 16), moe_tokens=32)
     for bs in (1, 8):
         try:
-            Lmax, L = 256, cfg.num_layers
+            Lmax, L = 256, dev_cfg.num_layers
             ck = jnp.zeros((L, bs, Lmax, cfg.num_kv_heads, cfg.head_dim),
                            jnp.float16)
             cv = jnp.zeros_like(ck)
@@ -84,16 +90,18 @@ def main():
             lengths = jnp.full((bs,), 16, jnp.int32)
 
             def step(x, ck, cv, slots, lengths):
-                h, ck2, cv2 = model.decode_step(x, ck, cv, slots, lengths)
+                h, ck2, cv2 = dev_model.decode_step(x, ck, cv, slots,
+                                                    lengths)
                 return h
 
             sec = measure_kernel(step, (x, ck, cv, slots, lengths))
             emit(metric="moe_decode_step_device_s", batch=bs,
-                 value=round(sec * 1e6, 1), unit="us",
-                 device_tok_s=round(bs / sec, 1))
+                 layers_measured=1, value=round(sec * 1e6, 1), unit="us",
+                 device_tok_s_per_layer=round(bs / sec, 1))
         except Exception as ex:  # noqa: BLE001
             emit(metric="moe_decode_step_device_s", batch=bs,
                  error=str(ex)[:160])
+    del dev_model
 
     for kvq in (False, True):
         for bs in (1, 4, 8):

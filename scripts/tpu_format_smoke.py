@@ -16,26 +16,37 @@ from bitblas_tpu.testing import random_reference_operands
 from bitblas_tpu.tuner import default_hint, get_arch
 
 GS = dict(with_scaling=True, group_size=128)
+# int-activation rows (BitNet/W4A8 serving paths): hardware-only lowering
+# gaps here escaped the float-act-only smoke until the 2026-08-20
+# support-matrix sweep (S4 activations wedged the backend client).
+IA = dict(accum_dtype="int32", out_dtype="float32")
 CASES = [
-    ("uint4", GS),
-    ("int4", GS),
-    ("int2", GS),
-    ("nf4", GS),
-    ("fp4_e2m1", GS),
-    ("e4m3_float8", {}),
-    ("e5m2_float8", {}),
-    ("uint2", GS),
-    ("uint1", GS),
-    ("int1", {}),
-    ("int8", {}),
-    ("int16", {}),
-    ("int32", {}),
+    ("uint4", "float16", GS),
+    ("int4", "float16", GS),
+    ("int2", "float16", GS),
+    ("nf4", "float16", GS),
+    ("fp4_e2m1", "float16", GS),
+    ("e4m3_float8", "float16", {}),
+    ("e5m2_float8", "float16", {}),
+    ("uint2", "float16", GS),
+    ("uint1", "float16", GS),
+    ("int1", "float16", {}),
+    ("int8", "float16", {}),
+    ("int16", "float16", {}),
+    ("int32", "float16", {}),
+    ("int2", "int8", IA),
+    ("uint4", "int8", dict(with_scaling=True, group_size=128,
+                           out_dtype="float32")),
+    ("uint2", "int8", IA),
+    ("int1", "int8", IA),
 ]
 failures = 0
-for w, kw in CASES:
+for w, a, kw in CASES:
     try:
-        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
-                           W_dtype=w, out_dtype="float16", **kw)
+        kw = dict(kw)
+        kw.setdefault("out_dtype", "float16")
+        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype=a,
+                           W_dtype=w, **kw)
         spec = KernelSpec.from_config(cfg, 16)
         hint = default_hint(spec, get_arch())
         ops = random_reference_operands(cfg, 16, 0)
@@ -56,11 +67,12 @@ for w, kw in CASES:
         rel = float(np.max(np.abs(cmp))) / den
         bad = "" if rel < 1e-2 else "  <-- WRONG"
         failures += bool(bad)
-        print(f"{w:12s}: rel err {rel:.2e} ({hint.short_name()}){bad}",
+        print(f"{w}x{a}"[:18].ljust(18) + f": rel err {rel:.2e} "
+              f"({hint.short_name()}){bad}",
               flush=True)
     except Exception as ex:
         failures += 1
-        print(f"{w:12s}: FAIL {str(ex)[:100]}", flush=True)
+        print(f"{w}x{a}"[:18].ljust(18) + f": FAIL {str(ex)[:100]}", flush=True)
 # asplit plan (kernels/asplit.py) across the sub-byte int/uint formats:
 # the inner int8 telescope at asplit tile shapes is a distinct Mosaic
 # lowering surface from the default-hint sweep above.
