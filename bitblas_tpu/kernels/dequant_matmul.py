@@ -597,12 +597,24 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
         if not interpret and A.dtype == f16:
             A = A.astype(mma if mma != jnp.int8 else jnp.float32)
         if A.dtype in (jnp.int4, jnp.uint4):
-            # Sub-byte activations (A_dtype int4/uint4, stored S4/U4):
-            # Mosaic cannot take sub-byte Pallas inputs on hardware (and a
-            # failed S4 lowering poisons the process's backend client —
-            # 2026-08-20 support-matrix sweep). int8 staging is exact for
-            # 4-bit values and feeds the int8-MXU path unchanged.
-            A = A.astype(jnp.int8)
+            # Sub-byte activations must arrive in int8 STORAGE: the axon
+            # backend cannot device-put or operate on S4/U4 arrays at all,
+            # and a failed transfer poisons the process's backend client
+            # (2026-08-20 support-matrix sweep). A host numpy array can be
+            # staged here losslessly; a device/traced S4 array is already
+            # past the point of no return, so fail loudly instead of
+            # wedging the backend.
+            import numpy as np
+            if isinstance(A, np.ndarray):
+                A = A.astype(np.int8)
+            elif interpret:
+                A = A.astype(jnp.int8)  # CPU interpret handles S4 fine
+            else:
+                raise TypeError(
+                    "int4/uint4 activations must be passed in int8 "
+                    "storage on TPU (values in the 4-bit range): the "
+                    "backend cannot transfer S4/U4 arrays. Cast with "
+                    ".astype(np.int8) on host before device_put.")
         if A.shape[0] != padded_m:
             A = jnp.pad(A, ((0, padded_m - A.shape[0]), (0, 0)))
         args = [A, Wp]

@@ -55,18 +55,7 @@ def main():
                             num_heads=32, num_kv_heads=8, num_layers=2,
                             vocab_size=1024, group_size=128,
                             n_experts=8, top_k=2)
-    log(f"building QuantMixtral ({cfg.hidden_size}/{cfg.intermediate_size}"
-        f" x{cfg.num_layers} layers, {cfg.n_experts} experts top-"
-        f"{cfg.top_k})...")
-    model = QuantMixtral(cfg, opt_m=(1, 4, 8, 16), moe_tokens=32)
     rng = np.random.default_rng(0)
-    head = LMHead(
-        embed=jnp.asarray(rng.standard_normal(
-            (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float16),
-        final_norm=jnp.ones((cfg.hidden_size,), jnp.float32),
-        lm_head=jnp.asarray(rng.standard_normal(
-            (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float32),
-    )
 
     # Device-side decode step (chained timer, dispatch excluded) — the
     # host loop below pays the remote tunnel's ~25 ms per dispatch,
@@ -101,7 +90,22 @@ def main():
         except Exception as ex:  # noqa: BLE001
             emit(metric="moe_decode_step_device_s", batch=bs,
                  error=str(ex)[:160])
+    # Free the twin BEFORE the 2-layer model builds: concurrent expert
+    # residency (~2.1 GiB combined) pays a second weight build over the
+    # taxed tunnel for nothing.
     del dev_model
+
+    log(f"building QuantMixtral ({cfg.hidden_size}/"
+        f"{cfg.intermediate_size} x{cfg.num_layers} layers, "
+        f"{cfg.n_experts} experts top-{cfg.top_k})...")
+    model = QuantMixtral(cfg, opt_m=(1, 4, 8, 16), moe_tokens=32)
+    head = LMHead(
+        embed=jnp.asarray(rng.standard_normal(
+            (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float16),
+        final_norm=jnp.ones((cfg.hidden_size,), jnp.float32),
+        lm_head=jnp.asarray(rng.standard_normal(
+            (cfg.vocab_size, cfg.hidden_size)) * 0.02, jnp.float32),
+    )
 
     for kvq in (False, True):
         for bs in (1, 4, 8):

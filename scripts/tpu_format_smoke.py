@@ -73,6 +73,29 @@ for w, a, kw in CASES:
     except Exception as ex:
         failures += 1
         print(f"{w}x{a}"[:18].ljust(18) + f": FAIL {str(ex)[:100]}", flush=True)
+# Native sub-byte compute (int4xint4 -> int8-staged XLA dense dot): the
+# cell that actually failed in the 2026-08-20 sweep; distinct lowering
+# surface from every dequant row above.
+try:
+    from bitblas_tpu.kernels.dense import make_dense_matmul
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="int4", W_dtype="int4",
+                       accum_dtype="int32", out_dtype="float32")
+    spec = KernelSpec.from_config(cfg, 16)
+    hint = default_hint(spec, get_arch())
+    ops = random_reference_operands(cfg, 16, 0)
+    kf = make_dense_matmul(spec, hint)
+    o = np.asarray(kf(jnp.asarray(ops.A), jnp.asarray(ops.qweight)),
+                   np.float32)
+    r = np.asarray(matmul_reference(cfg, jnp.asarray(ops.A),
+                                    jnp.asarray(ops.qweight)), np.float32)
+    rel = float(np.max(np.abs(o - r))) / max(float(np.max(np.abs(r))), 1e-9)
+    bad = "" if rel < 1e-2 else "  <-- WRONG"
+    failures += bool(bad)
+    print(f"native int4xint4  : rel err {rel:.2e}{bad}", flush=True)
+except Exception as ex:
+    failures += 1
+    print(f"native int4xint4  : FAIL {str(ex)[:100]}", flush=True)
+
 # asplit plan (kernels/asplit.py) across the sub-byte int/uint formats:
 # the inner int8 telescope at asplit tile shapes is a distinct Mosaic
 # lowering surface from the default-hint sweep above.

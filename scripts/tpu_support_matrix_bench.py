@@ -35,7 +35,9 @@ from bitblas_tpu.utils.timing import measure_kernel
 
 N = K = 4096
 MS = tuple(int(x) for x in os.environ.get(
-    "BITBLAS_TPU_SMB_MS", "1,256").split(","))
+    "BITBLAS_TPU_SMB_MS", "1,256").split(",") if x.strip())
+if not MS:
+    raise SystemExit("BITBLAS_TPU_SMB_MS parsed to an empty m-list")
 if "--cpu" in sys.argv:  # logic smoke on the host: tiny shapes, interpret
     sys.argv.remove("--cpu")
     import jax

@@ -1,6 +1,8 @@
-"""default_hint must keep returning the measured winners for the headline
-grid — the analytic fallback is what serving hits on a cold DB, and a
-space-heuristic edit that silently changes these tiles costs recorded
+"""default_hint must keep returning the measured winners for the bench
+grid, and stay stable on the SERVING spec variants (with_zeros +
+fast_decoding uint4 — the KernelSpec a cold-DB QuantLlama actually
+resolves; it differs from the bench grid and is costed differently).
+A space-heuristic edit that silently changes these tiles costs recorded
 perf (the curated table covers the same cells, but only for the two
 swept nk; default_hint covers everything else by generalizing them)."""
 
@@ -34,6 +36,30 @@ def _config(w, a, m, nk):
                             fast_decoding=False, out_dtype="float16")
     return MatmulConfig(M=m, N=nk, K=nk, A_dtype=a, W_dtype=w,
                         accum_dtype="int32", out_dtype="float32")
+
+
+# Serving spec variant: with_zeros + fast_decoding uint4 (QuantLlama's
+# cold-DB KernelSpec, models/quant_llama.py:112) — pinned to the current
+# resolution so space edits touching the zeros/fast-decoding branches
+# can't silently retile serving. (These cells share the measured exact-m
+# small-M family; m=256 resolves to the whole-K bf16 GEMM tile.)
+SERVING = {
+    1: (8, 256, 4096, "float32", "telescope"),
+    16: (16, 512, 4096, "float32", "telescope"),
+    256: (256, 1024, 4096, "bfloat16", "telescope"),
+}
+
+
+@pytest.mark.parametrize("m", sorted(SERVING))
+def test_default_hint_serving_spec(m):
+    cfg = MatmulConfig(M=m, N=4096, K=4096, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, with_zeros=True,
+                       zeros_mode="original", group_size=128,
+                       out_dtype="float16")
+    spec = KernelSpec.from_config(cfg, m)
+    h = default_hint(spec, ARCH)
+    got = (h.block_m, h.block_n, h.block_k, h.mma_dtype, h.decode_mode)
+    assert got == SERVING[m], f"serving m={m}: drifted to {got}"
 
 
 @pytest.mark.parametrize("key", sorted(EXPECTED))
