@@ -50,11 +50,20 @@ def main():
                             vocab_size=128, group_size=128,
                             n_experts=4, top_k=2)
     else:
-        # Mixtral-8x7B layer geometry, 2 layers (weights ~1.4 GiB int4).
+        # Mixtral-8x7B EXPERT geometry (4096/14336, GQA 32/8, top-2) at a
+        # transport-safe size: the remote compile service rejects closures
+        # past somewhere between ~0.2 GiB (llama 2L, passes) and ~1.4 GiB
+        # (mixtral 8e x 2L, broken pipe) — 1 layer x 4 experts ~ 350 MiB.
+        # Per-layer cost scales linearly in layers; the dense top-2
+        # dispatch compute scales with n_experts (capacity grid), so the
+        # 8-expert step is bounded by ~2x the 4-expert FFN term.
+        import os
+        nl = int(os.environ.get("BITBLAS_TPU_MOE_LAYERS", 1))
+        ne = int(os.environ.get("BITBLAS_TPU_MOE_EXPERTS", 4))
         cfg = MixtralConfig(hidden_size=4096, intermediate_size=14336,
-                            num_heads=32, num_kv_heads=8, num_layers=2,
+                            num_heads=32, num_kv_heads=8, num_layers=nl,
                             vocab_size=1024, group_size=128,
-                            n_experts=8, top_k=2)
+                            n_experts=ne, top_k=2)
     rng = np.random.default_rng(0)
 
     # Device-side decode step (chained timer, dispatch excluded) — the
