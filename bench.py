@@ -373,22 +373,30 @@ def main():
             rows.append(None)
             continue
         row = None
-        for attempt in (0, 1):
+        for attempt in (0, 1, 2):
             try:
                 row = measure_config(m, cfg)
                 break
             except Exception as ex:  # noqa: BLE001
                 log(f"bench: row m={m} {cfg.W_dtype}x{cfg.A_dtype} "
                     f"nk={cfg.N} attempt {attempt} died: {str(ex)[:160]}")
-                if attempt == 0 and is_fatal(ex) and elapsed() < budget:
+                if attempt < 2 and is_fatal(ex) and elapsed() < budget:
                     # Worker crash/restart: wait for the tunnel to answer
-                    # again, then retry the row once from scratch. A failed
-                    # gate sets tunnel_dead — every later row/pass skips
-                    # straight to the salvage emit.
+                    # again, then retry from scratch. A crash-LOOPING
+                    # worker answers health probes instantly while still
+                    # killing big jobs (2026-08-20 phase-E run lost six
+                    # 8192 rows back-to-back), so the second retry also
+                    # sleeps to ride out the loop. A failed gate sets
+                    # tunnel_dead — every later row/pass skips straight
+                    # to the salvage emit.
                     if not health_gate(hbudget):
                         log("bench: tunnel gone mid-run — salvaging "
                             "completed rows")
                         break
+                    if attempt == 1:
+                        log("bench: second worker crash on this row — "
+                            "cooling down 120s before the final attempt")
+                        time.sleep(120)
                 else:
                     break
         rows.append(row)
