@@ -156,51 +156,22 @@ def _expand_groups(x_g1n: jnp.ndarray, k: int) -> jnp.ndarray:
                             (G, g, N)).reshape(k, N)
 
 
-def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
-                            interpret: bool = False):
-    """Build the two-pass dequant matmul for one (spec, hint).
+def make_weight_dequant(spec: KernelSpec, mma_dtype: str = "float32"):
+    """Packed float-activation weight operands -> dense [K, n_padded]
+    dequantized weight in `mma_dtype` (the decode half of the two-pass
+    plan, reusable by consumers that feed the result to a different dense
+    op — e.g. QuantConv2D's native-conv route).
 
-    Same call signature/layouts as make_dequant_matmul:
-    fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
-    """
-    del interpret  # pure XLA — identical on CPU and TPU
-    if not supports_materialize(spec, hint):
-        raise ValueError(f"materialize plan unsupported for {spec} "
-                         f"(mma={hint.mma_dtype})")
-    M, N_out, K = spec.m, spec.n, spec.k
+    fn(Wp, scales=None, zeros=None); scales/zeros arrive in the device
+    layout ([G, 1, N_pad] rows, qzeros slot-packed)."""
+    K = spec.k
     N = spec.n_padded
     e = spec.elems_per_word
     g = spec.group_size if spec.group_size > 0 else K
-    precision = _PRECISION[hint.precision]
-    out_dtype = as_jax_dtype(spec.out_dtype)
     quantized_zeros = spec.with_zeros and spec.zeros_mode == "quantized"
-    int_dot = spec.is_int_activation
-    mma = jnp.bfloat16 if hint.mma_dtype == "bfloat16" else jnp.float32
+    mma = jnp.bfloat16 if mma_dtype == "bfloat16" else jnp.float32
 
-    def _finish(res, bias):
-        if spec.with_bias and bias is not None:
-            res = res.astype(jnp.float32) + bias.astype(jnp.float32)
-        res = numerics.saturate_cast(res, out_dtype)
-        return res[:, :N_out] if N != N_out else res
-
-    if int_dot:
-        def fn(A, Wp, scales=None, zeros=None, bias=None):
-            del zeros
-            codes = _decode_subbyte_plane(spec, Wp)
-            if spec.family == "int":
-                codes = codes - (1 << (spec.bits - 1))
-            W = codes.astype(jnp.int8)
-            out = lax.dot_general(
-                A, W, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32, precision=precision)
-            if spec.with_scaling:
-                # per-channel only (supports_materialize): scales [1, 1, N]
-                out = out.astype(jnp.float32) * \
-                    scales.reshape(1, N).astype(jnp.float32)
-            return _finish(out, bias)
-        return fn
-
-    def fn(A, Wp, scales=None, zeros=None, bias=None):
+    def fn(Wp, scales=None, zeros=None):
         if spec.bits < 8:
             w = _decode_fields_f32(spec, _decode_subbyte_plane(spec, Wp))
         else:
@@ -210,8 +181,6 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
             s_full = _expand_groups(scales.astype(jnp.float32), K)
         if spec.with_zeros:
             if quantized_zeros:
-                # qzeros: slot-strided [G, 1, N/e], not XORed (weight_
-                # transform.qzeros_to_device packs raw fields)
                 zf = _unpack_slots(zeros.reshape(K // g, -1), spec.bits,
                                    e, N, xored=False)
                 z_full = _expand_groups(
@@ -227,12 +196,73 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
                 w = w * s_full - z_full
         elif s_full is not None:
             w = w * s_full
-        Wd = w.astype(mma)
+        return w.astype(mma)
+
+    return fn
+
+
+def make_weight_decode_int8(spec: KernelSpec):
+    """Packed sub-byte int/uint weight -> int8 codes [K, n_padded]
+    (zero-point-free; scaling is the caller's post-dot job — mirrors the
+    int-activation materialize path's constraints)."""
+
+    def fn(Wp):
+        codes = _decode_subbyte_plane(spec, Wp)
+        if spec.family == "int":
+            codes = codes - (1 << (spec.bits - 1))
+        return codes.astype(jnp.int8)
+
+    return fn
+
+
+def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
+                            interpret: bool = False):
+    """Build the two-pass dequant matmul for one (spec, hint).
+
+    Same call signature/layouts as make_dequant_matmul:
+    fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
+    """
+    del interpret  # pure XLA — identical on CPU and TPU
+    if not supports_materialize(spec, hint):
+        raise ValueError(f"materialize plan unsupported for {spec} "
+                         f"(mma={hint.mma_dtype})")
+    N_out = spec.n
+    N = spec.n_padded
+    precision = _PRECISION[hint.precision]
+    out_dtype = as_jax_dtype(spec.out_dtype)
+    int_dot = spec.is_int_activation
+    mma = jnp.bfloat16 if hint.mma_dtype == "bfloat16" else jnp.float32
+
+    def _finish(res, bias):
+        if spec.with_bias and bias is not None:
+            res = res.astype(jnp.float32) + bias.astype(jnp.float32)
+        res = numerics.saturate_cast(res, out_dtype)
+        return res[:, :N_out] if N != N_out else res
+
+    if int_dot:
+        decode_int8 = make_weight_decode_int8(spec)
+
+        def fn(A, Wp, scales=None, zeros=None, bias=None):
+            del zeros
+            W = decode_int8(Wp)
+            out = lax.dot_general(
+                A, W, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32, precision=precision)
+            if spec.with_scaling:
+                # per-channel only (supports_materialize): scales [1, 1, N]
+                out = out.astype(jnp.float32) * \
+                    scales.reshape(1, N).astype(jnp.float32)
+            return _finish(out, bias)
+        return fn
+
+    dequant = make_weight_dequant(spec, hint.mma_dtype)
+
+    def fn(A, Wp, scales=None, zeros=None, bias=None):
+        Wd = dequant(Wp, scales, zeros)
         Ad = A.astype(jnp.float32).astype(mma) if A.dtype != mma else A
         out = lax.dot_general(
             Ad, Wd, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
         return _finish(out, bias)
 
-    del M  # no M padding in this plan — shapes are XLA's problem
     return fn

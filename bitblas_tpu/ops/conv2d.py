@@ -85,12 +85,26 @@ class Conv2D:
 class QuantConv2DConfig(Conv2DConfig):
     """Weight-quantized conv: any dequant `W_dtype` the Matmul kernel
     supports (uint/int 1-8, nf4, fp4_e2m1, fp8), grouped scaling along the
-    C*KH*KW contraction axis."""
+    C*KH*KW contraction axis.
+
+    `route` picks the compute plan:
+      * "materialize" — dequantize the (tiny) packed filter in-graph, then
+        XLA's native conv. At conv shapes the activation traffic dwarfs the
+        filter, so the decode amortizes to ~nothing and the conv runs at
+        the dense rate (measured v5e 2026-08-20: fused im2col was 1.6-4.8%
+        of roofline at ResNet 3x3 shapes vs 85-90% dense — the M>>N,K
+        regime re-decodes W per M-tile and starves the MXU).
+      * "fused" — im2col patches into the fused dequant-GEMM Pallas kernel
+        (never materializes W to HBM; the memory-bound choice).
+      * "auto" — materialize when the decode supports the format, else
+        fused.
+    """
     W_dtype: str = "uint4"
     group_size: int = -1
     with_scaling: bool = True
     with_zeros: bool = False
     zeros_mode: str = "original"
+    route: str = "auto"
 
 
 class QuantConv2D:
@@ -121,6 +135,90 @@ class QuantConv2D:
             with_zeros=c.with_zeros, zeros_mode=c.zeros_mode,
         ), name=f"{name}_mm", target=target, enable_tuning=enable_tuning,
             **kw)
+        self.route = self._resolve_route(c.route)
+        self._conv_fn = (self._build_materialize_conv()
+                         if self.route == "materialize" else None)
+
+    def _resolve_route(self, route: str) -> str:
+        if route not in ("auto", "fused", "materialize"):
+            raise ValueError(f"unknown route {route!r}")
+        spec = self._matmul._make_spec(8)
+        if spec.native:
+            return "fused"  # native dense compute has nothing to decode
+        if spec.is_int_activation:
+            g = spec.group_size if spec.group_size > 0 else spec.k
+            ok = (not spec.with_zeros
+                  and (not spec.with_scaling or g >= spec.k)
+                  and spec.family in ("uint", "int") and spec.bits < 8)
+        elif spec.bits < 8:
+            ok = spec.family in ("uint", "int", "nf", "fp")
+        else:
+            ok = spec.family in ("int", "uint", "fp_e4m3", "fp_e5m2")
+        if route == "materialize" and not ok:
+            raise ValueError(
+                f"materialize route unsupported for W_dtype="
+                f"{self.config.W_dtype} A_dtype={self.config.in_dtype} "
+                f"(zeros/grouped-scale limits on int activations)")
+        return ("materialize" if ok else "fused") if route == "auto" \
+            else route
+
+    def _build_materialize_conv(self):
+        """Dequantize-filter + native XLA conv (see QuantConv2DConfig)."""
+        from ..kernels.materialize import (make_weight_decode_int8,
+                                           make_weight_dequant)
+        c = self.config
+        spec = self._matmul._make_spec(8)  # decode is M-independent
+        n_pad = spec.n_padded
+        out_dtype = as_jax_dtype(c.out_dtype)
+        int_act = spec.is_int_activation
+
+        def _to_hwio(w2d):
+            # decoded [K, n_pad] rows are channel-major (C, KH, KW)
+            return (w2d[:, :c.F]
+                    .reshape(c.C, c.K, c.K, c.F)
+                    .transpose(1, 2, 0, 3))
+
+        conv_kw = dict(
+            window_strides=(c.S, c.S),
+            padding=[(c.P, c.P), (c.P, c.P)],
+            rhs_dilation=(c.D, c.D),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+        if int_act:
+            decode = make_weight_decode_int8(spec)
+
+            def fn(x, Wp, scales=None, zeros=None, bias=None):
+                del zeros
+                hwio = _to_hwio(decode(Wp))
+                out = jax.lax.conv_general_dilated(
+                    x, hwio, preferred_element_type=jnp.int32, **conv_kw)
+                if c.with_scaling:
+                    out = out.astype(jnp.float32) * \
+                        scales.reshape(1, 1, 1, n_pad)[..., :c.F]
+                if bias is not None:
+                    out = out.astype(jnp.float32) + \
+                        bias.reshape(1, 1, 1, n_pad)[..., :c.F]
+                return out.astype(out_dtype)
+
+            return jax.jit(fn)
+
+        mma = "bfloat16" if c.in_dtype in ("float16", "bfloat16") \
+            else "float32"
+        dequant = make_weight_dequant(spec, mma)
+        mma_jnp = as_jax_dtype("bfloat16" if mma == "bfloat16"
+                               else "float32")
+
+        def fn(x, Wp, scales=None, zeros=None, bias=None):
+            hwio = _to_hwio(dequant(Wp, scales, zeros))
+            out = jax.lax.conv_general_dilated(
+                x.astype(mma_jnp), hwio,
+                preferred_element_type=jnp.float32, **conv_kw)
+            if bias is not None:
+                out = out + bias.reshape(1, 1, 1, n_pad)[..., :c.F]
+            return out.astype(out_dtype)
+
+        return jax.jit(fn)
 
     def transform_weight(self, weight, scale=None, zeros=None, bias=None):
         """weight [KH, KW, C, F] raw codes -> packed device tensors.
@@ -135,6 +233,8 @@ class QuantConv2D:
 
     def forward(self, x: jnp.ndarray, W, scale=None, zeros=None, bias=None):
         c = self.config
+        if self._conv_fn is not None:
+            return self._conv_fn(x, W, scale, zeros, bias)
         patches = jax.lax.conv_general_dilated_patches(
             x, filter_shape=(c.K, c.K), window_strides=(c.S, c.S),
             padding=[(c.P, c.P), (c.P, c.P)], rhs_dilation=(c.D, c.D),

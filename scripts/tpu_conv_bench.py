@@ -59,28 +59,33 @@ def main():
         except Exception as ex:  # noqa: BLE001
             log(f"dense f16 {C}x{HW}^2 -> {F} k{K}: FAIL {str(ex)[:120]}")
 
-        # quantized u4 fused (im2col + dequant-GEMM kernel)
-        try:
-            qcfg = QuantConv2DConfig(N=BATCH, C=C, H=HW, W=HW, F=F, K=K,
-                                     S=S, P=P, W_dtype="uint4",
-                                     group_size=128, with_scaling=True)
-            qop = QuantConv2D(qcfg)
-            kdim = C * K * K
-            codes = rng.integers(0, 16, (K, K, C, F)).astype(np.int8)
-            scales = (rng.standard_normal((F, kdim // 128)) * 0.05 + 0.1
-                      ).astype(np.float32)
-            packed = qop.transform_weight(codes, scale=scales)
-            args = (x,) + tuple(jnp.asarray(p) for p in packed)
-            fn = lambda x, W, S_, _op=qop: _op.forward(x, W, scale=S_)  # noqa: E731,E501
-            sec = min(measure_kernel(fn, args) for _ in range(2))
-            wbytes = kdim * F // 2 + kdim * F // 128 * 4
-            roof_q = max(flops / arch.flops_bf16,
-                         (BATCH * HW * HW * C * 2 + wbytes)
-                         / arch.hbm_bandwidth)
-            log(f"quant u4  {C}x{HW}^2 -> {F} k{K}: {sec*1e6:8.1f}us "
-                f"{flops/sec/1e12:6.1f} TF/s ({100*roof_q/sec:5.1f}%)")
-        except Exception as ex:  # noqa: BLE001
-            log(f"quant u4  {C}x{HW}^2 -> {F} k{K}: FAIL {str(ex)[:120]}")
+        # quantized u4: materialize (decode + native conv, the default)
+        # vs fused (im2col + dequant-GEMM kernel)
+        for route in ("materialize", "fused"):
+            try:
+                qcfg = QuantConv2DConfig(N=BATCH, C=C, H=HW, W=HW, F=F, K=K,
+                                         S=S, P=P, W_dtype="uint4",
+                                         group_size=128, with_scaling=True,
+                                         route=route)
+                qop = QuantConv2D(qcfg)
+                kdim = C * K * K
+                codes = rng.integers(0, 16, (K, K, C, F)).astype(np.int8)
+                scales = (rng.standard_normal((F, kdim // 128)) * 0.05 + 0.1
+                          ).astype(np.float32)
+                packed = qop.transform_weight(codes, scale=scales)
+                args = (x,) + tuple(jnp.asarray(p) for p in packed)
+                fn = lambda x, W, S_, _op=qop: _op.forward(x, W, scale=S_)  # noqa: E731,E501
+                sec = min(measure_kernel(fn, args) for _ in range(2))
+                wbytes = kdim * F // 2 + kdim * F // 128 * 4
+                roof_q = max(flops / arch.flops_bf16,
+                             (BATCH * HW * HW * C * 2 + wbytes)
+                             / arch.hbm_bandwidth)
+                log(f"quant u4 {route[:4]} {C}x{HW}^2 -> {F} k{K}: "
+                    f"{sec*1e6:8.1f}us {flops/sec/1e12:6.1f} TF/s "
+                    f"({100*roof_q/sec:5.1f}%)")
+            except Exception as ex:  # noqa: BLE001
+                log(f"quant u4 {route[:4]} {C}x{HW}^2 -> {F} k{K}: "
+                    f"FAIL {str(ex)[:120]}")
 
 
 if __name__ == "__main__":

@@ -144,7 +144,7 @@ def test_quant_conv2d_fused_matches_dense_conv():
     n, cin, h, w_, f, k = 2, 32, 8, 8, 64, 3
     cfg = QuantConv2DConfig(N=n, C=cin, H=h, W=w_, F=f, K=k, S=1, P=1,
                             W_dtype="uint4", group_size=-1,
-                            with_scaling=True)
+                            with_scaling=True, route="fused")
     op = QuantConv2D(cfg, enable_tuning=False)
     codes = rng.integers(0, 16, (k, k, cin, f), dtype=np.uint8)
     scale = (np.abs(rng.standard_normal((f, 1))) * 0.1 + 0.01).astype(
@@ -159,6 +159,73 @@ def test_quant_conv2d_fused_matches_dense_conv():
     exp = np.asarray(dense(x.astype(jnp.float32), jnp.asarray(wf)),
                      np.float32)
     assert_close(out, exp, rtol=2e-2, atol=0.2)
+
+
+def test_quant_conv2d_routes_agree():
+    """materialize (decode-filter + native XLA conv) vs fused (im2col
+    dequant-GEMM): same packed operands, same result. materialize is the
+    default at conv shapes (measured 20-50x faster on v5e — see
+    QuantConv2DConfig docstring)."""
+    from bitblas_tpu import QuantConv2D, QuantConv2DConfig
+    rng = np.random.default_rng(5)
+    n, cin, h, w_, f, k = 2, 32, 8, 8, 64, 3
+    base = dict(N=n, C=cin, H=h, W=w_, F=f, K=k, S=1, P=1,
+                W_dtype="uint4", group_size=-1, with_scaling=True)
+    op_m = QuantConv2D(QuantConv2DConfig(**base, route="materialize"),
+                       enable_tuning=False)
+    op_f = QuantConv2D(QuantConv2DConfig(**base, route="fused"),
+                       enable_tuning=False)
+    assert op_m.route == "materialize" and op_f.route == "fused"
+    # auto picks materialize for float activations
+    assert QuantConv2D(QuantConv2DConfig(**base),
+                       enable_tuning=False).route == "materialize"
+    codes = rng.integers(0, 16, (k, k, cin, f), dtype=np.uint8)
+    scale = (np.abs(rng.standard_normal((f, 1))) * 0.1 + 0.01).astype(
+        np.float16)
+    packed = op_m.transform_weight(codes, scale=scale)
+    x = jnp.asarray(rng.standard_normal((n, h, w_, cin)).astype(np.float16))
+    got_m = np.asarray(op_m.forward(x, *packed), np.float32)
+    got_f = np.asarray(op_f.forward(x, *packed), np.float32)
+    assert_close(got_m, got_f, rtol=2e-2, atol=0.2)
+
+
+def test_quant_conv2d_int8_act_routes_agree():
+    """int8-activation quantized conv: integer conv on decoded codes with
+    per-channel post-scale must match the fused int path."""
+    from bitblas_tpu import QuantConv2D, QuantConv2DConfig
+    rng = np.random.default_rng(6)
+    n, cin, h, w_, f, k = 1, 32, 8, 8, 64, 3
+    base = dict(N=n, C=cin, H=h, W=w_, F=f, K=k, S=1, P=1,
+                W_dtype="uint4", in_dtype="int8", accum_dtype="int32",
+                out_dtype="float32", group_size=-1, with_scaling=True)
+    op_m = QuantConv2D(QuantConv2DConfig(**base, route="materialize"),
+                       enable_tuning=False)
+    op_f = QuantConv2D(QuantConv2DConfig(**base, route="fused"),
+                       enable_tuning=False)
+    assert op_m.route == "materialize"
+    codes = rng.integers(0, 16, (k, k, cin, f), dtype=np.uint8)
+    scale = (np.abs(rng.standard_normal((f, 1))) * 0.1 + 0.01).astype(
+        np.float32)
+    packed = op_m.transform_weight(codes, scale=scale)
+    x = jnp.asarray(rng.integers(-100, 100, (n, h, w_, cin)).astype(np.int8))
+    got_m = np.asarray(op_m.forward(x, *packed), np.float32)
+    got_f = np.asarray(op_f.forward(x, *packed), np.float32)
+    assert_close(got_m, got_f, rtol=1e-3, atol=1e-3)
+
+
+def test_quant_conv2d_auto_falls_back_to_fused():
+    """Grouped scales on an int-activation conv can't post-scale a single
+    integer conv — auto must keep the fused plan, and forcing materialize
+    must raise."""
+    from bitblas_tpu import QuantConv2D, QuantConv2DConfig
+    base = dict(N=1, C=64, H=8, W=8, F=64, K=3, S=1, P=1,
+                W_dtype="uint2", in_dtype="int8", accum_dtype="int32",
+                out_dtype="float32", group_size=64, with_scaling=True)
+    op = QuantConv2D(QuantConv2DConfig(**base), enable_tuning=False)
+    assert op.route == "fused"
+    with pytest.raises(ValueError):
+        QuantConv2D(QuantConv2DConfig(**base, route="materialize"),
+                    enable_tuning=False)
 
 
 def test_batch_matmul():
