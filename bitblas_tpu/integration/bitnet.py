@@ -59,7 +59,12 @@ class BitLinearBitBLAS(nn.Module):
             "qweight", torch.zeros((out_features, in_features),
                                    dtype=torch.int8))
         self.register_buffer("sw", torch.ones((), dtype=torch.float32))
-        self.register_buffer("bias", None)
+        # Always materialized (zeros when absent) so state_dicts saved
+        # from biased layers load into fresh modules — a None buffer is
+        # excluded from load_state_dict's local state and the "bias" key
+        # then raises as unexpected.
+        self.register_buffer(
+            "bias", torch.zeros((out_features,), dtype=torch.float32))
         self.format = "bitnet"
 
     @classmethod
@@ -90,10 +95,9 @@ class BitLinearBitBLAS(nn.Module):
         x2 = x.reshape(-1, self.in_features)
         out = self.inner(x2.detach().cpu().float().numpy())
         out = torch.from_numpy(np.array(out, dtype=np.float32))
-        out = out.reshape(*lead, self.out_features)
-        if self.bias is not None:
-            out = out + self.bias
-        return out.to(x.dtype)
+        out = out.reshape(*lead, self.out_features) + \
+            self.bias.detach().cpu().float()
+        return out.to(dtype=x.dtype, device=x.device)
 
 
 __all__ = ["BitLinearBitBLAS", "weight_quant", "activation_quant"]

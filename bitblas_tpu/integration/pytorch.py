@@ -144,29 +144,23 @@ class QuantLinear(nn.Module):
     def repack_from_gptq(self, gptq_module) -> None:
         """Ingest an AutoGPTQ (v1) CudaOldQuantLinear directly (qzeros +1
         quirk handled by module.Linear.repack_from_gptq)."""
-        self.inner.repack_from_gptq(gptq_module)
-        self._mirror_buffers_from_gptq(gptq_module, v2=False)
+        codes, intz = self.inner.repack_from_gptq(gptq_module)
+        self._mirror_buffers_from_gptq(gptq_module, codes, intz)
 
     def repack_from_gptq_v2(self, gptq_module) -> None:
         """Ingest a GPTQModel (v2) checkpoint (no off-by-one)."""
-        self.inner.repack_from_gptq_v2(gptq_module)
-        self._mirror_buffers_from_gptq(gptq_module, v2=True)
+        codes, intz = self.inner.repack_from_gptq_v2(gptq_module)
+        self._mirror_buffers_from_gptq(gptq_module, codes, intz)
 
-    def _mirror_buffers_from_gptq(self, gptq_module, v2: bool) -> None:
+    def _mirror_buffers_from_gptq(self, gptq_module, codes: np.ndarray,
+                                  intz: np.ndarray) -> None:
         """Keep this module's state_dict fields in sync with what the
-        device operands were built from, so a save/load round-trip after a
-        GPTQ repack reproduces the same layer."""
-        from ..module import unpack_qweight, unpack_qzeros, unpack_qzeros_v2
-        qw = gptq_module.qweight
-        qw = qw.detach().cpu().numpy() if hasattr(qw, "detach") else \
-            np.asarray(qw)
-        codes = unpack_qweight(
-            np.ascontiguousarray(qw.T).view(np.int8),
-            self.bits)[:, :self.in_features]
+        device operands were built from (codes/intz come back from the
+        inner repack — no re-unpacking), so a save/load round-trip after
+        a GPTQ repack reproduces the same layer."""
         self.qweight = torch.from_numpy(
-            packing.general_compress(codes, self.bits)).to(torch.int8)
-        unz = unpack_qzeros_v2 if v2 else unpack_qzeros
-        intz = unz(gptq_module.qzeros, self.bits)[:, :self.out_features]
+            packing.general_compress(np.ascontiguousarray(codes),
+                                     self.bits)).to(torch.int8)
         sc = gptq_module.scales
         sc = sc.detach().cpu().numpy() if hasattr(sc, "detach") else \
             np.asarray(sc)
@@ -175,7 +169,9 @@ class QuantLinear(nn.Module):
         self.zeros = torch.from_numpy(
             np.ascontiguousarray(intz.T.astype(np.float16)))
         b = getattr(gptq_module, "bias", None)
-        if b is not None and self.bias is not None:
+        if b is not None:
+            # bias=False + biased checkpoint already raised in the inner
+            # repack (module.Linear), so self.bias exists here.
             b = b.detach().cpu().numpy() if hasattr(b, "detach") else \
                 np.asarray(b)
             self.bias = torch.from_numpy(b.astype(np.float16))
@@ -187,7 +183,8 @@ class QuantLinear(nn.Module):
         a2 = A.reshape(-1, self.in_features)
         out = self.inner.forward(a2.detach().cpu().float().numpy())
         out = torch.from_numpy(np.array(out, dtype=np.float32))
-        return out.reshape(*lead, self.out_features).to(A.dtype)
+        return (out.reshape(*lead, self.out_features)
+                .to(dtype=A.dtype, device=A.device))
 
 
 __all__ = ["QuantLinear"]

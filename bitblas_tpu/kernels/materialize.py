@@ -52,8 +52,11 @@ _PRECISION = {
 }
 
 
-def supports_materialize(spec: KernelSpec, hint: TileHint) -> bool:
-    """Whether the two-pass plan exists for this spec/hint.
+def supports_materialize_spec(spec: KernelSpec) -> bool:
+    """Hint-independent half of supports_materialize: can this spec's
+    weight be decoded to a dense operand at all? (Shared with consumers
+    that feed the decode to a different dense op, e.g. QuantConv2D's
+    native-conv route.)
 
     Int-activation paths require no zeros and at most per-channel scaling
     (grouped scales cannot fold into an int8 operand; per-group partial
@@ -62,18 +65,24 @@ def supports_materialize(spec: KernelSpec, hint: TileHint) -> bool:
     if spec.native:
         return False
     if spec.is_int_activation:
-        if hint.mma_dtype != "int8":
-            return False
         g = spec.group_size if spec.group_size > 0 else spec.k
         per_channel = g >= spec.k
         return (not spec.with_zeros
                 and (not spec.with_scaling or per_channel)
                 and spec.family in ("uint", "int") and spec.bits < 8)
-    if hint.mma_dtype not in ("bfloat16", "float32"):
-        return False
     if spec.bits < 8:
         return spec.family in ("uint", "int", "nf", "fp")
     return spec.family in ("int", "uint", "fp_e4m3", "fp_e5m2")
+
+
+def supports_materialize(spec: KernelSpec, hint: TileHint) -> bool:
+    """Whether the two-pass plan exists for this spec/hint."""
+    if spec.is_int_activation and hint.mma_dtype != "int8":
+        return False
+    if not spec.is_int_activation and \
+            hint.mma_dtype not in ("bfloat16", "float32"):
+        return False
+    return supports_materialize_spec(spec)
 
 
 def timing_controls(hint: TileHint):

@@ -225,25 +225,35 @@ class Linear:
         else:
             raise ValueError(f"Unsupported zeros mode {cfg.zeros_mode}")
         if bias is not None:
+            if not cfg.with_bias:
+                # The forward path gates on config.with_bias (the kernel
+                # was built without a bias operand) — storing it here
+                # would silently drop it from every output.
+                raise ValueError(
+                    "checkpoint carries a bias but this Linear was built "
+                    "with bias=False — reconstruct with bias=True")
             self.bias = jnp.asarray(
                 wt.bias_to_device(_to_numpy(bias), n_pad=np_))
+        return intweight, intzeros
 
     def repack_from_gptq(self, gptq_module):
         """AutoGPTQ (v1) CudaOldQuantLinear repack — qzeros carry the +1
-        quirk (reference :315-338)."""
+        quirk (reference :315-338). Returns the unpacked ([out, in] codes,
+        [in/g, out] int zeros) so wrappers can mirror without re-unpacking."""
         intzeros = packing.unpack_qzeros(_to_numpy(gptq_module.qzeros),
                                          self.bits)[:, :self.out_features]
-        self._repack_gptq_common(gptq_module.qweight, gptq_module.qzeros,
-                                 gptq_module.scales,
-                                 getattr(gptq_module, "bias", None), intzeros)
+        return self._repack_gptq_common(
+            gptq_module.qweight, gptq_module.qzeros, gptq_module.scales,
+            getattr(gptq_module, "bias", None), intzeros)
 
     def repack_from_gptq_v2(self, gptq_module):
-        """GPTQModel (v2) repack — no off-by-one (reference :340-363)."""
+        """GPTQModel (v2) repack — no off-by-one (reference :340-363).
+        Returns (codes, int zeros) like repack_from_gptq."""
         intzeros = packing.unpack_qzeros_v2(_to_numpy(gptq_module.qzeros),
                                             self.bits)[:, :self.out_features]
-        self._repack_gptq_common(gptq_module.qweight, gptq_module.qzeros,
-                                 gptq_module.scales,
-                                 getattr(gptq_module, "bias", None), intzeros)
+        return self._repack_gptq_common(
+            gptq_module.qweight, gptq_module.qzeros, gptq_module.scales,
+            getattr(gptq_module, "bias", None), intzeros)
 
     @property
     def consistent(self):

@@ -128,39 +128,39 @@ class QuantConv2D:
             (c.W + 2 * c.P - (c.D * (c.K - 1) + 1)) // c.S + 1,
         )
         m = c.N * self._out_hw[0] * self._out_hw[1]
-        self._matmul = Matmul(MatmulConfig(
+        mm_cfg = MatmulConfig(
             M=m, N=c.F, K=kdim, A_dtype=c.in_dtype, W_dtype=c.W_dtype,
             out_dtype=c.out_dtype, accum_dtype=c.accum_dtype,
             group_size=c.group_size, with_scaling=c.with_scaling,
             with_zeros=c.with_zeros, zeros_mode=c.zeros_mode,
-        ), name=f"{name}_mm", target=target, enable_tuning=enable_tuning,
-            **kw)
-        self.route = self._resolve_route(c.route)
+        )
+        from ..kernels.spec import KernelSpec
+        self.route = self._resolve_route(
+            c.route, KernelSpec.from_config(mm_cfg, 8))
+        # The fused Matmul also provides transform_weight's layouts for
+        # the materialize route — but only tune its kernels when they
+        # will actually run (a materialize-route op would otherwise pay
+        # a full on-chip fused-kernel sweep for a dead path).
+        self._matmul = Matmul(
+            mm_cfg, name=f"{name}_mm", target=target,
+            enable_tuning=enable_tuning and self.route == "fused", **kw)
         self._conv_fn = (self._build_materialize_conv()
                          if self.route == "materialize" else None)
 
-    def _resolve_route(self, route: str) -> str:
+    def _resolve_route(self, route: str, spec) -> str:
         if route not in ("auto", "fused", "materialize"):
             raise ValueError(f"unknown route {route!r}")
-        spec = self._matmul._make_spec(8)
-        if spec.native:
-            return "fused"  # native dense compute has nothing to decode
-        if spec.is_int_activation:
-            g = spec.group_size if spec.group_size > 0 else spec.k
-            ok = (not spec.with_zeros
-                  and (not spec.with_scaling or g >= spec.k)
-                  and spec.family in ("uint", "int") and spec.bits < 8)
-        elif spec.bits < 8:
-            ok = spec.family in ("uint", "int", "nf", "fp")
-        else:
-            ok = spec.family in ("int", "uint", "fp_e4m3", "fp_e5m2")
+        from ..kernels.materialize import supports_materialize_spec
+        ok = supports_materialize_spec(spec)
         if route == "materialize" and not ok:
             raise ValueError(
                 f"materialize route unsupported for W_dtype="
                 f"{self.config.W_dtype} A_dtype={self.config.in_dtype} "
-                f"(zeros/grouped-scale limits on int activations)")
-        return ("materialize" if ok else "fused") if route == "auto" \
-            else route
+                f"(native compute, or zeros/grouped-scale limits on int "
+                f"activations)")
+        if route == "auto":
+            return "materialize" if ok else "fused"
+        return route
 
     def _build_materialize_conv(self):
         """Dequantize-filter + native XLA conv (see QuantConv2DConfig)."""

@@ -148,13 +148,60 @@ def test_bitlinear_from_bit_linear_forward():
     assert err <= 0.05 * want.abs().max().item(), err
 
 
-def test_bitlinear_state_dict_round_trip():
+@pytest.mark.parametrize("bias", [False, True])
+def test_bitlinear_state_dict_round_trip(bias):
+    """Round-trip must work for biased layers too (review 2026-08-20: a
+    None bias buffer made the saved 'bias' key unloadable)."""
     torch.manual_seed(1)
-    lin = torch.nn.Linear(128, 128, bias=False)
+    lin = torch.nn.Linear(128, 128, bias=bias)
     a = BitLinearBitBLAS.from_bit_linear(lin)
     b = BitLinearBitBLAS(128, 128)
     b.load_state_dict(a.state_dict())
     b.post_init()
     x = torch.randn(4, 128)
+    np.testing.assert_allclose(a(x).float().numpy(), b(x).float().numpy(),
+                               rtol=0, atol=1e-5)
+
+
+def test_repack_checkpoint_bias_handling():
+    """A biased GPTQ checkpoint into a bias=False QuantLinear must raise
+    loudly (the kernel was built without a bias operand — silently
+    dropping it was the bug; review 2026-08-20). With bias=True the bias
+    must survive the state_dict round trip."""
+    bits, group_size, out_f, in_f = 4, 64, 256, 256
+    rng = np.random.default_rng(11)
+    groups = in_f // group_size
+    intweight = rng.integers(0, 16, size=(in_f, out_f)).astype(np.uint32)
+    intzeros = rng.integers(0, 15, size=(groups, out_f)).astype(np.uint32)
+    scales = rng.uniform(0.01, 0.1, size=(groups, out_f)).astype(np.float16)
+    e32 = 32 // bits
+    qweight = np.zeros((in_f // e32, out_f), dtype=np.uint32)
+    for i in range(e32):
+        qweight |= intweight[i::e32] << np.uint32(bits * i)
+    qzeros = np.zeros((groups, out_f // e32), dtype=np.uint32)
+    for i in range(e32):
+        qzeros |= ((intzeros[:, i::e32] - 1) & 0xF).astype(np.uint32) \
+            << np.uint32(bits * i)
+    gptq = types.SimpleNamespace(qweight=qweight.view(np.int32),
+                                 qzeros=qzeros.view(np.int32),
+                                 scales=scales,
+                                 bias=rng.standard_normal(out_f)
+                                 .astype(np.float16))
+
+    bad = QuantLinear(bits=bits, group_size=group_size, in_features=in_f,
+                      out_features=out_f, bias=False, enable_tuning=False)
+    with pytest.raises(ValueError, match="bias"):
+        bad.repack_from_gptq(gptq)
+
+    a = QuantLinear(bits=bits, group_size=group_size, in_features=in_f,
+                    out_features=out_f, bias=True, enable_tuning=False)
+    a.repack_from_gptq(gptq)
+    assert "bias" in a.state_dict()
+
+    b = QuantLinear(bits=bits, group_size=group_size, in_features=in_f,
+                    out_features=out_f, bias=True, enable_tuning=False)
+    b.load_state_dict(a.state_dict())
+    b.post_init()
+    x = torch.randn(4, in_f)
     np.testing.assert_allclose(a(x).float().numpy(), b(x).float().numpy(),
                                rtol=0, atol=1e-5)
