@@ -84,8 +84,10 @@ class OperatorBenchmarkBase:
 
     # -- reporting -------------------------------------------------------------
     def serialize_results(self) -> str:
+        from ..utils.profiling import get_commit_id
         payload = {
             "arch": self.arch.name,
+            "commit": get_commit_id(),  # reference utils/__init__.py:15-21
             "sets": {
                 k: [asdict(r) for r in v] for k, v in self.results.items()
             },
