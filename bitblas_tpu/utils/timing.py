@@ -27,14 +27,20 @@ from jax import lax
 
 
 def _default_inject(args):
-    """Pick the smallest float arg to perturb (cheapest copy per iteration)."""
-    best, best_size = 0, None
+    """Pick the smallest array arg to perturb (cheapest copy per
+    iteration). Non-array args (None, lifted-weights lists, scalars)
+    are skipped — the carry must ride a real device array."""
+    best, best_size = None, None
     for i, a in enumerate(args):
-        if a is None:
+        if not (hasattr(a, "size") and hasattr(a, "dtype")
+                and hasattr(a, "ndim")):
             continue
         size = a.size * a.dtype.itemsize
         if best_size is None or size < best_size:
             best, best_size = i, size
+    if best is None:
+        raise ValueError("measure_kernel needs at least one array arg "
+                         "(or pass inject= explicitly)")
     return best
 
 

@@ -87,12 +87,21 @@ def main():
             slots = jnp.arange(bs, dtype=jnp.int32)
             lengths = jnp.full((bs,), 16, jnp.int32)
 
-            def step(x, ck, cv, slots, lengths):
+            # Weights ride as jit ARGUMENTS (lift_arrays): closure
+            # constants at this size exceed the remote-compile
+            # transport's body limit (HTTP 413 at 1Lx4e, 2026-08-20).
+            from bitblas_tpu.utils.lift import lift_arrays
+            vals, bind = lift_arrays(dev_model)
+
+            def step(vals, x, ck, cv, slots, lengths):
+                bind(vals)
                 h, ck2, cv2 = dev_model.decode_step(x, ck, cv, slots,
                                                     lengths)
                 return h
 
-            sec = measure_kernel(step, (x, ck, cv, slots, lengths))
+            sec = measure_kernel(step, (vals, x, ck, cv, slots, lengths),
+                                 inject=1)  # chain on x, not the list
+            bind(vals)  # restore concrete arrays after the trace
             emit(metric="moe_decode_step_device_s", batch=bs,
                  layers_measured=1, value=round(sec * 1e6, 1), unit="us",
                  device_tok_s_per_layer=round(bs / sec, 1))

@@ -1,0 +1,86 @@
+"""lift_arrays: closure-constant weights become jit arguments (the axon
+remote-compile transport rejects big constant-embedding computations —
+CLAUDE.md closure-constant limit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bitblas_tpu.utils.lift import lift_arrays
+
+
+class _Proj:
+    def __init__(self, seed):
+        rng = np.random.default_rng(seed)
+        # packed-operand tuple with a None (zeros slot unused)
+        self.packed = (jnp.asarray(rng.standard_normal((8, 8)),
+                                   jnp.float32),
+                       jnp.asarray(rng.standard_normal((1, 8)),
+                                   jnp.float32),
+                       None)
+
+
+class _Layer:
+    def __init__(self, seed):
+        self.weights = {"q": _Proj(seed), "k": _Proj(seed + 1)}
+        self.norm = jnp.ones((8,), jnp.float32)
+
+    def forward(self, x):
+        for p in self.weights.values():
+            w, s, _ = p.packed
+            x = (x @ w) * s
+        return x * self.norm
+
+
+class _Model:
+    def __init__(self):
+        self.layers = [_Layer(0), _Layer(10)]
+
+    def forward(self, x):
+        for l in self.layers:
+            x = l.forward(x)
+        return x
+
+
+def test_lift_roundtrip_and_argification():
+    m = _Model()
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 8)),
+                    jnp.float32)
+    want = np.asarray(m.forward(x))
+
+    vals, bind = lift_arrays(m)
+    # 2 layers x (2 projections x 2 arrays + 1 norm) = 10 leaves
+    assert len(vals) == 10
+
+    calls = []
+
+    def fn(vals, x):
+        bind(vals)
+        calls.append(1)
+        return m.forward(x)
+
+    jfn = jax.jit(fn)
+    got = np.asarray(jfn(vals, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # restore concrete arrays (trace left tracers in place)
+    bind(vals)
+    np.testing.assert_allclose(np.asarray(m.forward(x)), want, rtol=1e-6)
+
+    # weights are ARGUMENTS: new values change the output without retrace
+    vals2 = [v * 2 for v in vals]
+    got2 = np.asarray(jfn(vals2, x))
+    assert len(calls) == 1, "changing values must not retrace"
+    assert not np.allclose(got2, want), "values must feed the computation"
+    bind(vals)
+
+
+def test_bind_length_check():
+    m = _Model()
+    vals, bind = lift_arrays(m)
+    try:
+        bind(vals[:-1])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("short bind must raise")
