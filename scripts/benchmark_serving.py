@@ -109,11 +109,20 @@ def main():
             slots = jnp.arange(bs, dtype=jnp.int32)
             lengths = jnp.full((bs,), 16, jnp.int32)
 
-            def step(x, ck, cv, slots, lengths):
+            # Weights as jit args (utils.lift): the ~200 MB 2-layer
+            # closure sits near the remote-compile transport's body
+            # limit (HTTP 413 at ~350 MB — 2026-08-20 MoE bench).
+            from bitblas_tpu.utils.lift import lift_arrays
+            vals, bind = lift_arrays(model)
+
+            def step(vals, x, ck, cv, slots, lengths):
+                bind(vals)
                 h, ck2, cv2 = model.decode_step(x, ck, cv, slots, lengths)
                 return h
 
-            sec = measure_kernel(step, (x, ck, cv, slots, lengths))
+            sec = measure_kernel(step, (vals, x, ck, cv, slots, lengths),
+                                 inject=1)
+            bind(vals)
             emit(metric="decode_step_device_s", batch=bs,
                  value=round(sec * 1e6, 1), unit="us",
                  device_tok_s=round(bs / sec, 1))
