@@ -131,5 +131,32 @@ for w, kw in [("uint4", GS), ("int4", {}), ("uint2", GS), ("int2", {}),
         failures += 1
         print(f"asplit {w:8s}: FAIL {str(ex)[:100]}", flush=True)
 
+# Quantized conv, materialize route (the default): XLA decode reshape/
+# stack/transpose + native conv — a lowering surface distinct from the
+# GEMM sweeps above. Checked against the fused im2col route.
+try:
+    from bitblas_tpu.ops.conv2d import QuantConv2D, QuantConv2DConfig
+    base = dict(N=2, C=32, H=8, W=8, F=64, K=3, S=1, P=1,
+                W_dtype="uint4", group_size=-1, with_scaling=True)
+    op_m = QuantConv2D(QuantConv2DConfig(**base, route="materialize"),
+                       enable_tuning=False)
+    op_f = QuantConv2D(QuantConv2DConfig(**base, route="fused"),
+                       enable_tuning=False)
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 16, (3, 3, 32, 64)).astype(np.uint8)
+    scale = (np.abs(rng.standard_normal((64, 1))) * 0.1 + 0.01).astype(
+        np.float16)
+    packed = op_m.transform_weight(codes, scale=scale)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)).astype(np.float16))
+    o = np.asarray(op_m.forward(x, *packed), np.float32)
+    r = np.asarray(op_f.forward(x, *packed), np.float32)
+    rel = float(np.max(np.abs(o - r))) / max(float(np.max(np.abs(r))), 1e-9)
+    bad = "" if rel < 2e-2 else "  <-- WRONG"
+    failures += bool(bad)
+    print(f"quantconv mat/fused: rel err {rel:.2e}{bad}", flush=True)
+except Exception as ex:
+    failures += 1
+    print(f"quantconv mat/fused: FAIL {str(ex)[:100]}", flush=True)
+
 print(f"DONE {failures}")
 raise SystemExit(1 if failures else 0)
