@@ -99,9 +99,11 @@ def main():
                                                     lengths)
                 return h
 
-            sec = measure_kernel(step, (vals, x, ck, cv, slots, lengths),
-                                 inject=1)  # chain on x, not the list
-            bind(vals)  # restore concrete arrays after the trace
+            try:
+                sec = measure_kernel(step, (vals, x, ck, cv, slots,
+                                            lengths), inject=1)
+            finally:
+                bind(vals)  # a failed trace must not leave tracers behind
             emit(metric="moe_decode_step_device_s", batch=bs,
                  layers_measured=1, value=round(sec * 1e6, 1), unit="us",
                  device_tok_s_per_layer=round(bs / sec, 1))

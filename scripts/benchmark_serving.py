@@ -120,9 +120,11 @@ def main():
                 h, ck2, cv2 = model.decode_step(x, ck, cv, slots, lengths)
                 return h
 
-            sec = measure_kernel(step, (vals, x, ck, cv, slots, lengths),
-                                 inject=1)
-            bind(vals)
+            try:
+                sec = measure_kernel(step, (vals, x, ck, cv, slots,
+                                            lengths), inject=1)
+            finally:
+                bind(vals)  # a failed trace must not leave tracers behind
             emit(metric="decode_step_device_s", batch=bs,
                  value=round(sec * 1e6, 1), unit="us",
                  device_tok_s=round(bs / sec, 1))
