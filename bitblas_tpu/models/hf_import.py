@@ -248,7 +248,9 @@ class QuantLlamaLM:
             jnp.stack(list(vs)).astype(hidden.dtype))
         # Jit the decode step with donated caches: eager decode_step copies
         # the full cache 2L times per token through its .at[li].set loop.
-        decode = jax.jit(self.model.decode_step, donate_argnums=(1, 2))
+        from ..utils.lift import jit_lifted
+        decode = jit_lifted(self.model.decode_step, self.model,
+                            donate_argnums=(1, 2))
 
         def sample(logits_row: np.ndarray) -> int:
             return sample_token(logits_row, temperature=temperature,

@@ -187,7 +187,9 @@ class _CachedLM:
         # jit with donated caches: eager decode_chunk would copy the whole
         # cache 2*num_layers times per call; shapes (chunk length T)
         # recompile once each and recur (T=1 drafting, T=gamma+1 verify).
-        self._decode = jax.jit(lm.model.decode_chunk, donate_argnums=(1, 2))
+        from ..utils.lift import jit_lifted
+        self._decode = jit_lifted(lm.model.decode_chunk, lm.model,
+                                  donate_argnums=(1, 2))
 
     def logits_after(self, seq: List[int], n: int) -> np.ndarray:
         """[n, V] logits rows: row i is the distribution after the prefix

@@ -97,7 +97,9 @@ class ContinuousBatchingEngine:
         self.lengths = np.zeros((num_slots,), np.int32)
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
 
-        self._decode_step = jax.jit(self._make_decode_step())
+        from ..utils.lift import jit_lifted
+        self._decode_step = jit_lifted(self._make_decode_step(),
+                                       self.model)
         self._prefills = {}
 
     # -- request lifecycle -----------------------------------------------------
@@ -120,8 +122,9 @@ class ContinuousBatchingEngine:
 
     def _prefill_fn_for(self, s_bucket: int):
         if s_bucket not in self._prefills:
-            self._prefills[s_bucket] = jax.jit(
-                self.model.make_prefill(s_bucket))
+            from ..utils.lift import jit_lifted
+            self._prefills[s_bucket] = jit_lifted(
+                self.model.make_prefill(s_bucket), self.model)
         return self._prefills[s_bucket]
 
     def _prefill(self, req: Request):
@@ -189,11 +192,15 @@ class ContinuousBatchingEngine:
         S = req.prompt.shape[0]
         if not hasattr(self, "_chunk_step"):
             if self.kv_quant:
-                self._chunk_step = jax.jit(self.model.decode_chunk_quant,
-                                           donate_argnums=(1, 2, 3, 4))
+                from ..utils.lift import jit_lifted
+                self._chunk_step = jit_lifted(
+                    self.model.decode_chunk_quant, self.model,
+                    donate_argnums=(1, 2, 3, 4))
             else:
-                self._chunk_step = jax.jit(self.model.decode_chunk,
-                                           donate_argnums=(1, 2))
+                from ..utils.lift import jit_lifted
+                self._chunk_step = jit_lifted(
+                    self.model.decode_chunk, self.model,
+                    donate_argnums=(1, 2))
         slots = jnp.asarray([req.slot], jnp.int32)
         prompt = np.asarray(req.prompt, np.float16)
         written = 0
@@ -339,8 +346,10 @@ class PagedContinuousBatchingEngine:
         self.tables = np.zeros((num_slots, max_blocks_per_slot), np.int32)
         self.slot_blocks: Dict[int, List[int]] = {}
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
-        self._decode_step = jax.jit(model.decode_step_paged_quant
-                                    if kv_quant else model.decode_step_paged)
+        from ..utils.lift import jit_lifted
+        self._decode_step = jit_lifted(
+            model.decode_step_paged_quant if kv_quant
+            else model.decode_step_paged, model)
         self._prefills = {}
         # Prefix caching: full prompt-prefix blocks are content-addressed
         # (hash chain over the prompt) and shared between requests via
@@ -452,7 +461,9 @@ class PagedContinuousBatchingEngine:
         x[0, :S] = req.prompt
         positions = np.arange(bucket)[None, :]
         if bucket not in self._prefills:
-            self._prefills[bucket] = jax.jit(self.model.make_prefill(bucket))
+            from ..utils.lift import jit_lifted
+            self._prefills[bucket] = jit_lifted(
+                self.model.make_prefill(bucket), self.model)
         hidden, ks, vs = self._prefills[bucket](jnp.asarray(x),
                                                 jnp.asarray(positions))
         # Scatter the prompt K/V into the slot's (private) blocks with ONE

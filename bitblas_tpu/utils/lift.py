@@ -102,4 +102,46 @@ def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
     return leaves, bind
 
 
-__all__ = ["lift_arrays"]
+def jit_lifted(fn: Callable, owner: Any, donate_argnums=(), **jit_kw):
+    """``jax.jit(fn)`` with every device array reachable from ``owner``
+    passed as a hidden leading argument instead of a closure constant.
+
+    Same call signature as ``fn``. ``donate_argnums`` refer to ``fn``'s
+    own positional arguments (shifted internally past the lifted values).
+    Weight arrays must not be replaced on ``owner`` after wrapping (the
+    lifted values are captured once — the same staleness rule a jit
+    closure has).
+
+    Why: closure constants are serialized into the compile request; the
+    axon remote-compile transport rejects bodies past ~256 MB (HTTP 413 /
+    broken pipe), which made >2-layer llama and any Mixtral serving jit
+    uncompilable on this rig. Arguments travel as device buffers.
+    """
+    import functools
+
+    if "static_argnums" in jit_kw or "static_argnames" in jit_kw:
+        raise NotImplementedError(
+            "jit_lifted's inner wrapper is *args-based — static args "
+            "would not map; jit those functions directly")
+    vals, bind = lift_arrays(owner)
+    if not vals:
+        return jax.jit(fn, donate_argnums=tuple(donate_argnums), **jit_kw)
+    shifted = tuple(a + 1 for a in donate_argnums)
+
+    def inner(_lifted, *args, **kw):
+        bind(_lifted)
+        return fn(*args, **kw)
+
+    jfn = jax.jit(inner, donate_argnums=shifted, **jit_kw)
+
+    @functools.wraps(fn)
+    def outer(*args, **kw):
+        try:
+            return jfn(vals, *args, **kw)
+        finally:
+            bind(vals)  # tracing leaves tracers on owner; restore
+
+    return outer
+
+
+__all__ = ["lift_arrays", "jit_lifted"]

@@ -75,6 +75,36 @@ def test_lift_roundtrip_and_argification():
     bind(vals)
 
 
+def test_jit_lifted_signature_and_restore():
+    from bitblas_tpu.utils.lift import jit_lifted
+    m = _Model()
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 8)),
+                    jnp.float32)
+    want = np.asarray(m.forward(x))
+    f = jit_lifted(m.forward, m)
+    np.testing.assert_allclose(np.asarray(f(x)), want, rtol=1e-6)
+    # owner holds concrete arrays again after the call
+    assert all(not isinstance(l.norm, jax.core.Tracer) for l in m.layers)
+    np.testing.assert_allclose(np.asarray(m.forward(x)), want, rtol=1e-6)
+
+
+def test_jit_lifted_donate_shift():
+    """donate_argnums refer to fn's own signature; the donated buffer
+    must actually be consumed (donation error would surface on reuse)."""
+    from bitblas_tpu.utils.lift import jit_lifted
+    m = _Model()
+
+    def step(cache, x):
+        return cache + m.forward(x), x
+
+    f = jit_lifted(step, m, donate_argnums=(0,))
+    cache = jnp.zeros((2, 8), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 8)),
+                    jnp.float32)
+    out, _ = f(cache, x)
+    assert out.shape == (2, 8)
+
+
 def test_bind_length_check():
     m = _Model()
     vals, bind = lift_arrays(m)
