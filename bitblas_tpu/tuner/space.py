@@ -211,9 +211,16 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                         # libtpu's Mosaic (remote_compile HTTP 500,
                         # 2026-08) — hard-gate like batched below so the
                         # tuner never wastes candidates on it. int2 mask
-                        # is fine; telescope covers u4 int paths.
+                        # is fine UNSCALED; WITH grouped scales the 2-bit
+                        # int8-MXU mask tiles also HTTP-500
+                        # (tpu_w2a8_scaled_probe 2026-08-20: both mask
+                        # candidates failed while every telescope tile
+                        # compiled) — gate that combo too.
                         if (dm == "mask" and mma == "int8"
-                                and spec.bits == 4 and not arch.is_cpu):
+                                and not arch.is_cpu
+                                and (spec.bits == 4 or
+                                     (spec.bits == 2 and spec.with_scaling
+                                      and 0 < spec.group_size < spec.k))):
                             continue
                         gms = ("loop",)
                         if batched_ok and bk >= 4 * g:
@@ -374,12 +381,23 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             # int2 mask measured best (83%); int4 mask CRASHES this
             # libtpu's Mosaic at large-M int8 tiles (HTTP 500 compile
             # helper, 2026-08) — telescope is both safe and fast there
-            # (542us vs the bf16 path's 798us at 4096^3).
-            dm = "mask" if spec.bits == 2 else "telescope"
+            # (542us vs the bf16 path's 798us at 4096^3). Grouped-scaled
+            # 2-bit mask tiles also crash (tpu_w2a8_scaled_probe
+            # 2026-08-20) — measured winner there is
+            # t1024x2048x1024_int8_telescope (561.7us at 4096^3).
+            grouped = spec.with_scaling and 0 < spec.group_size < spec.k
+            dm = "mask" if (spec.bits == 2 and not grouped) \
+                else "telescope"
             pool = prefer(lambda h: h.decode_mode == dm, hints)
             pool = prefer(lambda h: h.mma_dtype == "int8", pool)
             pool = prefer(lambda h: h.block_m >= 1024, pool)
-            if spec.bits == 2:
+            if spec.bits == 2 and grouped:
+                # pin the probe-measured tile exactly — taller bm is
+                # unprobed for this combo and the mask twins crash
+                pool = prefer(lambda h: h.block_m == 1024, pool)
+                pool = prefer(lambda h: h.block_n <= 2048, pool)
+                pool = prefer(lambda h: h.block_k == 1024, pool)
+            elif spec.bits == 2:
                 # in-window head-to-heads (2026-08-19/20): t2048x2048x1024
                 # 89.1% vs t1024^3 83.5% at 8192^2 (re-confirmed 87.3 vs
                 # 83.7 in a 3rd window), 80.2 vs 79.3 at 4096^2.

@@ -71,3 +71,24 @@ def test_default_hint_measured_winner(key):
     got = (h.block_m, h.block_n, h.block_k, h.mma_dtype, h.decode_mode)
     assert got == (bm, bn, bk, mma, dm), (
         f"{key}: default_hint drifted to {got}")
+
+
+def test_default_hint_w2a8_grouped_scaling_avoids_mask():
+    """Grouped-scaled 2-bit int-act mask tiles HTTP-500 this libtpu's
+    Mosaic (tpu_w2a8_scaled_probe 2026-08-20); the probe-measured winner
+    t1024x2048x1024_int8_telescope must be the default, and the
+    hardware-space enumeration must not contain int8-mask hints at all."""
+    cfg = MatmulConfig(M=4096, N=4096, K=4096, A_dtype="int8",
+                       W_dtype="uint2", accum_dtype="int32",
+                       out_dtype="float32", with_scaling=True,
+                       group_size=128)
+    spec = KernelSpec.from_config(cfg, 4096)
+    h = default_hint(spec, ARCH)
+    assert (h.block_m, h.block_n, h.block_k, h.mma_dtype,
+            h.decode_mode) == (1024, 2048, 1024, "int8", "telescope")
+    from bitblas_tpu.tuner.space import enumerate_hints
+    from bitblas_tpu.tuner import get_arch
+    hw = get_arch("v5e")
+    if not hw.is_cpu:
+        assert not any(x.decode_mode == "mask" and x.mma_dtype == "int8"
+                       for x in enumerate_hints(spec, hw))
