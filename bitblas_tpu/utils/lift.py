@@ -37,29 +37,34 @@ def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
                                                          Callable]:
     """Harvest every reachable jax.Array under `root`.
 
-    Handles: object attributes (via __dict__), dict values, and
-    tuple/list attribute values whose elements are arrays or None
-    (packed-operand tuples). Lists of sub-objects are recursed.
+    Object attributes (via __dict__) and dict entries are *slots*. A
+    slot whose value contains device arrays anywhere in its pytree
+    (array, tuple/list/dict nesting — e.g. a MoE layer's
+    ``Dict[str, List[tuple]]`` of packed expert operands) is lifted
+    whole: the arrays become values, everything else in that pytree
+    stays a constant template, and ``bind`` rebuilds the structure via
+    ``tree_unflatten``. Slots with no arrays are recursed as sub-objects
+    (lists of layers, nested modules, dicts of operator objects).
+
+    Limitation: a pytree mixing arrays AND sub-objects in one slot lifts
+    the arrays but leaves the sub-objects' own arrays as constants.
     """
-    sentinels = []   # (container_dict, key, meta); meta None = single
+    from jax import tree_util
+
+    # (container_dict, key, treedef, template_flat, array_positions)
+    sentinels = []
     leaves: List[jax.Array] = []
     seen = set()
 
-    def try_emit(container: dict, key, val) -> bool:
-        if isinstance(val, jax.Array):
-            sentinels.append((container, key, None))
-            leaves.append(val)
-            return True
-        if isinstance(val, (tuple, list)) and val and \
-                any(isinstance(e, jax.Array) for e in val) and \
-                all(isinstance(e, (jax.Array, type(None))) for e in val):
-            idx = [i for i, e in enumerate(val)
-                   if isinstance(e, jax.Array)]
-            sentinels.append((container, key,
-                              (type(val), list(val), idx)))
-            leaves.extend(val[i] for i in idx)
-            return True
-        return False
+    def handle_slot(container: dict, key, val, depth: int) -> None:
+        flat, treedef = tree_util.tree_flatten(val)
+        arr_pos = [i for i, l in enumerate(flat)
+                   if isinstance(l, jax.Array)]
+        if arr_pos:
+            sentinels.append((container, key, treedef, flat, arr_pos))
+            leaves.extend(flat[i] for i in arr_pos)
+        else:
+            walk(val, depth + 1)
 
     def walk(obj: Any, depth: int) -> None:
         if depth > max_depth or id(obj) in seen:
@@ -67,8 +72,7 @@ def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
         seen.add(id(obj))
         if isinstance(obj, dict):
             for k, v in list(obj.items()):
-                if not try_emit(obj, k, v):
-                    walk(v, depth + 1)
+                handle_slot(obj, k, v, depth)
             return
         if isinstance(obj, (tuple, list)):
             for e in obj:
@@ -86,18 +90,14 @@ def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
         if len(values) != n_expected:
             raise ValueError(
                 f"bind: expected {n_expected} values, got {len(values)}")
+        from jax import tree_util
         i = 0
-        for container, key, meta in sentinels:
-            if meta is None:
-                container[key] = values[i]
+        for container, key, treedef, template, arr_pos in sentinels:
+            flat = list(template)
+            for p in arr_pos:
+                flat[p] = values[i]
                 i += 1
-            else:
-                typ, template, idx = meta
-                items = list(template)
-                for j in idx:
-                    items[j] = values[i]
-                    i += 1
-                container[key] = typ(items)
+            container[key] = tree_util.tree_unflatten(treedef, flat)
 
     return leaves, bind
 
