@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .kv_cache import init_kv_scales
+from ..utils.lift import jit_lifted
 
 
 @dataclasses.dataclass
@@ -97,7 +98,6 @@ class ContinuousBatchingEngine:
         self.lengths = np.zeros((num_slots,), np.int32)
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
 
-        from ..utils.lift import jit_lifted
         self._decode_step = jit_lifted(self._make_decode_step(),
                                        self.model)
         self._prefills = {}
@@ -122,7 +122,6 @@ class ContinuousBatchingEngine:
 
     def _prefill_fn_for(self, s_bucket: int):
         if s_bucket not in self._prefills:
-            from ..utils.lift import jit_lifted
             self._prefills[s_bucket] = jit_lifted(
                 self.model.make_prefill(s_bucket), self.model)
         return self._prefills[s_bucket]
@@ -192,12 +191,10 @@ class ContinuousBatchingEngine:
         S = req.prompt.shape[0]
         if not hasattr(self, "_chunk_step"):
             if self.kv_quant:
-                from ..utils.lift import jit_lifted
                 self._chunk_step = jit_lifted(
                     self.model.decode_chunk_quant, self.model,
                     donate_argnums=(1, 2, 3, 4))
             else:
-                from ..utils.lift import jit_lifted
                 self._chunk_step = jit_lifted(
                     self.model.decode_chunk, self.model,
                     donate_argnums=(1, 2))
@@ -346,7 +343,6 @@ class PagedContinuousBatchingEngine:
         self.tables = np.zeros((num_slots, max_blocks_per_slot), np.int32)
         self.slot_blocks: Dict[int, List[int]] = {}
         self.last_hidden = jnp.zeros((num_slots, c.hidden_size), jnp.float16)
-        from ..utils.lift import jit_lifted
         self._decode_step = jit_lifted(
             model.decode_step_paged_quant if kv_quant
             else model.decode_step_paged, model)
@@ -461,7 +457,6 @@ class PagedContinuousBatchingEngine:
         x[0, :S] = req.prompt
         positions = np.arange(bucket)[None, :]
         if bucket not in self._prefills:
-            from ..utils.lift import jit_lifted
             self._prefills[bucket] = jit_lifted(
                 self.model.make_prefill(bucket), self.model)
         hidden, ks, vs = self._prefills[bucket](jnp.asarray(x),

@@ -216,11 +216,15 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                         # (tpu_w2a8_scaled_probe 2026-08-20: both mask
                         # candidates failed while every telescope tile
                         # compiled) — gate that combo too.
+                        # conservative: ANY scaled 2-bit mask is gated —
+                        # only grouped scaling was probed; per-channel
+                        # may share the crash and telescope measures
+                        # ~equal anyway
                         if (dm == "mask" and mma == "int8"
                                 and not arch.is_cpu
                                 and (spec.bits == 4 or
-                                     (spec.bits == 2 and spec.with_scaling
-                                      and 0 < spec.group_size < spec.k))):
+                                     (spec.bits == 2
+                                      and spec.with_scaling))):
                             continue
                         gms = ("loop",)
                         if batched_ok and bk >= 4 * g:
@@ -385,13 +389,13 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
             # 2-bit mask tiles also crash (tpu_w2a8_scaled_probe
             # 2026-08-20) — measured winner there is
             # t1024x2048x1024_int8_telescope (561.7us at 4096^3).
-            grouped = spec.with_scaling and 0 < spec.group_size < spec.k
-            dm = "mask" if (spec.bits == 2 and not grouped) \
+            scaled = spec.with_scaling
+            dm = "mask" if (spec.bits == 2 and not scaled) \
                 else "telescope"
             pool = prefer(lambda h: h.decode_mode == dm, hints)
             pool = prefer(lambda h: h.mma_dtype == "int8", pool)
             pool = prefer(lambda h: h.block_m >= 1024, pool)
-            if spec.bits == 2 and grouped:
+            if spec.bits == 2 and scaled:
                 # pin the probe-measured tile exactly — taller bm is
                 # unprobed for this combo and the mask twins crash
                 pool = prefer(lambda h: h.block_m == 1024, pool)

@@ -33,7 +33,7 @@ from typing import Any, Callable, List, Tuple
 import jax
 
 
-def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
+def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
                                                          Callable]:
     """Harvest every reachable jax.Array under `root`.
 
@@ -66,8 +66,15 @@ def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
         else:
             walk(val, depth + 1)
 
+    depth_hits = [0]
+
     def walk(obj: Any, depth: int) -> None:
-        if depth > max_depth or id(obj) in seen:
+        if depth > max_depth:
+            # a silent cap would quietly leave deep weights as closure
+            # constants — the exact failure this module exists to fix
+            depth_hits[0] += 1
+            return
+        if id(obj) in seen:
             return
         seen.add(id(obj))
         if isinstance(obj, dict):
@@ -83,6 +90,13 @@ def lift_arrays(root: Any, max_depth: int = 12) -> Tuple[List[jax.Array],
             walk(d, depth + 1)
 
     walk(root, 0)
+    if depth_hits[0]:
+        from ..common import get_logger
+        get_logger().warning(
+            "lift_arrays: object graph exceeded max_depth=%d at %d "
+            "branches — arrays below the cap stay closure constants "
+            "(raise max_depth if compile requests are still oversized)",
+            max_depth, depth_hits[0])
 
     n_expected = len(leaves)
 
@@ -128,7 +142,10 @@ def jit_lifted(fn: Callable, owner: Any, donate_argnums=(), **jit_kw):
         return jax.jit(fn, donate_argnums=tuple(donate_argnums), **jit_kw)
     shifted = tuple(a + 1 for a in donate_argnums)
 
+    traced = [False]
+
     def inner(_lifted, *args, **kw):
+        traced[0] = True  # Python body runs only while tracing
         bind(_lifted)
         return fn(*args, **kw)
 
@@ -136,10 +153,12 @@ def jit_lifted(fn: Callable, owner: Any, donate_argnums=(), **jit_kw):
 
     @functools.wraps(fn)
     def outer(*args, **kw):
+        traced[0] = False
         try:
             return jfn(vals, *args, **kw)
         finally:
-            bind(vals)  # tracing leaves tracers on owner; restore
+            if traced[0]:
+                bind(vals)  # tracing left tracers on owner; restore
 
     return outer
 

@@ -21,6 +21,7 @@ if "--cpu" in _sys.argv:
     _jax.config.update("jax_platforms", "cpu")
 
 import json
+import os
 import sys
 import time
 
@@ -57,7 +58,6 @@ def main():
         # Per-layer cost scales linearly in layers; the dense top-2
         # dispatch compute scales with n_experts (capacity grid), so the
         # 8-expert step is bounded by ~2x the 4-expert FFN term.
-        import os
         nl = int(os.environ.get("BITBLAS_TPU_MOE_LAYERS", 1))
         ne = int(os.environ.get("BITBLAS_TPU_MOE_EXPERTS", 4))
         cfg = MixtralConfig(hidden_size=4096, intermediate_size=14336,
@@ -76,6 +76,11 @@ def main():
     import dataclasses
     dev_cfg = dataclasses.replace(cfg, num_layers=1)
     dev_model = QuantMixtral(dev_cfg, opt_m=(1, 4, 8, 16), moe_tokens=32)
+    # Weights ride as jit ARGUMENTS (lift_arrays): closure constants at
+    # this size exceed the remote-compile transport's body limit
+    # (HTTP 413 at 1Lx4e, 2026-08-20). Lifted once for both batch sizes.
+    from bitblas_tpu.utils.lift import lift_arrays
+    vals, bind = lift_arrays(dev_model)
     for bs in (1, 8):
         try:
             Lmax, L = 256, dev_cfg.num_layers
@@ -87,17 +92,17 @@ def main():
             slots = jnp.arange(bs, dtype=jnp.int32)
             lengths = jnp.full((bs,), 16, jnp.int32)
 
-            # Weights ride as jit ARGUMENTS (lift_arrays): closure
-            # constants at this size exceed the remote-compile
-            # transport's body limit (HTTP 413 at 1Lx4e, 2026-08-20).
-            from bitblas_tpu.utils.lift import lift_arrays
-            vals, bind = lift_arrays(dev_model)
-
             def step(vals, x, ck, cv, slots, lengths):
                 bind(vals)
                 h, ck2, cv2 = dev_model.decode_step(x, ck, cv, slots,
                                                     lengths)
-                return h
+                # Consume one element per layer of the written caches so
+                # XLA cannot dead-code the cache-update scatters out of
+                # the measurement (review 2026-08-20) — an L-element
+                # read, not a full-cache reduction.
+                dep = (ck2[:, 0, 0, 0, 0].astype(jnp.float32).sum()
+                       + cv2[:, 0, 0, 0, 0].astype(jnp.float32).sum())
+                return h + (dep * 0).astype(h.dtype)
 
             try:
                 sec = measure_kernel(step, (vals, x, ck, cv, slots,
@@ -113,7 +118,12 @@ def main():
     # Free the twin BEFORE the 2-layer model builds: concurrent expert
     # residency (~2.1 GiB combined) pays a second weight build over the
     # taxed tunnel for nothing.
-    del dev_model
+    del dev_model, vals, bind
+    if os.environ.get("BITBLAS_TPU_SERVING_DEVICE_ONLY"):
+        # The host-loop engine sections below are tunnel-dominated on
+        # this rig (25 ms/dispatch); the chip queues run device-only.
+        log("device-only mode: skipping host-loop engine sections")
+        return
 
     log(f"building QuantMixtral ({cfg.hidden_size}/"
         f"{cfg.intermediate_size} x{cfg.num_layers} layers, "
