@@ -35,6 +35,8 @@ the timing loop). `timing_controls()` returns the right knobs.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -210,6 +212,180 @@ def make_weight_dequant(spec: KernelSpec, mma_dtype: str = "float32"):
     return fn
 
 
+def _divisor_rows(total: int, target: int, step: int = 8) -> int:
+    """Largest divisor of `total` that is <= target and a multiple of
+    `step` (falls back to `total` itself when nothing smaller fits)."""
+    best = None
+    d = step
+    while d <= min(total, target):
+        if total % d == 0:
+            best = d
+        d += step
+    return best if best is not None else total
+
+
+def make_weight_decode_pallas(spec: KernelSpec,
+                              mma_dtype: str = "bfloat16", *,
+                              interpret: bool = False,
+                              block_k: Optional[int] = None,
+                              block_n: Optional[int] = None):
+    """Pallas decode-to-HBM: packed weight operands -> dense [K, n_padded]
+    in `mma_dtype` — same contract as make_weight_dequant
+    (fn(Wp, scales=None, zeros=None)).
+
+    Why a kernel: the XLA formulation's slot unpack ([R, T, e, sub]
+    stack + reshape) lowers to lane relayouts costing 30-50us at conv
+    filter sizes (tpu_conv_mat_probe 2026-08-20 — the IHWO/patches-GEMM
+    reformulations measured the permute as free, leaving the decode as
+    the whole materialize-vs-dense gap). The fused matmul kernel's
+    segment decode touches each packed word in-register and never
+    shuffles lanes; this kernel reuses it, minus the dots.
+    """
+    from jax.experimental import pallas as pl
+    from .dequant_matmul import _decode_byte, _decode_field
+    from ..quantization.packing import pack_tile_n
+
+    K, N = spec.k, spec.n_padded
+    e = spec.elems_per_word
+    bits = spec.bits
+    g = spec.group_size if spec.group_size > 0 else K
+    mma = jnp.bfloat16 if mma_dtype == "bfloat16" else jnp.float32
+    quantized_zeros = spec.with_zeros and spec.zeros_mode == "quantized"
+    xored = bits < 8 and spec.family in ("uint", "int")
+    mask_v = (1 << bits) - 1
+    # f32 decode hint: exact scale math; mux4 LUT off-interpret (the 1D
+    # take gather does not lower on hardware).
+    dec_hint = TileHint(block_m=8, block_n=128, block_k=128,
+                        mma_dtype="float32",
+                        lut_mode="take" if interpret else "mux4")
+
+    pack_n = pack_tile_n(N, e) if bits < 8 else 128
+    if block_n is None:
+        bn_tiles = _divisor_rows(N // pack_n, max(1, 2048 // pack_n),
+                                 step=1)
+        block_n = pack_n * bn_tiles
+    BN = block_n
+    if block_k is None:
+        if g >= K:
+            block_k = _divisor_rows(K, 512)
+        else:
+            gpt_pick = _divisor_rows(K // g, max(1, 512 // g), step=1)
+            block_k = g * gpt_pick
+    BK = block_k
+    if K % BK or N % BN:
+        raise ValueError(f"decode blocks ({BK},{BN}) must divide "
+                         f"({K},{N})")
+    gpt = max(BK // g, 1)
+    glen = min(g, BK)
+    grouped = g < K
+    BNe = BN // e if bits < 8 else BN
+    if bits < 8:
+        sub = pack_n // e
+        segments = [(t * pack_n + s * sub, sub, s, t * sub)
+                    for t in range(BN // pack_n) for s in range(e)]
+    else:
+        segments = [(0, BN, 0, 0)]
+
+    def kernel(*refs):
+        idx = 0
+        w_ref = refs[idx]; idx += 1
+        s_ref = z_ref = None
+        if spec.with_scaling:
+            s_ref = refs[idx]; idx += 1
+        if spec.with_zeros:
+            z_ref = refs[idx]; idx += 1
+        out_ref = refs[idx]
+
+        words = w_ref[...].astype(jnp.int32)
+        if bits == 8 and spec.family != "int":
+            words = words & 0xFF
+        elif bits == 16 and spec.family == "uint":
+            words = words & 0xFFFF
+        zwords = None
+        if quantized_zeros:
+            zwords = z_ref[...][:, 0, :].astype(jnp.int32)
+
+        for (col0, width, slot, w0) in segments:
+            cols = slice(col0, col0 + width)
+            if bits < 8:
+                field = (words[:, w0:w0 + width] >> (slot * bits)) & mask_v
+                if xored and slot == e - 1:
+                    field = field ^ (1 << (bits - 1))
+                val = _decode_field(spec, dec_hint, field)
+            else:
+                val = _decode_byte(spec, dec_hint, words[:, cols])
+            if not (spec.with_scaling or spec.with_zeros):
+                out_ref[:, cols] = val.astype(mma)
+                continue
+            for gi in range(gpt):
+                rows = slice(gi * glen, (gi + 1) * glen)
+                v = val[rows] if gpt > 1 else val
+                z = None
+                if spec.with_zeros:
+                    if quantized_zeros:
+                        zf = (zwords[gi:gi + 1, w0:w0 + width]
+                              >> (slot * bits)) & mask_v
+                        z = zf.astype(jnp.float32)
+                    else:
+                        z = z_ref[...][gi, 0, cols].astype(
+                            jnp.float32).reshape(1, width)
+                s = None
+                if spec.with_scaling:
+                    s = s_ref[...][gi, 0, cols].astype(
+                        jnp.float32).reshape(1, width)
+                if z is not None:
+                    if spec.zeros_mode in ("original", "quantized"):
+                        v = v - z
+                        if s is not None:
+                            v = v * s
+                    else:  # rescale: w*s - z
+                        v = v * s - z
+                elif s is not None:
+                    v = v * s
+                out_ref[rows, cols] = v.astype(mma)
+
+    in_specs = [pl.BlockSpec(
+        (BK, BNe), (lambda i, j: (i, j)))]
+    operands_doc = ["Wp"]
+    if spec.with_scaling:
+        if grouped:
+            in_specs.append(pl.BlockSpec((gpt, 1, BN),
+                                         (lambda i, j: (i, 0, j))))
+        else:
+            in_specs.append(pl.BlockSpec((1, 1, BN),
+                                         (lambda i, j: (0, 0, j))))
+        operands_doc.append("scales")
+    if spec.with_zeros:
+        zlast = BN // e if quantized_zeros else BN
+        if grouped:
+            in_specs.append(pl.BlockSpec((gpt, 1, zlast),
+                                         (lambda i, j: (i, 0, j))))
+        else:
+            in_specs.append(pl.BlockSpec((1, 1, zlast),
+                                         (lambda i, j: (0, 0, j))))
+        operands_doc.append("zeros")
+    del operands_doc
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(K // BK, N // BN),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BK, BN), (lambda i, j: (i, j))),
+        out_shape=jax.ShapeDtypeStruct((K, N), mma),
+        interpret=interpret,
+    )
+
+    def fn(Wp, scales=None, zeros=None):
+        args = [Wp]
+        if spec.with_scaling:
+            args.append(scales)
+        if spec.with_zeros:
+            args.append(zeros)
+        return call(*args)
+
+    return fn
+
+
 def make_weight_decode_int8(spec: KernelSpec):
     """Packed sub-byte int/uint weight -> int8 codes [K, n_padded]
     (zero-point-free; scaling is the caller's post-dot job — mirrors the
@@ -225,13 +401,17 @@ def make_weight_decode_int8(spec: KernelSpec):
 
 
 def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            pallas_decode: bool = False):
     """Build the two-pass dequant matmul for one (spec, hint).
 
     Same call signature/layouts as make_dequant_matmul:
     fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
+
+    `pallas_decode` swaps the float-path XLA decode for the in-register
+    Pallas kernel (make_weight_decode_pallas) — opt-in pending on-chip
+    A/B (scripts/tpu_mat_decode_probe.py).
     """
-    del interpret  # pure XLA — identical on CPU and TPU
     if not supports_materialize(spec, hint):
         raise ValueError(f"materialize plan unsupported for {spec} "
                          f"(mma={hint.mma_dtype})")
@@ -264,7 +444,11 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
             return _finish(out, bias)
         return fn
 
-    dequant = make_weight_dequant(spec, hint.mma_dtype)
+    if pallas_decode:
+        dequant = make_weight_decode_pallas(spec, hint.mma_dtype,
+                                            interpret=interpret)
+    else:
+        dequant = make_weight_dequant(spec, hint.mma_dtype)
 
     def fn(A, Wp, scales=None, zeros=None, bias=None):
         Wd = dequant(Wp, scales, zeros)

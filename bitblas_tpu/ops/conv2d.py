@@ -105,6 +105,11 @@ class QuantConv2DConfig(Conv2DConfig):
     with_zeros: bool = False
     zeros_mode: str = "original"
     route: str = "auto"
+    # Filter-decode implementation for the materialize route: "xla"
+    # (elementwise unpack, fused into the conv graph) or "pallas"
+    # (in-register segment decode — the XLA unpack's lane relayouts cost
+    # 30-50us at ResNet filter sizes, tpu_conv_mat_probe 2026-08-20).
+    decode_impl: str = "xla"
 
 
 class QuantConv2D:
@@ -205,7 +210,12 @@ class QuantConv2D:
 
         mma = "bfloat16" if c.in_dtype in ("float16", "bfloat16") \
             else "float32"
-        dequant = make_weight_dequant(spec, mma)
+        if getattr(c, "decode_impl", "xla") == "pallas":
+            from ..kernels.materialize import make_weight_decode_pallas
+            dequant = make_weight_decode_pallas(
+                spec, mma, interpret=self._matmul.interpret)
+        else:
+            dequant = make_weight_dequant(spec, mma)
         mma_jnp = as_jax_dtype("bfloat16" if mma == "bfloat16"
                                else "float32")
 

@@ -161,3 +161,61 @@ class TestTunerIntegration:
                        mma_dtype="int8", decode_mode="materialize")
         assert roofline_seconds(spec, fused, arch) < \
             roofline_seconds(spec, mat, arch)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(W_dtype="uint4", with_scaling=True, group_size=128),
+    dict(W_dtype="uint4", with_scaling=True, with_zeros=True,
+         zeros_mode="original", group_size=128),
+    dict(W_dtype="uint4", with_scaling=True, with_zeros=True,
+         zeros_mode="rescale", group_size=128),
+    dict(W_dtype="uint4", with_scaling=True, with_zeros=True,
+         zeros_mode="quantized", group_size=128),
+    dict(W_dtype="int2"),
+    dict(W_dtype="nf4", with_scaling=True, group_size=64),
+    dict(W_dtype="fp4_e2m1", with_scaling=True, group_size=128),
+    dict(W_dtype="e4m3_float8"),
+], ids=lambda kw: f"{kw['W_dtype']}-{kw.get('zeros_mode', 'nz')}")
+def test_pallas_decode_matches_xla_decode(kw):
+    """make_weight_decode_pallas (in-register segment decode) must be
+    bit-identical to make_weight_dequant (the XLA unpack) for every
+    family/zeros-mode the float materialize path covers."""
+    from bitblas_tpu.kernels.materialize import (make_weight_decode_pallas,
+                                                 make_weight_dequant)
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    from bitblas_tpu.testing import random_reference_operands
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
+                       out_dtype="float16", **kw)
+    spec = KernelSpec.from_config(cfg, 16)
+    ops = random_reference_operands(cfg, 16, 0)
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales,
+                                      zeros=ops.zeros, qzeros=ops.qzeros)
+    s = None if dw.scales is None else jnp.asarray(dw.scales)
+    z = None if dw.zeros is None else jnp.asarray(dw.zeros)
+    ref = make_weight_dequant(spec, "float32")(jnp.asarray(dw.qweight), s, z)
+    got = make_weight_decode_pallas(spec, "float32", interpret=True)(
+        jnp.asarray(dw.qweight), s, z)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_materialize_matmul_pallas_decode_parity():
+    from bitblas_tpu.kernels.materialize import make_materialize_matmul
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    from bitblas_tpu.testing import random_reference_operands
+    from bitblas_tpu.tuner.hint import TileHint
+    cfg = MatmulConfig(M=64, N=512, K=512, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128,
+                       out_dtype="float16")
+    spec = KernelSpec.from_config(cfg, 64)
+    hint = TileHint(block_m=64, block_n=512, block_k=512,
+                    mma_dtype="bfloat16", decode_mode="materialize")
+    ops = random_reference_operands(cfg, 64, 1)
+    dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+    a = jnp.asarray(ops.A)
+    w = jnp.asarray(dw.qweight)
+    s = jnp.asarray(dw.scales)
+    ref = make_materialize_matmul(spec, hint, interpret=True)(a, w, scales=s)
+    got = make_materialize_matmul(spec, hint, interpret=True,
+                                  pallas_decode=True)(a, w, scales=s)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=0)
