@@ -386,6 +386,64 @@ def make_weight_decode_pallas(spec: KernelSpec,
     return fn
 
 
+def make_weight_decode_int8_pallas(spec: KernelSpec, *,
+                                   interpret: bool = False,
+                                   block_k: Optional[int] = None,
+                                   block_n: Optional[int] = None):
+    """Pallas twin of make_weight_decode_int8: packed sub-byte int/uint
+    weight -> int8 codes [K, n_padded] via the in-register segment
+    decode (same lane-relayout rationale as make_weight_decode_pallas)."""
+    from jax.experimental import pallas as pl
+
+    K, N = spec.k, spec.n_padded
+    e = spec.elems_per_word
+    bits = spec.bits
+    if not (bits < 8 and spec.family in ("uint", "int")):
+        raise ValueError("int8 decode covers sub-byte int/uint only")
+    mask_v = (1 << bits) - 1
+    bias = 1 << (bits - 1)
+
+    pack_n = pack_tile_n(N, e)
+    if block_n is None:
+        bn_tiles = _divisor_rows(N // pack_n, max(1, 2048 // pack_n),
+                                 step=1)
+        block_n = pack_n * bn_tiles
+    BN = block_n
+    if block_k is None:
+        block_k = _divisor_rows(K, 512)
+    BK = block_k
+    if K % BK or N % BN:
+        raise ValueError(f"decode blocks ({BK},{BN}) must divide "
+                         f"({K},{N})")
+    sub = pack_n // e
+    segments = [(t * pack_n + s * sub, sub, s, t * sub)
+                for t in range(BN // pack_n) for s in range(e)]
+
+    def kernel(w_ref, out_ref):
+        words = w_ref[...].astype(jnp.int32)
+        for (col0, width, slot, w0) in segments:
+            field = (words[:, w0:w0 + width] >> (slot * bits)) & mask_v
+            if slot == e - 1:  # storage XOR flips the top slot's top bit
+                field = field ^ (1 << (bits - 1))
+            if spec.family == "int":
+                field = field - bias
+            out_ref[:, col0:col0 + width] = field.astype(jnp.int8)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(K // BK, N // BN),
+        in_specs=[pl.BlockSpec((BK, BN // e), (lambda i, j: (i, j)))],
+        out_specs=pl.BlockSpec((BK, BN), (lambda i, j: (i, j))),
+        out_shape=jax.ShapeDtypeStruct((K, N), jnp.int8),
+        interpret=interpret,
+    )
+
+    def fn(Wp):
+        return call(Wp)
+
+    return fn
+
+
 def make_weight_decode_int8(spec: KernelSpec):
     """Packed sub-byte int/uint weight -> int8 codes [K, n_padded]
     (zero-point-free; scaling is the caller's post-dot job — mirrors the
@@ -402,16 +460,21 @@ def make_weight_decode_int8(spec: KernelSpec):
 
 def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
                             interpret: bool = False,
-                            pallas_decode: bool = False):
+                            pallas_decode: Optional[bool] = None):
     """Build the two-pass dequant matmul for one (spec, hint).
 
     Same call signature/layouts as make_dequant_matmul:
     fn(A, Wp, scales=None, zeros=None, bias=None) -> out [M, N].
 
-    `pallas_decode` swaps the float-path XLA decode for the in-register
-    Pallas kernel (make_weight_decode_pallas) — opt-in pending on-chip
-    A/B (scripts/tpu_mat_decode_probe.py).
+    `pallas_decode` swaps the XLA decode for the in-register Pallas
+    kernel (make_weight_decode_pallas). Default: ON on hardware —
+    measured 2026-08-20 (tpu_mat_decode_probe): the XLA unpack cost
+    ~375us of lane relayouts at W2A16 4096^3 (1047.8 -> 723.1us); OFF
+    in interpret mode (keeps CPU tests on the lighter XLA path; both
+    are bit-identical).
     """
+    if pallas_decode is None:
+        pallas_decode = not interpret
     if not supports_materialize(spec, hint):
         raise ValueError(f"materialize plan unsupported for {spec} "
                          f"(mma={hint.mma_dtype})")
@@ -429,7 +492,10 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
         return res[:, :N_out] if N != N_out else res
 
     if int_dot:
-        decode_int8 = make_weight_decode_int8(spec)
+        decode_int8 = (make_weight_decode_int8_pallas(spec,
+                                                      interpret=interpret)
+                       if pallas_decode else
+                       make_weight_decode_int8(spec))
 
         def fn(A, Wp, scales=None, zeros=None, bias=None):
             del zeros

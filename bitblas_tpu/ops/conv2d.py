@@ -105,11 +105,13 @@ class QuantConv2DConfig(Conv2DConfig):
     with_zeros: bool = False
     zeros_mode: str = "original"
     route: str = "auto"
-    # Filter-decode implementation for the materialize route: "xla"
-    # (elementwise unpack, fused into the conv graph) or "pallas"
-    # (in-register segment decode — the XLA unpack's lane relayouts cost
-    # 30-50us at ResNet filter sizes, tpu_conv_mat_probe 2026-08-20).
-    decode_impl: str = "xla"
+    # Filter-decode implementation for the materialize route: "pallas"
+    # (in-register segment decode, the default) or "xla" (elementwise
+    # unpack fused into the conv graph). Measured (tpu_mat_decode_probe
+    # 2026-08-20): the XLA unpack's lane relayouts cost 30-50us at
+    # ResNet filter sizes — pallas took 512x7^2 from 94.1 to 51.8us
+    # (78.6 -> 142.8 TF/s), 256x14^2 from 66.4 to 52.2, tie at 128x28^2.
+    decode_impl: str = "pallas"
 
 
 class QuantConv2D:

@@ -54,6 +54,31 @@ def main():
     arch = get_arch()
     interp = arch.is_cpu
     rng = np.random.default_rng(0)
+    section = os.environ.get("BITBLAS_TPU_PROBE_SECTION", "all")
+
+    if section in ("all", "int"):
+        # -- 2b. INT materialize at the bench i2 rows (int2 x int8) -----
+        for nk in (4096, 8192):
+            m = 4096
+            cfg = MatmulConfig(M=m, N=nk, K=nk, A_dtype="int8",
+                               W_dtype="int2", accum_dtype="int32",
+                               out_dtype="float32")
+            spec = KernelSpec.from_config(cfg, m)
+            hint = TileHint(block_m=512, block_n=1024, block_k=1024,
+                            mma_dtype="int8", decode_mode="materialize")
+            ops = random_reference_operands(cfg, m, 0)
+            dw = transform_reference_operands(cfg, ops.qweight, None)
+            a = jnp.asarray(ops.A)
+            w = jnp.asarray(dw.qweight)
+            flops = 2.0 * m * nk * nk
+            for pd in (False, True):
+                kf = make_materialize_matmul(spec, hint, interpret=interp,
+                                             pallas_decode=pd)
+                run(f"gemm_i2a8 nk={nk} pallas={pd}",
+                    lambda a, w, _kf=kf: _kf(a, w), (a, w),
+                    flops, inject=1, full_output_dep=True)
+    if section == "int":
+        return
 
     # -- 1. conv route A/B ------------------------------------------------
     for C, HW, F, K in ((256, 14, 256, 3), (512, 7, 512, 3),

@@ -219,3 +219,21 @@ def test_materialize_matmul_pallas_decode_parity():
                                   pallas_decode=True)(a, w, scales=s)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                rtol=0, atol=0)
+
+
+def test_pallas_int8_decode_matches_xla():
+    from bitblas_tpu.kernels.materialize import (
+        make_weight_decode_int8, make_weight_decode_int8_pallas)
+    from bitblas_tpu.ops.weight_transform import transform_reference_operands
+    from bitblas_tpu.testing import random_reference_operands
+    for w in ("int2", "uint2", "int4", "uint4", "int1"):
+        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="int8", W_dtype=w,
+                           accum_dtype="int32", out_dtype="float32")
+        spec = KernelSpec.from_config(cfg, 16)
+        ops = random_reference_operands(cfg, 16, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, None)
+        wp = jnp.asarray(dw.qweight)
+        ref = make_weight_decode_int8(spec)(wp)
+        got = make_weight_decode_int8_pallas(spec, interpret=True)(wp)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
+                                      err_msg=w)
