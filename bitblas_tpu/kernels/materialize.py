@@ -474,7 +474,10 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
     are bit-identical).
     """
     if pallas_decode is None:
-        pallas_decode = not interpret
+        # nf stays on the XLA decode: outside Mosaic its 16-entry LUT is
+        # a real jnp.take gather, while the in-kernel mux burns ~23 VPU
+        # ops/elem (this module's NF4 rationale) — unprobed either way.
+        pallas_decode = not interpret and spec.family != "nf"
     if not supports_materialize(spec, hint):
         raise ValueError(f"materialize plan unsupported for {spec} "
                          f"(mma={hint.mma_dtype})")
