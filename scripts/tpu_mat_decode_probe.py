@@ -77,7 +77,28 @@ def main():
                 run(f"gemm_i2a8 nk={nk} pallas={pd}",
                     lambda a, w, _kf=kf: _kf(a, w), (a, w),
                     flops, inject=1, full_output_dep=True)
-    if section == "int":
+    if section in ("all", "nf"):
+        # -- 2c. NF4 materialize: XLA take-gather vs in-kernel mux4 -----
+        m = nk = 4096
+        cfg = MatmulConfig(M=m, N=nk, K=nk, A_dtype="float16",
+                           W_dtype="nf4", with_scaling=True,
+                           group_size=128, out_dtype="float16")
+        spec = KernelSpec.from_config(cfg, m)
+        hint = TileHint(block_m=512, block_n=1024, block_k=1024,
+                        mma_dtype="bfloat16", decode_mode="materialize")
+        ops = random_reference_operands(cfg, m, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        a = jnp.asarray(ops.A)
+        w = jnp.asarray(dw.qweight)
+        s = jnp.asarray(dw.scales)
+        flops = 2.0 * m * nk * nk
+        for pd in (False, True):
+            kf = make_materialize_matmul(spec, hint, interpret=interp,
+                                         pallas_decode=pd)
+            run(f"gemm_nf4_m4096 pallas={pd}",
+                lambda a, w, s, _kf=kf: _kf(a, w, scales=s), (a, w, s),
+                flops, inject=1, full_output_dep=True)
+    if section in ("int", "nf"):
         return
 
     # -- 1. conv route A/B ------------------------------------------------
