@@ -474,10 +474,10 @@ def make_materialize_matmul(spec: KernelSpec, hint: TileHint, *,
     are bit-identical).
     """
     if pallas_decode is None:
-        # nf stays on the XLA decode: outside Mosaic its 16-entry LUT is
-        # a real jnp.take gather, while the in-kernel mux burns ~23 VPU
-        # ops/elem (this module's NF4 rationale) — unprobed either way.
-        pallas_decode = not interpret and spec.family != "nf"
+        # Pallas for every family: even NF4 — the take-gather's unpack
+        # relayouts outweigh the in-kernel mux's ~23 ops/elem (phase-Q
+        # probe 2026-08-20: 1060.4us XLA vs 916.9us pallas at 4096^3).
+        pallas_decode = not interpret
     if not supports_materialize(spec, hint):
         raise ValueError(f"materialize plan unsupported for {spec} "
                          f"(mma={hint.mma_dtype})")

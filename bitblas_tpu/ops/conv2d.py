@@ -212,9 +212,9 @@ class QuantConv2D:
 
         mma = "bfloat16" if c.in_dtype in ("float16", "bfloat16") \
             else "float32"
-        use_pallas = getattr(c, "decode_impl", "xla") == "pallas" and \
-            spec.family != "nf"  # nf: XLA take-gather beats in-kernel mux
-        if use_pallas:
+        # pallas for every family incl. NF4 (phase-Q probe: the XLA
+        # take-gather's unpack relayouts outweigh the in-kernel mux)
+        if getattr(c, "decode_impl", "xla") == "pallas":
             from ..kernels.materialize import make_weight_decode_pallas
             dequant = make_weight_decode_pallas(
                 spec, mma, interpret=self._matmul.interpret)
