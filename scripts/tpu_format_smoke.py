@@ -158,5 +158,61 @@ except Exception as ex:
     failures += 1
     print(f"quantconv mat/fused: FAIL {str(ex)[:100]}", flush=True)
 
+# Pallas segment-decode kernel (materialize default since 2026-08-20):
+# every family x zeros-mode it advertises, vs the XLA decode oracle.
+from bitblas_tpu.kernels.materialize import (make_weight_decode_int8,
+                                             make_weight_decode_int8_pallas,
+                                             make_weight_decode_pallas,
+                                             make_weight_dequant)
+
+DECODE_CASES = [
+    ("uint4", dict(with_scaling=True, group_size=128)),
+    ("uint4", dict(with_scaling=True, with_zeros=True,
+                   zeros_mode="quantized", group_size=128)),
+    ("int2", {}),
+    ("nf4", dict(with_scaling=True, group_size=64)),
+    ("fp4_e2m1", dict(with_scaling=True, group_size=128)),
+    ("e4m3_float8", {}),
+]
+for w, kw in DECODE_CASES:
+    try:
+        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
+                           out_dtype="float16", W_dtype=w, **kw)
+        spec = KernelSpec.from_config(cfg, 16)
+        ops = random_reference_operands(cfg, 16, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales,
+                                          zeros=ops.zeros,
+                                          qzeros=ops.qzeros)
+        s = None if dw.scales is None else jnp.asarray(dw.scales)
+        z = None if dw.zeros is None else jnp.asarray(dw.zeros)
+        ref = np.asarray(make_weight_dequant(spec, "float32")(
+            jnp.asarray(dw.qweight), s, z))
+        got = np.asarray(make_weight_decode_pallas(spec, "float32")(
+            jnp.asarray(dw.qweight), s, z))
+        rel = float(np.max(np.abs(ref - got)))
+        bad = "" if rel == 0 else "  <-- WRONG"
+        failures += bool(bad)
+        print(f"pdecode {w:12s}: max abs {rel:.2e}{bad}", flush=True)
+    except Exception as ex:
+        failures += 1
+        print(f"pdecode {w:12s}: FAIL {str(ex)[:100]}", flush=True)
+
+try:
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="int8", W_dtype="int2",
+                       accum_dtype="int32", out_dtype="float32")
+    spec = KernelSpec.from_config(cfg, 16)
+    ops = random_reference_operands(cfg, 16, 0)
+    dw = transform_reference_operands(cfg, ops.qweight, None)
+    ref = np.asarray(make_weight_decode_int8(spec)(jnp.asarray(dw.qweight)))
+    got = np.asarray(make_weight_decode_int8_pallas(spec)(
+        jnp.asarray(dw.qweight)))
+    ok = np.array_equal(ref, got)
+    failures += not ok
+    print(f"pdecode int8-codes : {'exact' if ok else '<-- WRONG'}",
+          flush=True)
+except Exception as ex:
+    failures += 1
+    print(f"pdecode int8-codes : FAIL {str(ex)[:100]}", flush=True)
+
 print(f"DONE {failures}")
 raise SystemExit(1 if failures else 0)
