@@ -275,6 +275,12 @@ def make_weight_decode_pallas(spec: KernelSpec,
     if K % BK or N % BN:
         raise ValueError(f"decode blocks ({BK},{BN}) must divide "
                          f"({K},{N})")
+    if g < K and BK % g:
+        # The grouped-scale BlockSpec maps k-block i to scale rows
+        # [i*BK/g, (i+1)*BK/g): a block that straddles a group boundary
+        # would read the wrong group's scales (or leave rows unwritten).
+        raise ValueError(f"block_k={BK} must be a multiple of "
+                         f"group_size={g}")
     gpt = max(BK // g, 1)
     glen = min(g, BK)
     grouped = g < K
@@ -346,7 +352,6 @@ def make_weight_decode_pallas(spec: KernelSpec,
 
     in_specs = [pl.BlockSpec(
         (BK, BNe), (lambda i, j: (i, j)))]
-    operands_doc = ["Wp"]
     if spec.with_scaling:
         if grouped:
             in_specs.append(pl.BlockSpec((gpt, 1, BN),
@@ -354,7 +359,6 @@ def make_weight_decode_pallas(spec: KernelSpec,
         else:
             in_specs.append(pl.BlockSpec((1, 1, BN),
                                          (lambda i, j: (0, 0, j))))
-        operands_doc.append("scales")
     if spec.with_zeros:
         zlast = BN // e if quantized_zeros else BN
         if grouped:
@@ -363,8 +367,6 @@ def make_weight_decode_pallas(spec: KernelSpec,
         else:
             in_specs.append(pl.BlockSpec((1, 1, zlast),
                                          (lambda i, j: (0, 0, j))))
-        operands_doc.append("zeros")
-    del operands_doc
 
     call = pl.pallas_call(
         kernel,

@@ -213,8 +213,11 @@ class QuantConv2D:
         mma = "bfloat16" if c.in_dtype in ("float16", "bfloat16") \
             else "float32"
         # pallas for every family incl. NF4 (phase-Q probe: the XLA
-        # take-gather's unpack relayouts outweigh the in-kernel mux)
-        if getattr(c, "decode_impl", "xla") == "pallas":
+        # take-gather's unpack relayouts outweigh the in-kernel mux);
+        # interpret mode keeps the lighter XLA path, matching
+        # make_materialize_matmul's CPU default (the dedicated parity
+        # tests cover the pallas kernel).
+        if c.decode_impl == "pallas" and not self._matmul.interpret:
             from ..kernels.materialize import make_weight_decode_pallas
             dequant = make_weight_decode_pallas(
                 spec, mma, interpret=self._matmul.interpret)

@@ -56,6 +56,8 @@ def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
     leaves: List[jax.Array] = []
     seen = set()
 
+    mixed_hits = [0]
+
     def handle_slot(container: dict, key, val, depth: int) -> None:
         flat, treedef = tree_util.tree_flatten(val)
         arr_pos = [i for i, l in enumerate(flat)
@@ -63,6 +65,13 @@ def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
         if arr_pos:
             sentinels.append((container, key, treedef, flat, arr_pos))
             leaves.extend(flat[i] for i in arr_pos)
+            # A slot mixing arrays with sub-objects lifts only the
+            # direct arrays — the sub-objects' own weights would stay
+            # closure constants, silently. Count and warn like the
+            # depth cap.
+            if any(not isinstance(l, jax.Array)
+                   and getattr(l, "__dict__", None) for l in flat):
+                mixed_hits[0] += 1
         else:
             walk(val, depth + 1)
 
@@ -97,6 +106,12 @@ def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
             "branches — arrays below the cap stay closure constants "
             "(raise max_depth if compile requests are still oversized)",
             max_depth, depth_hits[0])
+    if mixed_hits[0]:
+        from ..common import get_logger
+        get_logger().warning(
+            "lift_arrays: %d slot(s) mix arrays with sub-objects — the "
+            "sub-objects' own arrays stay closure constants",
+            mixed_hits[0])
 
     n_expected = len(leaves)
 

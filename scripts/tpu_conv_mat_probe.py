@@ -50,9 +50,14 @@ def main():
         flops = 2 * BATCH * ho * ho * F * C * K * K
         x = jnp.asarray(rng.standard_normal((BATCH, HW, HW, C)) * 0.1,
                         jnp.float16)
+        # decode_impl pinned to xla: this probe A/Bs the FILTER-LAYOUT
+        # formulations; the decode implementation is tpu_mat_decode_probe's
+        # variable (pallas became the op default after this probe first
+        # ran — an unpinned rerun would confound the two).
         qcfg = QuantConv2DConfig(N=BATCH, C=C, H=HW, W=HW, F=F, K=K, S=S,
                                  P=P, W_dtype="uint4", group_size=128,
-                                 with_scaling=True, route="materialize")
+                                 with_scaling=True, route="materialize",
+                                 decode_impl="xla")
         qop = QuantConv2D(qcfg, enable_tuning=False)
         kdim = C * K * K
         codes = rng.integers(0, 16, (K, K, C, F)).astype(np.int8)

@@ -173,6 +173,7 @@ DECODE_CASES = [
     ("nf4", dict(with_scaling=True, group_size=64)),
     ("fp4_e2m1", dict(with_scaling=True, group_size=128)),
     ("e4m3_float8", {}),
+    ("e5m2_float8", {}),   # e5m2 casts failed hardware-only before
 ]
 for w, kw in DECODE_CASES:
     try:
@@ -197,22 +198,24 @@ for w, kw in DECODE_CASES:
         failures += 1
         print(f"pdecode {w:12s}: FAIL {str(ex)[:100]}", flush=True)
 
-try:
-    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="int8", W_dtype="int2",
-                       accum_dtype="int32", out_dtype="float32")
-    spec = KernelSpec.from_config(cfg, 16)
-    ops = random_reference_operands(cfg, 16, 0)
-    dw = transform_reference_operands(cfg, ops.qweight, None)
-    ref = np.asarray(make_weight_decode_int8(spec)(jnp.asarray(dw.qweight)))
-    got = np.asarray(make_weight_decode_int8_pallas(spec)(
-        jnp.asarray(dw.qweight)))
-    ok = np.array_equal(ref, got)
-    failures += not ok
-    print(f"pdecode int8-codes : {'exact' if ok else '<-- WRONG'}",
-          flush=True)
-except Exception as ex:
-    failures += 1
-    print(f"pdecode int8-codes : FAIL {str(ex)[:100]}", flush=True)
+for w in ("int2", "uint2", "int4", "uint4"):
+    try:
+        cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="int8", W_dtype=w,
+                           accum_dtype="int32", out_dtype="float32")
+        spec = KernelSpec.from_config(cfg, 16)
+        ops = random_reference_operands(cfg, 16, 0)
+        dw = transform_reference_operands(cfg, ops.qweight, None)
+        ref = np.asarray(make_weight_decode_int8(spec)(
+            jnp.asarray(dw.qweight)))
+        got = np.asarray(make_weight_decode_int8_pallas(spec)(
+            jnp.asarray(dw.qweight)))
+        ok = np.array_equal(ref, got)
+        failures += not ok
+        print(f"pdecode i8codes {w:5s}: {'exact' if ok else '<-- WRONG'}",
+              flush=True)
+    except Exception as ex:
+        failures += 1
+        print(f"pdecode i8codes {w:5s}: FAIL {str(ex)[:100]}", flush=True)
 
 print(f"DONE {failures}")
 raise SystemExit(1 if failures else 0)

@@ -161,8 +161,11 @@ def main():
                                          interpret=interp)
         run(f"decode_xla K={kdim} N={F}", jax.jit(dq_x), (wp, sc),
             inject=0, full_output_dep=True)
+        # full_output_dep on BOTH sides: the reduction work must be
+        # identical or the A/B times different computations (review
+        # 2026-08-20)
         run(f"decode_pallas K={kdim} N={F}", jax.jit(dq_p), (wp, sc),
-            inject=0)
+            inject=0, full_output_dep=True)
 
 
 if __name__ == "__main__":
