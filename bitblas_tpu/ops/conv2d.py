@@ -193,7 +193,12 @@ class QuantConv2D:
         )
 
         if int_act:
-            decode = make_weight_decode_int8(spec)
+            if c.decode_impl == "pallas" and not self._matmul.interpret:
+                from ..kernels.materialize import \
+                    make_weight_decode_int8_pallas
+                decode = make_weight_decode_int8_pallas(spec)
+            else:
+                decode = make_weight_decode_int8(spec)
 
             def fn(x, Wp, scales=None, zeros=None, bias=None):
                 del zeros
