@@ -1,14 +1,10 @@
 #!/bin/bash
-# Round-4 chip queue, phase D (chained behind phase C): first recorded
-# on-chip MoE (Mixtral-geometry) decode numbers.
+# Round-5 chip queue, phase A: on-chip smoke + Mosaic gate recheck
+# (standing cadence — libtpu bump detection before any new probe work).
 set -u
 export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
-LOG=/tmp/chipq_r4d
+LOG=/tmp/chipq_r5a
 mkdir -p $LOG
-
-while ! grep -q "phase C done" /tmp/chipq_r4c/queue.log 2>/dev/null; do
-  sleep 30
-done
 
 gate() {
   while true; do
@@ -26,5 +22,6 @@ stage() {
   echo "=== $name rc=$? end $(date +%T)" | tee -a $LOG/queue.log
 }
 
-stage moe_serving 4800 python /root/repo/scripts/benchmark_moe_serving.py
-echo "=== phase D done $(date +%T)" | tee -a $LOG/queue.log
+stage smoke 2400 python /root/repo/scripts/tpu_format_smoke.py
+stage gate_recheck 2400 python /root/repo/scripts/tpu_gate_recheck.py
+echo "=== phase A done $(date +%T)" | tee -a $LOG/queue.log
