@@ -40,6 +40,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -604,11 +605,12 @@ def make_dequant_matmul(spec: KernelSpec, hint: TileHint, *,
             # staged here losslessly; a device/traced S4 array is already
             # past the point of no return, so fail loudly instead of
             # wedging the backend.
-            import numpy as np
             if isinstance(A, np.ndarray):
                 A = A.astype(np.int8)
-            elif interpret:
-                A = A.astype(jnp.int8)  # CPU interpret handles S4 fine
+            elif interpret or jax.default_backend() == "cpu":
+                # CPU (interpret or compiled) handles S4 fine — the
+                # wedge is axon-transfer-specific.
+                A = A.astype(jnp.int8)
             else:
                 raise TypeError(
                     "int4/uint4 activations must be passed in int8 "

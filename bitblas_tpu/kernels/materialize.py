@@ -275,6 +275,11 @@ def make_weight_decode_pallas(spec: KernelSpec,
     if K % BK or N % BN:
         raise ValueError(f"decode blocks ({BK},{BN}) must divide "
                          f"({K},{N})")
+    if bits < 8 and BN % pack_n:
+        # A block_n that divides N but not the pack tile would truncate
+        # the slot-segment list below — silent unwritten output blocks.
+        raise ValueError(f"block_n={BN} must be a multiple of the "
+                         f"pack tile ({pack_n}) for {bits}-bit weights")
     if g < K and BK % g:
         # The grouped-scale BlockSpec maps k-block i to scale rows
         # [i*BK/g, (i+1)*BK/g): a block that straddles a group boundary
@@ -417,6 +422,11 @@ def make_weight_decode_int8_pallas(spec: KernelSpec, *,
     if K % BK or N % BN:
         raise ValueError(f"decode blocks ({BK},{BN}) must divide "
                          f"({K},{N})")
+    if BN % pack_n:
+        # see the float-decode twin: a non-pack-multiple block truncates
+        # the segment list and leaves output blocks unwritten
+        raise ValueError(f"block_n={BN} must be a multiple of the "
+                         f"pack tile ({pack_n})")
     sub = pack_n // e
     segments = [(t * pack_n + s * sub, sub, s, t * sub)
                 for t in range(BN // pack_n) for s in range(e)]

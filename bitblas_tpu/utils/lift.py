@@ -33,6 +33,23 @@ from typing import Any, Callable, List, Tuple
 import jax
 
 
+class _AttrContainer:
+    """dict-like setattr shim so ``bind`` can write __slots__ attributes
+    through the same ``container[key] = value`` path as dict slots."""
+
+    __slots__ = ("_obj",)
+
+    def __init__(self, obj):
+        self._obj = obj
+
+    def __setitem__(self, key, val):
+        setattr(self._obj, key, val)
+
+
+def _has_slots(cls) -> bool:
+    return any(getattr(k, "__slots__", ()) for k in cls.__mro__)
+
+
 def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
                                                          Callable]:
     """Harvest every reachable jax.Array under `root`.
@@ -70,7 +87,8 @@ def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
             # closure constants, silently. Count and warn like the
             # depth cap.
             if any(not isinstance(l, jax.Array)
-                   and getattr(l, "__dict__", None) for l in flat):
+                   and (getattr(l, "__dict__", None)
+                        or _has_slots(type(l))) for l in flat):
                 mixed_hits[0] += 1
         else:
             walk(val, depth + 1)
@@ -97,6 +115,21 @@ def lift_arrays(root: Any, max_depth: int = 24) -> Tuple[List[jax.Array],
         d = getattr(obj, "__dict__", None)
         if d is not None:
             walk(d, depth + 1)
+        # __slots__ classes have no __dict__ (or a partial one) — their
+        # attributes would otherwise be invisible and stay closure
+        # constants, the exact failure this module exists to prevent.
+        slot_names = set()
+        for klass in type(obj).__mro__:
+            s = getattr(klass, "__slots__", ())
+            slot_names.update((s,) if isinstance(s, str) else s)
+        for name in slot_names:
+            if name in ("__dict__", "__weakref__"):
+                continue
+            try:
+                val = getattr(obj, name)
+            except AttributeError:
+                continue
+            handle_slot(_AttrContainer(obj), name, val, depth)
 
     walk(root, 0)
     if depth_hits[0]:
@@ -161,6 +194,21 @@ def jit_lifted(fn: Callable, owner: Any, donate_argnums=(), **jit_kw):
 
     def inner(_lifted, *args, **kw):
         traced[0] = True  # Python body runs only while tracing
+        # Retrace = the one moment the Python body runs again. Detect the
+        # documented staleness hazard (weights replaced on `owner` after
+        # wrapping → the cached wrapper keeps computing with the captured
+        # arrays) and warn loudly. Owner still holds concrete arrays here
+        # (bind below is what installs the tracers).
+        cur, _ = lift_arrays(owner)
+        if len(cur) != len(vals) or any(
+                a is not b for a, b in zip(cur, vals)):
+            from ..common import get_logger
+            get_logger().warning(
+                "jit_lifted: arrays reachable from the wrapped model "
+                "changed after wrapping (%d captured vs %d current, "
+                "identity mismatch) — this wrapper still computes with "
+                "the ORIGINAL weights; re-wrap after replacing weights",
+                len(vals), len(cur))
         bind(_lifted)
         return fn(*args, **kw)
 

@@ -114,3 +114,72 @@ def test_bind_length_check():
         pass
     else:
         raise AssertionError("short bind must raise")
+
+
+class _SlotProj:
+    __slots__ = ("w", "name")
+
+    def __init__(self, seed):
+        rng = np.random.default_rng(seed)
+        self.w = jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)
+        self.name = f"p{seed}"
+
+
+class _SlotModel:
+    __slots__ = ("proj", "norm")
+
+    def __init__(self):
+        self.proj = _SlotProj(7)
+        self.norm = jnp.ones((8,), jnp.float32)
+
+    def forward(self, x):
+        return (x @ self.proj.w) * self.norm
+
+
+def test_lift_slots_objects():
+    """__slots__ classes have no __dict__; their arrays must still be
+    harvested (ADVICE r4) and bind must write back through setattr."""
+    m = _SlotModel()
+    x = jnp.asarray(np.random.default_rng(8).standard_normal((2, 8)),
+                    jnp.float32)
+    want = np.asarray(m.forward(x))
+    vals, bind = lift_arrays(m)
+    assert len(vals) == 2, f"expected proj.w + norm, got {len(vals)}"
+
+    def fn(vals, x):
+        bind(vals)
+        return m.forward(x)
+
+    got = np.asarray(jax.jit(fn)(vals, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    bind(vals)
+    assert not isinstance(m.norm, jax.core.Tracer)
+    np.testing.assert_allclose(np.asarray(m.forward(x)), want, rtol=1e-6)
+
+
+def test_jit_lifted_stale_weight_warning():
+    """Replacing a weight on the owner after wrapping must warn on the
+    next retrace (the wrapper keeps computing with captured arrays)."""
+    import logging
+    from bitblas_tpu.common import get_logger
+    from bitblas_tpu.utils.lift import jit_lifted
+    m = _Model()
+    f = jit_lifted(m.forward, m)
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _Catch(level=logging.WARNING)
+    get_logger().addHandler(h)  # repo logger has propagate=False
+    try:
+        x2 = jnp.ones((2, 8), jnp.float32)
+        f(x2)  # first trace: no warning
+        assert not any("jit_lifted" in r for r in records)
+        m.layers[0].norm = jnp.zeros((8,), jnp.float32)  # stale hazard
+        x3 = jnp.ones((3, 8), jnp.float32)  # new shape -> retrace
+        f(x3)
+        assert any("jit_lifted" in r for r in records)
+    finally:
+        get_logger().removeHandler(h)

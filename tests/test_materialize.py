@@ -237,3 +237,22 @@ def test_pallas_int8_decode_matches_xla():
         got = make_weight_decode_int8_pallas(spec, interpret=True)(wp)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got),
                                       err_msg=w)
+
+
+def test_pallas_decode_rejects_non_pack_multiple_block_n():
+    """A block_n that divides N but not the pack tile would silently
+    truncate the slot-segment list (ADVICE r4) — must raise instead."""
+    from bitblas_tpu.kernels.materialize import (
+        make_weight_decode_int8_pallas, make_weight_decode_pallas)
+    cfg = MatmulConfig(M=16, N=512, K=512, A_dtype="float16",
+                       W_dtype="uint4", with_scaling=True, group_size=128,
+                       out_dtype="float16")
+    spec = KernelSpec.from_config(cfg, 16)
+    with pytest.raises(ValueError, match="pack tile"):
+        make_weight_decode_pallas(spec, "float32", interpret=True,
+                                  block_n=64)
+    cfg8 = MatmulConfig(M=16, N=512, K=512, A_dtype="int8", W_dtype="uint4",
+                        out_dtype="float16")
+    spec8 = KernelSpec.from_config(cfg8, 16)
+    with pytest.raises(ValueError, match="pack tile"):
+        make_weight_decode_int8_pallas(spec8, interpret=True, block_n=64)
