@@ -102,6 +102,8 @@ def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
     if family == "fp":  # fp4_e2m1
         if hint.mma_dtype == "float16":
             return numerics.decode_fp4_field(field, jnp.float16)
+        if hint.fp_mode == "fast16" and mma == jnp.bfloat16:
+            return numerics.decode_fp4_field_bf16_fast(field)
         return _cast(numerics.decode_fp4_field_f32(field), mma)
     if family == "nf":
         if hint.lut_mode == "gather2d":
@@ -127,6 +129,42 @@ def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
         if lut_vals is not None:
             return _cast(jnp.take(lut_vals, field, axis=0), mma)
         lut = [float(v) for v in NF4_TABLE]
+        if hint.lut_mode == "selectn":
+            # lax.select_n: one multi-way select node — probe whether
+            # Mosaic lowers it better than the explicit mux tree (it may
+            # emit the same 15-blend ladder internally).
+            cases = [jnp.full(field.shape, jnp.float32(v)) for v in lut]
+            return _cast(jax.lax.select_n(jnp.clip(field, 0, 15), *cases),
+                         mma)
+        if hint.lut_mode == "mux4b":
+            # mux4 running entirely in 16-bit lanes: compares on u16
+            # fields, selects over the u16 BIT PATTERNS of bf16(T[j]),
+            # one bitcast at the end. If Mosaic packs 16-bit lanes
+            # 2-per-register the 15 blends run at twice the f32 rate.
+            # No 16-bit shifts (banned — measured HTTP 500): the nibble
+            # halves are extracted in i32 and cast down. Values are
+            # bf16(T[j]) — identical to the f32 mux + bf16 MXU cast, so
+            # only emitted when mma is bfloat16.
+            import ml_dtypes
+            bits = [int(b) for b in np.asarray(
+                lut, ml_dtypes.bfloat16).view(np.uint16)]
+            lo = (field & 3).astype(jnp.uint16)
+            hi = (field >> 2).astype(jnp.uint16)
+            e1, e2, e3 = (lo == jnp.uint16(1), lo == jnp.uint16(2),
+                          lo == jnp.uint16(3))
+            chunks = []
+            for h in range(4):
+                r = jnp.where(e1, jnp.uint16(bits[4 * h + 1]),
+                              jnp.full(field.shape, bits[4 * h],
+                                       jnp.uint16))
+                r = jnp.where(e2, jnp.uint16(bits[4 * h + 2]), r)
+                r = jnp.where(e3, jnp.uint16(bits[4 * h + 3]), r)
+                chunks.append(r)
+            out = jnp.where(hi == jnp.uint16(1), chunks[1], chunks[0])
+            out = jnp.where(hi == jnp.uint16(2), chunks[2], out)
+            out = jnp.where(hi == jnp.uint16(3), chunks[3], out)
+            out = jax.lax.bitcast_convert_type(out, jnp.bfloat16)
+            return _cast(out, mma)
         if hint.lut_mode == "mux4":
             # Nested 4-wide muxes on split nibble halves: the 6 equality
             # predicates (3 on each 2-bit half) are shared across all
@@ -171,11 +209,19 @@ def _decode_byte(spec: KernelSpec, hint: TileHint, words: jnp.ndarray) -> jnp.nd
         if hint.mma_dtype == "float16":
             return numerics.decode_f8e4m3_byte(
                 words.astype(jnp.uint16), jnp.float16)
+        if hint.fp_mode == "fast16" and mma == jnp.bfloat16:
+            return numerics.decode_f8e4m3_to_bf16_fast(words)
+        if hint.fp_mode in ("fast", "fast16"):
+            return _cast(numerics.decode_f8e4m3_to_f32_fast(words), mma)
         return _cast(numerics.decode_f8e4m3_to_f32(words), mma)
     if family == "fp_e5m2":
         if hint.mma_dtype == "float16":
             return numerics.decode_f8e5m2_byte(
                 words.astype(jnp.uint16), jnp.float16)
+        if hint.fp_mode == "fast16" and mma == jnp.bfloat16:
+            return numerics.decode_f8e5m2_to_bf16_fast(words)
+        if hint.fp_mode in ("fast", "fast16"):
+            return _cast(numerics.decode_f8e5m2_to_f32_fast(words), mma)
         return _cast(numerics.decode_f8e5m2_to_f32(words), mma)
     raise ValueError(f"unsupported 8-bit family {family}")
 

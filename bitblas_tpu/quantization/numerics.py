@@ -228,6 +228,85 @@ def decode_f8e4m3_to_f32(byte: jnp.ndarray) -> jnp.ndarray:
     return _bitcast(bits32, jnp.float32)
 
 
+def decode_f8e4m3_to_f32_fast(byte: jnp.ndarray) -> jnp.ndarray:
+    """float8_e4m3 byte -> f32, branchless 5-op bit surgery; value-identical
+    to decode_f8e4m3_to_f32 for all 256 codes (tests/test_numerics.py).
+
+    The reference decode is uniformly exp32 = e4 + 120 (no subnormal case:
+    e4=0 still means 2^-7*(1+m/8) in the reference's quirky semantics), so
+    the payload (v & 0x7f) << 20 lands e4 at the exponent field and m at
+    mantissa bits 20-22, and a single integer ADD of 120<<23 performs the
+    rebias with carry-free mantissa bits. Reference formula:
+    gpu/intrin/lop3.py `_tir_u8_to_f8_e4m3_to_f16` semantics.
+    """
+    v = byte.astype(jnp.uint32)
+    bits32 = (((v & jnp.uint32(0x7F)) << jnp.uint32(20))
+              + jnp.uint32(120 << 23)) | ((v >> jnp.uint32(7)) << jnp.uint32(31))
+    return _bitcast(bits32, jnp.float32)
+
+
+def decode_f8e5m2_to_f32_fast(byte: jnp.ndarray) -> jnp.ndarray:
+    """float8_e5m2 byte -> f32, value-identical to decode_f8e5m2_to_f32 but
+    cheaper: normals ride a raw-exponent bitcast plus ONE float multiply by
+    2^112 (exponent rebias e5-127+112 = e5-15, exact), so no exponent add
+    or zero-detection dance; only the e5=0 subnormal codes (payload < 4)
+    take a select, and their magnitude reuses the already-masked payload
+    (== m there) via a single int->f32 cast. A pure subnormal-multiply
+    version (no select) exists but XLA/TPU flush f32 subnormal inputs, so
+    the e5=0 intermediate m*2^-128 would decode to 0 — measured, not
+    assumed (tests/test_numerics.py would catch it on CPU too).
+    """
+    v = byte.astype(jnp.uint32)
+    payload = v & jnp.uint32(0x7F)
+    sbit = (v >> jnp.uint32(7)) << jnp.uint32(31)
+    normal = _bitcast((payload << jnp.uint32(21)) | sbit,
+                      jnp.float32) * jnp.float32(2.0 ** 112)
+    m_f = payload.astype(jnp.int32).astype(jnp.float32)  # == m when e5 == 0
+    sub = _bitcast(_bitcast(m_f * jnp.float32(2.0 ** -16), jnp.uint32)
+                   | sbit, jnp.float32)
+    return jnp.where(payload < 4, sub, normal)
+
+
+def decode_f8e4m3_to_bf16_fast(byte: jnp.ndarray) -> jnp.ndarray:
+    """float8_e4m3 byte -> bf16 bit pattern built in i32 lanes, emitted via
+    a 16-bit cast + bitcast (no f32->bf16 rounding op at the end). Mosaic
+    bans 16-bit shifts (like int8 shifts), so all shifting stays in i32 —
+    measured: the u16-shift formulation HTTP-500s (tpu_decode_probe
+    2026-08-20). e4m3's 3 mantissa bits fit bf16 exactly."""
+    v = byte.astype(jnp.int32)
+    t = (((v & 0x7F) << 4) + (120 << 7)) | ((v >> 7) << 15)
+    return _bitcast(t.astype(jnp.uint16), jnp.bfloat16)
+
+
+def decode_f8e5m2_to_bf16_fast(byte: jnp.ndarray) -> jnp.ndarray:
+    """float8_e5m2 byte -> bf16; FTZ-safe structure of the f32 fast path
+    (raw-exponent bitcast * 2^112 for normals, selected subnormal fix-up),
+    with the bit pattern built in i32 lanes (no 16-bit shifts — Mosaic
+    bans them) and the rebias multiply running at bf16 width."""
+    v = byte.astype(jnp.int32)
+    payload = v & 0x7F
+    sbit = (v >> 7) << 15
+    normal = _bitcast(((payload << 5) | sbit).astype(jnp.uint16),
+                      jnp.bfloat16) * jnp.bfloat16(2.0 ** 112)
+    m_f = payload.astype(jnp.bfloat16)  # == m when e5 == 0
+    subm = _bitcast(m_f * jnp.bfloat16(2.0 ** -16), jnp.uint16)
+    sub = _bitcast(subm | sbit.astype(jnp.uint16), jnp.bfloat16)
+    return jnp.where(payload < 4, sub, normal)
+
+
+def decode_fp4_field_bf16_fast(field: jnp.ndarray) -> jnp.ndarray:
+    """fp4_e2m1 field -> bf16 (reference semantics: low 3 bits are an
+    exponent payload, value = ±2^(p-7), zero payload = ±0). Bit pattern
+    built in i32 lanes (Mosaic bans 16-bit shifts); the zero-payload case
+    folds into the SAME integer select (pattern 0 == +0.0), avoiding a
+    mixed-width float select."""
+    f4 = field.astype(jnp.int32)
+    p = f4 & 7
+    bits = ((p | 120) << 7) | ((f4 >> 3) << 15)
+    bits = jnp.where(p == 0, 0, bits)
+    return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
 def decode_f8e5m2_to_f32(byte: jnp.ndarray) -> jnp.ndarray:
     """float8_e5m2 byte -> f32 (finite codes; inf/nan not special-cased)."""
     v = byte.astype(jnp.uint32)

@@ -50,6 +50,15 @@ class TileHint:
     #               a [groups, 1, sub] tensor and reduced (no per-group row
     #               extraction). Scaling-only configs.
     group_mode: str = "loop"
+    # fp8/fp4 decode implementation (r5 decode-floor campaign):
+    #   "legacy" — the established exponent-surgery decoders
+    #   "fast"   — branchless u32-lane rebias (e4m3: single integer ADD;
+    #              e5m2: raw-exponent bitcast * 2^112 with a selected
+    #              subnormal fix-up) — value-identical, ~40% fewer VPU ops
+    #   "fast16" — same surgery in u16 lanes producing bf16 directly
+    #              (mma_dtype bfloat16 only; exact: e4m3/fp4 values fit
+    #              bf16's 7 mantissa bits, e5m2 normals too)
+    fp_mode: str = "legacy"
     # Cap Mosaic VMEM usage; None = compiler default.
     vmem_limit_bytes: Optional[int] = None
 

@@ -304,3 +304,46 @@ class TestOddN8Bit:
         hint = TileHint(block_m=64, block_n=128, block_k=128,
                         mma_dtype="float16", precision="highest")
         run_case(cfg, 16)
+
+
+class TestR5DecodeVariants:
+    """r5 decode-floor campaign: the new fp_mode / lut_mode variants must be
+    BIT-IDENTICAL to the established modes through the full kernel (same
+    mma dtype, same inputs) — they are pure re-expressions of the decode."""
+
+    def _pair(self, w_dtype, base_hint, new_hint, m=16):
+        cfg = MatmulConfig(M=m, N=N, K=K, A_dtype="float16", W_dtype=w_dtype,
+                           with_scaling=True, group_size=128)
+        ops = random_reference_operands(cfg, m, 3)
+        dw = transform_reference_operands(cfg, ops.qweight, ops.scales)
+        spec = KernelSpec.from_config(cfg, m)
+        A = jnp.asarray(ops.A)
+        W = jnp.asarray(dw.qweight)
+        S = jnp.asarray(dw.scales)
+        a = make_dequant_matmul(spec, base_hint, interpret=True)(A, W, scales=S)
+        b = make_dequant_matmul(spec, new_hint, interpret=True)(A, W, scales=S)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("w", ["e4m3_float8", "e5m2_float8", "fp4_e2m1"])
+    def test_fp_fast_matches_legacy_bf16(self, w):
+        base = TileHint(block_m=64, block_n=256, block_k=128,
+                        mma_dtype="bfloat16", fp_mode="legacy")
+        for mode in ("fast", "fast16"):
+            self._pair(w, base, TileHint(block_m=64, block_n=256,
+                                         block_k=128, mma_dtype="bfloat16",
+                                         fp_mode=mode))
+
+    @pytest.mark.parametrize("w", ["e4m3_float8", "e5m2_float8"])
+    def test_fp_fast_matches_legacy_f32(self, w):
+        base = TileHint(block_m=64, block_n=256, block_k=128,
+                        mma_dtype="float32", fp_mode="legacy")
+        self._pair(w, base, TileHint(block_m=64, block_n=256, block_k=128,
+                                     mma_dtype="float32", fp_mode="fast"))
+
+    @pytest.mark.parametrize("mode", ["mux4b", "selectn"])
+    def test_nf4_new_lut_modes(self, mode):
+        base = TileHint(block_m=64, block_n=256, block_k=128,
+                        mma_dtype="bfloat16", lut_mode="mux4")
+        self._pair("nf4", base, TileHint(block_m=64, block_n=256,
+                                         block_k=128, mma_dtype="bfloat16",
+                                         lut_mode=mode))

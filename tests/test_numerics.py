@@ -231,3 +231,51 @@ class TestInterleave:
         pop_in = np.unpackbits(w.view(np.uint8)).sum()
         pop_out = np.unpackbits(out.view(np.uint8)).sum()
         assert pop_in == pop_out
+
+
+class TestFastFpDecoders:
+    """Branchless fast fp8/fp4 decoders must be value-identical to the
+    established decoders for every code (r5 decode-floor campaign)."""
+
+    def test_e4m3_fast32_all_codes(self):
+        from bitblas_tpu.quantization.numerics import (
+            decode_f8e4m3_to_f32, decode_f8e4m3_to_f32_fast)
+        codes = jnp.arange(256, dtype=jnp.int32)
+        a = np.asarray(decode_f8e4m3_to_f32(codes))
+        b = np.asarray(decode_f8e4m3_to_f32_fast(codes))
+        np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+    def test_e5m2_fast32_all_codes(self):
+        from bitblas_tpu.quantization.numerics import (
+            decode_f8e5m2_to_f32, decode_f8e5m2_to_f32_fast)
+        codes = jnp.arange(256, dtype=jnp.int32)
+        a = np.asarray(decode_f8e5m2_to_f32(codes))
+        b = np.asarray(decode_f8e5m2_to_f32_fast(codes))
+        # inf/nan codes (e5=31) decode to the same finite 2^16 family in
+        # both (documented: finite-code semantics)
+        np.testing.assert_array_equal(a.view(np.uint32), b.view(np.uint32))
+
+    def test_e4m3_fast16_all_codes(self):
+        from bitblas_tpu.quantization.numerics import (
+            decode_f8e4m3_to_bf16_fast, decode_f8e4m3_to_f32)
+        codes = jnp.arange(256, dtype=jnp.int32)
+        a = np.asarray(decode_f8e4m3_to_f32(codes)).astype(np.float32)
+        b = np.asarray(decode_f8e4m3_to_bf16_fast(codes)).astype(np.float32)
+        # e4m3 has 3 mantissa bits: bf16 holds every value exactly
+        np.testing.assert_array_equal(a, b)
+
+    def test_e5m2_fast16_all_codes(self):
+        from bitblas_tpu.quantization.numerics import (
+            decode_f8e5m2_to_bf16_fast, decode_f8e5m2_to_f32)
+        codes = jnp.arange(256, dtype=jnp.int32)
+        a = np.asarray(decode_f8e5m2_to_f32(codes)).astype(np.float32)
+        b = np.asarray(decode_f8e5m2_to_bf16_fast(codes)).astype(np.float32)
+        np.testing.assert_array_equal(a, b)
+
+    def test_fp4_fast16_all_codes(self):
+        from bitblas_tpu.quantization.numerics import (
+            decode_fp4_field_bf16_fast, decode_fp4_field_f32)
+        codes = jnp.arange(16, dtype=jnp.int32)
+        a = np.asarray(decode_fp4_field_f32(codes)).astype(np.float32)
+        b = np.asarray(decode_fp4_field_bf16_fast(codes)).astype(np.float32)
+        np.testing.assert_array_equal(a, b)
