@@ -304,6 +304,15 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
     hints = enumerate_hints(spec, arch)
     if not hints:
         raise ValueError(f"no legal tile config for {spec}")
+    if spec.native and spec.a_dtype == "float32":
+        # True f32 accumulation (multi-pass "highest" precision). Without
+        # this the XLA dot runs at bf16 OPERAND precision, and a recorded
+        # f32 support-matrix cell beats its own f32 roofline by 3.6x —
+        # a precision bug wearing a perf halo (r4 VERDICT item: no >100%
+        # cells). The tuner may still measure a faster precision in when
+        # the user asks for it explicitly.
+        from dataclasses import replace
+        return replace(hints[0], precision="highest")
     if spec.family in ("fp_e4m3", "fp_e5m2") or (
             spec.family in ("int", "uint") and spec.bits > 8):
         # Default to f32 MXU operands for fp8 and wide-int weights

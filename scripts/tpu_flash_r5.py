@@ -1,0 +1,93 @@
+"""r5 flash campaign (VERDICT r4 item 5):
+
+1. Second-window confirmation of the causal s2048 diag_sub headline —
+   diag_sub in {0, 512, 256} head-to-head IN ONE WINDOW at the tuned
+   blocks (the r3 82.4 TF/s number rests on a single window).
+2. Coverage widening: s8192, and head_dim in {64, 256}, causal + dense,
+   via hardware_aware_finetune; winners persisted to the hint DB.
+"""
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bitblas_tpu import set_log_level
+from bitblas_tpu.kernels.flash import make_flash_attention
+from bitblas_tpu.ops.flashatten import FlashAtten, FlashAttenConfig
+from bitblas_tpu.utils.timing import measure_kernel
+
+set_log_level(logging.INFO)
+
+
+def main():
+    from health_wait import wait as health_wait
+    if health_wait(3600) != 0:
+        print("tunnel dead — aborting", flush=True)
+        sys.exit(2)
+    import jax
+    print("devices:", jax.devices(), flush=True)
+
+    # --- 1. one-window diag_sub head-to-head at s2048 (tuned blocks) ---
+    b, h, s, d = 4, 32, 2048, 128
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+    # layouts: Q/K/V are [B, S, H, D] (flash.py nnn convention)
+    Q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float16)
+    K = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float16)
+    V = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float16)
+    flops = 4 * b * h * s * s * d * 0.5
+    for bq, bkv in ((1024, 1024), (512, 512)):
+        for sub in (0, 512, 256):
+            if sub and (bq % sub or bq // sub < 2):
+                continue
+            try:
+                fn = make_flash_attention(
+                    batch=b, heads=h, seq_len=s, dim=d, causal=True,
+                    block_q=bq, block_kv=bkv, diag_sub=sub)
+                sec = min(measure_kernel(fn, (Q, K, V)) for _ in range(2))
+                print(f"s2048 bq{bq} bkv{bkv} diag={sub:4d}: "
+                      f"{sec*1e6:8.1f}us {flops/sec/1e12:6.1f} TF/s",
+                      flush=True)
+            except Exception as ex:  # noqa: BLE001
+                print(f"s2048 bq{bq} diag={sub}: FAIL {str(ex)[:100]}",
+                      flush=True)
+
+    # --- 2. new shapes: s8192 + head_dim 64/256 ---
+    for (bb, hh, ss, dd, causal) in [(1, 16, 8192, 128, True),
+                                     (1, 16, 8192, 128, False),
+                                     (4, 32, 2048, 64, True),
+                                     (4, 32, 2048, 64, False),
+                                     (4, 16, 2048, 256, True),
+                                     (4, 16, 2048, 256, False)]:
+        try:
+            cfg = FlashAttenConfig(batch=bb, heads=hh, seq_len=ss, dim=dd,
+                                   is_causal=causal)
+            op = FlashAtten(cfg, enable_tuning=False)
+            Qx, Kx, Vx = op._example_args()
+            out = op.forward(Qx, Kx, Vx)
+            exp = op.ref_program(Qx, Kx, Vx)
+            err = np.abs(np.asarray(out, np.float32)
+                         - np.asarray(exp, np.float32)).max()
+            best = op.hardware_aware_finetune()
+            sec = measure_kernel(op._fn, (Qx, Kx, Vx), inject=0)
+            fl = 4 * bb * hh * ss * ss * dd * (0.5 if causal else 1.0)
+            print(f"b{bb} h{hh} s{ss} d{dd} causal={causal}: "
+                  f"best={best[0]} {sec*1e6:8.1f}us {fl/sec/1e12:6.1f} "
+                  f"TF/s maxerr={err:.3e}", flush=True)
+            if best[0] is not None:
+                from bitblas_tpu.cache import global_operator_cache
+                global_operator_cache.add(cfg, op)
+                global_operator_cache.save_into_database()
+                print(f"  persisted bq={op.block_q} bkv={op.block_kv}",
+                      flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"b{bb} h{hh} s{ss} d{dd} causal={causal}: FAIL "
+                  f"{str(ex)[:140]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

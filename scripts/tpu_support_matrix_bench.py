@@ -73,6 +73,14 @@ PAIRS = [
     ("bfloat16", "uint4", True),
     ("bfloat16", "int4", False),
     ("bfloat16", "nf4", True),
+    ("bfloat16", "fp4_e2m1", True),
+    ("bfloat16", "e4m3_float8", False),
+    ("bfloat16", "int8", False),
+    ("bfloat16", "uint2", True),
+    ("bfloat16", "int2", False),
+    ("bfloat16", "uint1", True),
+    ("e4m3_float8", "e5m2_float8", False),
+    ("e5m2_float8", "e4m3_float8", False),
     ("int4", "int4", False),
     ("int8", "uint4", True),
     ("int8", "uint2", True),

@@ -39,10 +39,21 @@ PAIRS = [
     ("float16", "fp4_e2m1", True),
     ("float16", "e4m3_float8", False),
     ("float16", "e5m2_float8", False),
-    # bf16 activations
+    # bf16 activations (reference README.md:61-72 lists the full BF16
+    # column as tested: FP4_E2M1, FP8_E4M3, INT8, UINT4/INT4, UINT2/INT2,
+    # UINT1, NF4)
     ("bfloat16", "uint4", True),
     ("bfloat16", "int4", False),
     ("bfloat16", "nf4", True),
+    ("bfloat16", "fp4_e2m1", True),
+    ("bfloat16", "e4m3_float8", False),
+    ("bfloat16", "int8", False),
+    ("bfloat16", "uint2", True),
+    ("bfloat16", "int2", False),
+    ("bfloat16", "uint1", True),
+    # fp8 cross pairs (reference README.md:77-78)
+    ("e4m3_float8", "e5m2_float8", False),
+    ("e5m2_float8", "e4m3_float8", False),
     # int4 activations (reference INT4xINT4 tensor-core path; int8-MXU
     # emulation on TPU — exact, both operands fit int8)
     ("int4", "int4", False),
