@@ -104,6 +104,8 @@ def _decode_field(spec: KernelSpec, hint: TileHint, field: jnp.ndarray,
             return numerics.decode_fp4_field(field, jnp.float16)
         if hint.fp_mode == "fast16" and mma == jnp.bfloat16:
             return numerics.decode_fp4_field_bf16_fast(field)
+        if hint.fp_mode in ("fast", "fast16"):
+            return _cast(numerics.decode_fp4_field_f32_fast(field), mma)
         return _cast(numerics.decode_fp4_field_f32(field), mma)
     if family == "nf":
         if hint.lut_mode == "gather2d":

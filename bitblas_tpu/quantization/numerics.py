@@ -294,17 +294,28 @@ def decode_f8e5m2_to_bf16_fast(byte: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(payload < 4, sub, normal)
 
 
-def decode_fp4_field_bf16_fast(field: jnp.ndarray) -> jnp.ndarray:
-    """fp4_e2m1 field -> bf16 (reference semantics: low 3 bits are an
-    exponent payload, value = ±2^(p-7), zero payload = ±0). Bit pattern
-    built in i32 lanes (Mosaic bans 16-bit shifts); the zero-payload case
-    folds into the SAME integer select (pattern 0 == +0.0), avoiding a
-    mixed-width float select."""
+def decode_fp4_field_f32_fast(field: jnp.ndarray) -> jnp.ndarray:
+    """fp4_e2m1 field -> f32 with NO select: bitcast(p << 23 | s << 31)
+    is ±2^(p-127) for p >= 1 and ±0 for p == 0 automatically, so one
+    multiply by 2^120 rebiases to ±2^(p-7) and zero stays zero (no
+    subnormal intermediates — p >= 1 is already a normal f32). 5 ops vs
+    the legacy path's ~9 (mask, or-120, sign build, shift, compare,
+    select). Value-identical to decode_fp4_field_f32 except the p == 0
+    negative codes decode to -0.0 instead of +0.0 (same real number,
+    identical dot products)."""
     f4 = field.astype(jnp.int32)
-    p = f4 & 7
-    bits = ((p | 120) << 7) | ((f4 >> 3) << 15)
-    bits = jnp.where(p == 0, 0, bits)
-    return _bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
+    bits = ((f4 & 7) << 23) | ((f4 >> 3) << 31)
+    return _bitcast(bits, jnp.float32) * jnp.float32(2.0 ** 120)
+
+
+def decode_fp4_field_bf16_fast(field: jnp.ndarray) -> jnp.ndarray:
+    """fp4_e2m1 field -> bf16; same select-free rebias-multiply trick as
+    decode_fp4_field_f32_fast, with the pattern built in i32 lanes
+    (Mosaic bans 16-bit shifts) and emitted via a 16-bit cast."""
+    f4 = field.astype(jnp.int32)
+    bits = ((f4 & 7) << 7) | ((f4 >> 3) << 15)
+    return _bitcast(bits.astype(jnp.uint16),
+                    jnp.bfloat16) * jnp.bfloat16(2.0 ** 120)
 
 
 def decode_f8e5m2_to_f32(byte: jnp.ndarray) -> jnp.ndarray:

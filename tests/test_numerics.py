@@ -279,3 +279,12 @@ class TestFastFpDecoders:
         a = np.asarray(decode_fp4_field_f32(codes)).astype(np.float32)
         b = np.asarray(decode_fp4_field_bf16_fast(codes)).astype(np.float32)
         np.testing.assert_array_equal(a, b)
+
+    def test_fp4_fast32_all_codes(self):
+        from bitblas_tpu.quantization.numerics import (
+            decode_fp4_field_f32, decode_fp4_field_f32_fast)
+        codes = jnp.arange(16, dtype=jnp.int32)
+        a = np.asarray(decode_fp4_field_f32(codes))
+        b = np.asarray(decode_fp4_field_f32_fast(codes))
+        # -0.0 vs +0.0 at the p==0 negative code is the documented delta
+        np.testing.assert_array_equal(a, b)
