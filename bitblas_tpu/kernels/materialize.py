@@ -254,9 +254,11 @@ def make_weight_decode_pallas(spec: KernelSpec,
     xored = bits < 8 and spec.family in ("uint", "int")
     mask_v = (1 << bits) - 1
     # f32 decode hint: exact scale math; mux4 LUT off-interpret (the 1D
-    # take gather does not lower on hardware).
+    # take gather does not lower on hardware). fp_mode=fast: the r5
+    # branchless fp8/fp4 decoders are value-identical to legacy
+    # (tests/test_numerics.py) and strictly cheaper on the VPU.
     dec_hint = TileHint(block_m=8, block_n=128, block_k=128,
-                        mma_dtype="float32",
+                        mma_dtype="float32", fp_mode="fast",
                         lut_mode="take" if interpret else "mux4")
 
     pack_n = pack_tile_n(N, e) if bits < 8 else 128
