@@ -285,6 +285,17 @@ def enumerate_hints(spec: KernelSpec, arch: TileDevice,
                             vmem_usage(spec, h) <= arch.vmem_bytes:
                         hints.append(h)
 
+    if spec.family in ("fp", "fp_e4m3", "fp_e5m2"):
+        # r5 decode-floor campaign: the branchless fast decoders are
+        # value-identical to legacy (tests/test_numerics.py) and measured
+        # strictly faster (e4m3 m=1 56.6 -> 32.3us, tpu_decode_probe
+        # 2026-08-20) — the space carries only the fast forms ("fast16"
+        # emits the bf16 pattern directly when the MXU eats bf16).
+        from dataclasses import replace
+        hints = [replace(h, fp_mode="fast16"
+                         if h.mma_dtype == "bfloat16" else "fast")
+                 for h in hints]
+
     hints.sort(key=lambda h: roofline_seconds(spec, h, arch))
     return hints[:max_candidates]
 

@@ -40,7 +40,9 @@ def torch_ppl(state, tokens) -> float:
     with torch.no_grad():
         for row in tokens:
             t = torch.from_numpy(row.astype(np.int64))[None]
-            out = model(input_ids=t[:, :-1], labels=t[:, 1:])
+            # labels == input_ids: HF shifts internally (standard
+            # next-token NLL, the same contract as models.perplexity)
+            out = model(input_ids=t, labels=t)
             n = row.shape[0] - 1
             losses += out.loss.item() * n
             count += n

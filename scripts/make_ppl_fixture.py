@@ -59,7 +59,11 @@ def main():
         idx = rng.integers(0, len(train) - SEQ - 1, BATCH)
         x = np.stack([train[i:i + SEQ + 1] for i in idx])
         toks = torch.from_numpy(x)
-        out = model(input_ids=toks[:, :-1], labels=toks[:, 1:])
+        # labels == input_ids: HF CausalLM SHIFTS INTERNALLY. Passing
+        # pre-shifted labels trains a predict-two-ahead model (r5 bug:
+        # standard next-token perplexity then reads near-uniform ~180
+        # while the double-shifted torch eval hides it at ~12).
+        out = model(input_ids=toks[:, :-1], labels=toks[:, :-1])
         opt.zero_grad()
         out.loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)

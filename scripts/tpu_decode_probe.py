@@ -57,8 +57,12 @@ def bench_one(cfg, m, hint, label, ref=None):
         # but produce garbage)
         got = np.asarray(fn(*args), np.float32)
         if ref is not None:
-            err = float(np.max(np.abs(got - ref)))
-            lim = 0.01 * float(np.max(np.abs(ref)))
+            # e5m2 random codes include NaN/inf bit patterns; compare only
+            # finite reference positions (NaN err would silently pass the
+            # `err > lim` gate — False for NaN)
+            fin = np.isfinite(ref)
+            err = float(np.max(np.abs(np.where(fin, got - ref, 0.0))))
+            lim = 0.01 * float(np.max(np.abs(np.where(fin, ref, 0.0))))
             if err > max(lim, 1e-3):
                 print(f"  {label:28s}: WRONG err={err:.3g}", flush=True)
                 return None
