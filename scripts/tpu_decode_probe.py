@@ -33,6 +33,10 @@ from bitblas_tpu.utils.timing import measure_kernel
 NK = int(os.environ.get("BITBLAS_TPU_PROBE_NK", 4096))
 MS = [int(x) for x in os.environ.get("BITBLAS_TPU_PROBE_MS",
                                      "1,16,256").split(",")]
+FMTS = [s for s in os.environ.get(
+    "BITBLAS_TPU_PROBE_FMTS",
+    "nf4,fp4_e2m1,e4m3_float8,e5m2_float8").split(",") if s]
+SKIP_DENSE = bool(os.environ.get("BITBLAS_TPU_PROBE_SKIP_DENSE"))
 
 
 def bench_one(cfg, m, hint, label, ref=None):
@@ -95,7 +99,7 @@ def main():
     arch = get_arch()
 
     # dense f16 baseline (the NF4 bar: reference claims NF4 >= dense f16)
-    for m in MS:
+    for m in MS if not SKIP_DENSE else []:
         dcfg = MatmulConfig(M=m, N=NK, K=NK, A_dtype="float16",
                             W_dtype="float16", out_dtype="float16")
         dspec = KernelSpec.from_config(dcfg, m)
@@ -103,7 +107,7 @@ def main():
         print(f"dense f16 m={m}:", flush=True)
         bench_one(dcfg, m, dh, f"dense {dh.short_name()}")
 
-    for wd in ("nf4", "fp4_e2m1", "e4m3_float8", "e5m2_float8"):
+    for wd in FMTS:
         for m in MS:
             cfg = MatmulConfig(M=m, N=NK, K=NK, A_dtype="float16",
                                W_dtype=wd, with_scaling=True,
