@@ -324,11 +324,21 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         # the user asks for it explicitly.
         from dataclasses import replace
         return replace(hints[0], precision="highest")
-    if spec.family in ("fp_e4m3", "fp_e5m2") or (
-            spec.family in ("int", "uint") and spec.bits > 8):
-        # Default to f32 MXU operands for fp8 and wide-int weights
-        # (precision: bf16's 8-bit mantissa rounds values above 256; f32
-        # holds int16 exactly). Explicit tuning can still pick bf16.
+    if spec.family in ("fp_e4m3", "fp_e5m2"):
+        # fp8 weight VALUES are bf16-exact (2-3 mantissa bits); only the
+        # f16 activations round when fed to a bf16 MXU. Small m is
+        # ingest-bound where f32 operands cost nothing extra (f32 ingests
+        # at the bf16 elem rate) — keep the extra activation precision
+        # free. Large m is MXU-bound: bf16 runs 2x the f32 rate
+        # (measured m=256 e4m3: bf16/fast 51.4us vs f32/fast 58.1,
+        # tpu_decode_probe 2026-08-20).
+        want = "float32" if spec.m <= 16 else "bfloat16"
+        for h in hints:
+            if h.mma_dtype == want:
+                return h
+    if spec.family in ("int", "uint") and spec.bits > 8:
+        # Wide-int weights: f32 MXU operands (f32 holds int16 exactly;
+        # bf16's 8-bit mantissa rounds values above 256).
         for h in hints:
             if h.mma_dtype == "float32":
                 return h
