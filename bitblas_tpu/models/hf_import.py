@@ -95,6 +95,10 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         act_dtype=act_dtype,
         rope_theta=float(get("rope_theta", 10000.0)),
         rope_scaling=scaling,
+        # Mistral-family checkpoints set sliding_window (e.g. 4096);
+        # ignoring it would silently attend beyond the window the source
+        # model was trained with.
+        sliding_window=get("sliding_window", None),
     )
 
 

@@ -51,6 +51,9 @@ def mixtral_config_from_hf(hf_config, *, group_size: int = 128,
         n_experts=get("num_local_experts"),
         top_k=get("num_experts_per_tok"),
         capacity_factor=capacity_factor,
+        # Mixtral-v0.1 sets sliding_window=4096 (many finetunes null it);
+        # carried through so attention matches the source checkpoint.
+        sliding_window=get("sliding_window", None),
     )
 
 

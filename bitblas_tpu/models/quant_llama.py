@@ -40,6 +40,12 @@ class LlamaConfig:
     # "original_max_position_embeddings"}) or None. Llama-3.1+ checkpoints
     # need this or long-context logits drift from the source model.
     rope_scaling: Optional[dict] = None
+    # Sliding-window attention width (Mistral/Mixtral-v0.1 checkpoints set
+    # 4096): each query attends only to the last `sliding_window` keys.
+    # None = full causal. Covered paths: __call__/perplexity, prefill,
+    # decode_step, decode_chunk (float slot KV); the quant/paged/cp paths
+    # raise loudly rather than silently attending beyond the window.
+    sliding_window: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -200,9 +206,11 @@ def _layer_mlp(layer, h: "jnp.ndarray") -> "jnp.ndarray":
 def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
                   positions: jnp.ndarray, *, causal: bool = True,
                   flash: Optional[callable] = None,
-                  return_kv: bool = False):
+                  return_kv: bool = False,
+                  window: Optional[int] = None):
     """x [B, S, hidden] -> [B, S, hidden] (optionally also rope-applied K/V
-    [B, S, Hkv, D] for KV-cache prefill)."""
+    [B, S, Hkv, D] for KV-cache prefill). `window`: sliding-window width
+    (HF convention: query i attends keys (i - window, i])."""
     cfg = layer.cfg
     B, S, _ = x.shape
     h = rmsnorm(x, layer.attn_norm)
@@ -223,7 +231,10 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
         if causal:
             qi = jnp.arange(S)[:, None]
             kj = jnp.arange(S)[None, :]
-            s = jnp.where(qi >= kj, s, -1e30)
+            keep = qi >= kj
+            if window is not None:
+                keep = keep & (kj > qi - window)
+            s = jnp.where(keep, s, -1e30)
         p = jax.nn.softmax(s, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", p,
                           v_.astype(jnp.float32)).astype(x.dtype)
@@ -247,8 +258,18 @@ class DecoderServingMixin:
 
     def __call__(self, x: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
         for layer in self.layers:
-            x = layer_forward(layer, x, positions)
+            x = layer_forward(layer, x, positions,
+                              window=self.cfg.sliding_window)
         return x
+
+    def _swa_guard(self, path: str) -> None:
+        """Paths without sliding-window support must fail loudly: silently
+        attending beyond the window deviates from the source checkpoint."""
+        if self.cfg.sliding_window is not None:
+            raise NotImplementedError(
+                f"{path} does not implement sliding-window attention "
+                f"(sliding_window={self.cfg.sliding_window}); use the "
+                f"float slot-cache decode paths, or unset sliding_window")
 
     # -- serving hooks (see serving/engine.py) --------------------------------
     def make_prefill(self, seq_len: int):
@@ -260,6 +281,21 @@ class DecoderServingMixin:
         block overheads dominate below ~256 tokens)."""
         cfg = self.cfg
         flash = None
+        if cfg.sliding_window is not None:
+            # SWA prefill takes the masked naive path (the flash kernel's
+            # triangular walk has no window lower bound yet); correctness
+            # over throughput until the kernel grows band support.
+            def prefill_swa(x, positions):
+                ks, vs = [], []
+                for layer in self.layers:
+                    x, k, v = layer_forward(layer, x, positions,
+                                            return_kv=True,
+                                            window=cfg.sliding_window)
+                    ks.append(k[0])
+                    vs.append(v[0])
+                return x, ks, vs
+
+            return prefill_swa
         if seq_len >= 256 and seq_len % 128 == 0:
             from ..tuner import get_arch
             from ..tuner.curated import flash_block_hint
@@ -313,7 +349,8 @@ class DecoderServingMixin:
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             attn = decode_attention(q, ck, cv, slots, lengths + 1,
-                                    num_heads=cfg.num_heads)
+                                    num_heads=cfg.num_heads,
+                                    window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)
@@ -356,7 +393,8 @@ class DecoderServingMixin:
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             attn = chunk_attention(q, ck, cv, slots, lengths,
-                                   num_heads=cfg.num_heads)
+                                   num_heads=cfg.num_heads,
+                                   window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm)
@@ -371,6 +409,7 @@ class DecoderServingMixin:
         """decode_chunk against the int8-quantized KV cache (codes +
         per-(token, head) scales, kv_cache.py quantized section). Returns
         (hidden [B, T, H], caches_k, caches_v, scales_k, scales_v)."""
+        self._swa_guard("decode_chunk_quant")
         from ..serving.kv_cache import (append_chunk_quant,
                                         chunk_attention_quant)
 
@@ -415,6 +454,7 @@ class DecoderServingMixin:
         halves KV HBM traffic and footprint vs bf16; decode attention is
         KV-bandwidth-bound). Returns (hidden, ck, cv, sk, sv).
         """
+        self._swa_guard("decode_step_quant")
         from ..serving.kv_cache import (append_token_quant,
                                         decode_attention_quant)
 
@@ -459,6 +499,7 @@ class DecoderServingMixin:
         physical blocks per request; block_rows/offsets [B] = where the new
         token's K/V lands; lengths [B] = tokens already cached.
         """
+        self._swa_guard("decode_step_paged")
         from ..serving.kv_cache import (append_token_paged,
                                         decode_attention_paged)
 
@@ -499,6 +540,7 @@ class DecoderServingMixin:
         caches_k/v [L, blocks, bs, Hkv, D] int8; scales_k/v
         [L, blocks, bs, Hkv] f32. Returns (hidden, ck, cv, sk, sv).
         """
+        self._swa_guard("decode_step_paged_quant")
         from ..serving.kv_cache import (append_token_paged_quant,
                                         decode_attention_paged_quant)
 

@@ -95,12 +95,14 @@ def append_chunk(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
 
 def chunk_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
                     cache_v: jnp.ndarray, slots: jnp.ndarray,
-                    starts: jnp.ndarray, *, num_heads: int) -> jnp.ndarray:
+                    starts: jnp.ndarray, *, num_heads: int,
+                    window: Optional[int] = None) -> jnp.ndarray:
     """T-token causal attention against the cache (chunk already appended).
 
     q [B, T, H, D]; cache_k/v [slots, L, Hkv, D]; query i of request b
     attends cache positions < starts[b] + i + 1 (its prefix plus the chunk
-    tokens at or before it). Returns [B, T, H, D].
+    tokens at or before it), and within the trailing `window` keys when a
+    sliding window is set. Returns [B, T, H, D].
 
     One batched contraction per chunk instead of T single-token steps —
     the weight-stream batching that makes chunked prefill and KV-cached
@@ -115,7 +117,12 @@ def chunk_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
     s = jnp.einsum("bthgd,blhd->bhgtl", qf, k.astype(jnp.float32)) \
         / jnp.sqrt(jnp.float32(D))
     limit = starts[:, None] + jnp.arange(T)[None] + 1          # [B, T]
-    mask = jnp.arange(L)[None, None, :] < limit[:, :, None]    # [B, T, L]
+    pos = jnp.arange(L)[None, None, :]
+    mask = pos < limit[:, :, None]                             # [B, T, L]
+    if window is not None:
+        # HF sliding-window: query at absolute position p attends keys in
+        # (p - window, p]; p = limit - 1.
+        mask = mask & (pos > (limit[:, :, None] - 1 - window))
     s = jnp.where(mask[:, None, None, :, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgtl,blhd->bthgd", p, v.astype(jnp.float32))
@@ -740,7 +747,8 @@ def decode_attention_partial(q: jnp.ndarray, cache_k: jnp.ndarray,
 def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
                      cache_v: jnp.ndarray, slots: jnp.ndarray,
                      lengths: jnp.ndarray, *, num_heads: int,
-                     use_flash: bool = None) -> jnp.ndarray:
+                     use_flash: bool = None,
+                     window: Optional[int] = None) -> jnp.ndarray:
     """Single-token attention against the cache.
 
     q [B, H, D]; cache_k/v [slots, L, Hkv, D]; lengths [B] = valid tokens
@@ -754,6 +762,10 @@ def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
     B, H, D = q.shape
     if use_flash is None:
         use_flash = D % 128 == 0
+    if window is not None:
+        # Sliding window: the flash-decode kernel has no window lower
+        # bound yet — the XLA path masks exactly (correctness first).
+        use_flash = False
     if use_flash:
         from ..kernels.flash import make_flash_decode
         from ..tuner import get_arch
@@ -770,7 +782,12 @@ def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
     kf = k.astype(jnp.float32)
     s = jnp.einsum("bhgd,blhd->bhgl", qf, kf) / jnp.sqrt(jnp.float32(D))
     L = k.shape[1]
-    mask = jnp.arange(L)[None, :] < lengths[:, None]          # [B, L]
+    pos = jnp.arange(L)[None, :]
+    mask = pos < lengths[:, None]                             # [B, L]
+    if window is not None:
+        # query sits at position lengths-1; keep keys in (len-1-window,
+        # len-1] (HF sliding-window convention)
+        mask = mask & (pos > (lengths[:, None] - 1 - window))
     s = jnp.where(mask[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgl,blhd->bhgd", p, v.astype(jnp.float32))

@@ -1,0 +1,133 @@
+"""Sliding-window attention (Mistral/Mixtral-v0.1 checkpoints).
+
+Golden: a live-transformers Mistral with sliding_window=8 vs our imported
+QuantLlama at the SAME effective (RTN-dequantized) weights — mask parity
+is visible with random weights because windowing changes the attended
+SET, not just the distribution. Plus internal consistency: prefill +
+decode_step chains equal the one-shot forward under a window, and the
+un-windowed paths raise loudly.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+          "down_proj")
+_CFG = dict(hidden_size=128, intermediate_size=256, num_attention_heads=4,
+            num_key_value_heads=2, num_hidden_layers=2, vocab_size=64,
+            max_position_embeddings=128, sliding_window=8)
+
+
+def _fresh_hf():
+    from transformers import MistralConfig, MistralForCausalLM
+    torch.manual_seed(5)
+    return MistralForCausalLM(MistralConfig(**_CFG,
+                                            tie_word_embeddings=False))
+
+
+@pytest.fixture(scope="module")
+def state():
+    m = _fresh_hf()
+    return {k: v.detach().numpy().astype(np.float16)
+            for k, v in m.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def hf_dequant_twin(state):
+    from bitblas_tpu.quantization.gptq import rtn_quantize
+    sd = {k: torch.from_numpy(np.asarray(v, np.float32))
+          for k, v in state.items()}
+    for k in list(sd):
+        if any(p in k for p in _PROJS):
+            dq = rtn_quantize(state[k].astype(np.float32), bits=4,
+                              group_size=64).dequantize()
+            sd[k] = torch.from_numpy(np.asarray(dq, np.float32))
+    model = _fresh_hf()
+    model.load_state_dict(sd)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def quant_lm(state):
+    from bitblas_tpu.models import QuantLlamaLM
+    from bitblas_tpu.models.quantize_hf import quantize_llama_from_hf_fp16
+    model, head = quantize_llama_from_hf_fp16(state, _CFG, method="rtn",
+                                              group_size=64)
+    assert model.cfg.sliding_window == 8, "importer must carry the window"
+    return QuantLlamaLM(model, head)
+
+
+def test_swa_matches_transformers(quant_lm, hf_dequant_twin):
+    toks = np.random.default_rng(7).integers(0, 64, (1, 32))
+    ours = np.asarray(quant_lm(jnp.asarray(toks)), np.float32)
+    with torch.no_grad():
+        golden = hf_dequant_twin(
+            torch.from_numpy(toks)).logits.numpy()
+    rel = np.linalg.norm(ours - golden) / np.linalg.norm(golden)
+    assert rel < 0.03, f"sliding-window mask drift: rel {rel:.4f}"
+    # near-tie logits can flip argmax under fp16-vs-fp32 arithmetic; a
+    # MASK bug (attending outside the window) collapses agreement to
+    # chance (~1/64), not to one flipped position
+    agree = np.mean(np.argmax(ours, -1) == np.argmax(golden, -1))
+    assert agree >= 0.95, f"argmax disagreement: {agree:.2f}"
+
+
+def test_swa_actually_windows(quant_lm, state):
+    """A window-8 model and a full-causal model with the SAME weights must
+    diverge once the sequence exceeds the window (else the window is
+    silently ignored — the exact bug class this feature closes)."""
+    from bitblas_tpu.models import QuantLlamaLM
+    from bitblas_tpu.models.quantize_hf import quantize_llama_from_hf_fp16
+    cfg_full = dict(_CFG, sliding_window=None)
+    model, head = quantize_llama_from_hf_fp16(state, cfg_full,
+                                              method="rtn", group_size=64)
+    full_lm = QuantLlamaLM(model, head)
+    toks = np.random.default_rng(9).integers(0, 64, (1, 32))
+    a = np.asarray(quant_lm(jnp.asarray(toks)), np.float32)
+    b = np.asarray(full_lm(jnp.asarray(toks)), np.float32)
+    # positions <= window see identical prefixes; later ones must differ
+    assert np.allclose(a[0, :8], b[0, :8], atol=1e-2)
+    assert np.abs(a[0, 16:] - b[0, 16:]).max() > 1e-2
+
+
+def test_swa_prefill_decode_chain(quant_lm):
+    """prefill(P) + decode_step x3 logits == one-shot forward at the same
+    positions under the window."""
+    model, head = quant_lm.model, quant_lm.head
+    cfg = model.cfg
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, 64, (1, 20))
+    full = np.asarray(quant_lm(jnp.asarray(toks)), np.float32)
+
+    P = 17
+    x = head.embed_tokens(jnp.asarray(toks[:, :P]))
+    prefill = model.make_prefill(P)
+    h, ks, vs = prefill(x, jnp.arange(P)[None])
+    Lmax = 32
+    L = cfg.num_layers
+    ck = jnp.zeros((L, 1, Lmax, cfg.num_kv_heads, cfg.head_dim),
+                   jnp.float16)
+    cv = jnp.zeros_like(ck)
+    for li in range(L):
+        ck = ck.at[li, 0, :P].set(ks[li].astype(jnp.float16))
+        cv = cv.at[li, 0, :P].set(vs[li].astype(jnp.float16))
+    slots = jnp.zeros((1,), jnp.int32)
+    outs = []
+    for i in range(P, 20):
+        xt = head.embed_tokens(jnp.asarray(toks[:, i:i + 1]))
+        lengths = jnp.full((1,), i, jnp.int32)
+        h1, ck, cv = model.decode_step(xt, ck, cv, slots, lengths)
+        outs.append(np.asarray(head.logits(h1), np.float32)[:, 0])
+    chain = np.stack(outs, axis=1)
+    np.testing.assert_allclose(chain, full[:, P:20], rtol=0.05, atol=0.15)
+
+
+def test_unwindowed_paths_raise(quant_lm):
+    model = quant_lm.model
+    with pytest.raises(NotImplementedError, match="sliding-window"):
+        model.decode_step_quant(None, None, None, None, None, None, None)
+    with pytest.raises(NotImplementedError, match="sliding-window"):
+        model.decode_step_paged(None, None, None, None, None, None, None)
