@@ -37,17 +37,24 @@ NEG_INF = -1e30
 
 def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
                   q_start, kv_start, block_q, block_kv, kv_len=None,
-                  k_transposed=False):
+                  k_transposed=False, kv_lo=None):
     """One online-softmax step. q [BQ, D], k [BKV, D] (or [D, BKV] when
     k_transposed — dotted in place, no relayout), v [BKV, D].
     QK/PV dots run on bf16 operands (f32 accumulate) — the MXU-native rate;
     softmax statistics stay f32. `kv_len` masks KV positions at and beyond
     the valid length: their scores go to -inf AND their V rows to zero
     (Pallas pads out-of-range block reads with unspecified values — a NaN
-    there would otherwise poison the p@V dot even at weight zero)."""
-    if kv_len is not None:
+    there would otherwise poison the p@V dot even at weight zero).
+    `kv_lo` (sliding window) masks KV positions BELOW it the same way."""
+    if kv_len is not None or kv_lo is not None:
         vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-        v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
+        if kv_len is not None and kv_lo is not None:
+            vkeep = (vrow < kv_len) & (vrow >= kv_lo)
+        elif kv_len is not None:
+            vkeep = vrow < kv_len
+        else:
+            vkeep = vrow >= kv_lo
+        v = jnp.where(vkeep, v, jnp.zeros_like(v))
     # Work in base 2: exp2 is the cheap VPU op (exp costs ~4x); the scale
     # folds log2(e) in, and the running max m is kept in the base-2 domain.
     # scale=None means the caller pre-folded scale*log2(e) into q (the
@@ -60,11 +67,13 @@ def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
     if scale is not None:
         s = s * (scale * 1.4426950408889634)
     kj = None
-    if causal or kv_len is not None:
+    if causal or kv_len is not None or kv_lo is not None:
         kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
                                                  (block_q, block_kv), 1)
     if kv_len is not None:
         s = jnp.where(kj < kv_len, s, NEG_INF)
+    if kv_lo is not None:
+        s = jnp.where(kj >= kv_lo, s, NEG_INF)
     if causal:
         qi = q_start + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_kv), 0)
@@ -367,7 +376,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
 def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
                       kv_heads: int = None, block_kv: int = 1024,
                       out_dtype=jnp.float16, partial_stats: bool = False,
-                      interpret: bool = False):
+                      window: int = None, interpret: bool = False):
     """Length-masked decode attention for serving KV caches.
 
     fn(q, k_cache, v_cache, lengths[, slots]) with q [B, H, D] (one new
@@ -418,7 +427,14 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
     def kv_map(bh, ki, lens, slots):
         b = bh // kv_heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], jnp.minimum(ki, last), bh % kv_heads)
+        ki2 = jnp.minimum(ki, last)
+        if window is not None:
+            # sliding window: blocks wholly below len-window are dead —
+            # clamp up so the leading grid steps re-reference the first
+            # live block (no DMA) and the body predicates them off.
+            first = jnp.maximum(lens[b] - window, 0) // block_kv
+            ki2 = jnp.maximum(ki2, jnp.minimum(first, last))
+        return (slots[b], ki2, bh % kv_heads)
 
     def body(len_ref, q_ref, k_ref, v_ref, m_ref, l_ref, acc_ref):
         bh = pl.program_id(0)
@@ -433,14 +449,20 @@ def make_flash_decode(*, batch: int, heads: int, max_seq_len: int, dim: int,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         kv_start = ki * block_kv
+        if window is None:
+            live = kv_start < length
+            win_lo = None
+        else:
+            win_lo = jnp.maximum(length - window, 0)
+            live = (kv_start < length) & (kv_start + block_kv > win_lo)
 
-        @pl.when(kv_start < length)
+        @pl.when(live)
         def _attend():
             m_new, l_new, acc_new = _attend_block(
                 q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
                 acc_ref[...], scale=scale, causal=False,
                 q_start=0, kv_start=kv_start, block_q=qrows,
-                block_kv=block_kv, kv_len=length)
+                block_kv=block_kv, kv_len=length, kv_lo=win_lo)
             m_ref[...] = m_new
             l_ref[...] = l_new
             acc_ref[...] = acc_new

@@ -762,16 +762,12 @@ def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
     B, H, D = q.shape
     if use_flash is None:
         use_flash = D % 128 == 0
-    if window is not None:
-        # Sliding window: the flash-decode kernel has no window lower
-        # bound yet — the XLA path masks exactly (correctness first).
-        use_flash = False
     if use_flash:
         from ..kernels.flash import make_flash_decode
         from ..tuner import get_arch
         fn = make_flash_decode(
             batch=B, heads=H, max_seq_len=cache_k.shape[1], dim=D,
-            kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            kv_heads=cache_k.shape[2], out_dtype=q.dtype, window=window,
             interpret=get_arch().is_cpu)
         return fn(q, cache_k, cache_v, lengths, slots)
     k = cache_k[slots]  # [B, L, Hkv, D]

@@ -56,6 +56,31 @@ def main():
                 print(f"s2048 bq{bq} diag={sub}: FAIL {str(ex)[:100]}",
                       flush=True)
 
+    # --- 1b. windowed flash-decode on-chip check (sliding-window serving;
+    # interpret-mode parity exists, this is the Mosaic-lowering smoke) ---
+    from bitblas_tpu.serving.kv_cache import decode_attention
+    rng2 = np.random.default_rng(3)
+    B, rows, L, Hkv, H, D = 4, 6, 2048, 2, 4, 128
+    ck = jnp.asarray(rng2.standard_normal((rows, L, Hkv, D)), jnp.float32)
+    cv = jnp.asarray(rng2.standard_normal((rows, L, Hkv, D)), jnp.float32)
+    qd = jnp.asarray(rng2.standard_normal((B, H, D)), jnp.float16)
+    slots = jnp.asarray([0, 2, 3, 5], jnp.int32)
+    lengths = jnp.asarray([37, 700, 1025, 2048], jnp.int32)
+    for window in (None, 600):
+        try:
+            a = decode_attention(qd, ck, cv, slots, lengths, num_heads=H,
+                                 use_flash=True, window=window)
+            bref = decode_attention(qd, ck, cv, slots, lengths,
+                                    num_heads=H, use_flash=False,
+                                    window=window)
+            err = np.abs(np.asarray(a, np.float32)
+                         - np.asarray(bref, np.float32)).max()
+            print(f"flash-decode window={window}: max abs {err:.4f} "
+                  f"{'OK' if err < 0.05 else 'WRONG'}", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"flash-decode window={window}: FAIL {str(ex)[:120]}",
+                  flush=True)
+
     # --- 2. new shapes: s8192 + head_dim 64/256 ---
     for (bb, hh, ss, dd, causal) in [(1, 16, 8192, 128, True),
                                      (1, 16, 8192, 128, False),

@@ -131,3 +131,34 @@ def test_unwindowed_paths_raise(quant_lm):
         model.decode_step_quant(None, None, None, None, None, None, None)
     with pytest.raises(NotImplementedError, match="sliding-window"):
         model.decode_step_paged(None, None, None, None, None, None, None)
+
+
+def test_flash_decode_window_matches_xla():
+    """Windowed flash-decode kernel (kv_lo masking + clamped index maps)
+    vs the exact XLA windowed decode attention, across lengths that put
+    the window boundary inside / between KV blocks and below the window."""
+    from bitblas_tpu.serving.kv_cache import decode_attention
+    rng = np.random.default_rng(3)
+    B, rows, L, Hkv, H, D = 4, 6, 512, 2, 4, 128
+    ck = jnp.asarray(rng.standard_normal((rows, L, Hkv, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((rows, L, Hkv, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float16)
+    slots = jnp.asarray([0, 2, 3, 5], jnp.int32)
+    # window 100: boundary mid-block; lengths below window, at block edges
+    lengths = jnp.asarray([37, 100, 257, 512], jnp.int32)
+    for window in (100, 64, 512):
+        a = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                             use_flash=True, window=window)
+        b = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                             use_flash=False, window=window)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+    # window=None must equal full decode (regression on the plumbing)
+    a = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                         use_flash=True, window=None)
+    b = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                         use_flash=False, window=None)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), rtol=2e-2,
+                               atol=2e-2)
