@@ -569,7 +569,7 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
                             dim: int, kv_heads: int = None,
                             block_kv: int = 1024, out_dtype=jnp.float16,
                             partial_stats: bool = False,
-                            interpret: bool = False):
+                            window: int = None, interpret: bool = False):
     """Length-masked decode attention over the int8-quantized KV cache.
 
     fn(q, k_cache, v_cache, k_scale, v_scale, lengths[, slots]) with
@@ -611,7 +611,11 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
     def kv_map(bh, ki, lens, slots):
         b = bh // kv_heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], jnp.minimum(ki, last), bh % kv_heads)
+        ki2 = jnp.minimum(ki, last)
+        if window is not None:
+            first = jnp.maximum(lens[b] - window, 0) // block_kv
+            ki2 = jnp.maximum(ki2, jnp.minimum(first, last))
+        return (slots[b], ki2, bh % kv_heads)
 
     def sc_map(bh, ki, lens, slots):
         # scales arrive pre-transposed [rows, Hkv, 1, Smax]: lane dim is
@@ -620,7 +624,11 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
         # or the full dim — a (1,1,BKV) block over [rows,Hkv,Smax] is not)
         b = bh // kv_heads
         last = jnp.maximum(lens[b] - 1, 0) // block_kv
-        return (slots[b], bh % kv_heads, 0, jnp.minimum(ki, last))
+        ki2 = jnp.minimum(ki, last)
+        if window is not None:
+            first = jnp.maximum(lens[b] - window, 0) // block_kv
+            ki2 = jnp.maximum(ki2, jnp.minimum(first, last))
+        return (slots[b], bh % kv_heads, 0, ki2)
 
     def body(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, m_ref, l_ref,
              acc_ref):
@@ -636,8 +644,13 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         kv_start = ki * block_kv
+        if window is None:
+            live = kv_start < length
+        else:
+            win_lo = jnp.maximum(length - window, 0)
+            live = (kv_start < length) & (kv_start + block_kv > win_lo)
 
-        @pl.when(kv_start < length)
+        @pl.when(live)
         def _attend():
             q = q_ref[0].astype(jnp.float32)              # [qrows, D]
             k = k_ref[0].astype(jnp.float32)              # [BKV, D]
@@ -645,7 +658,10 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             ksc = ks_ref[0, 0, 0].astype(jnp.float32)     # [BKV]
             vsc = vs_ref[0, 0, 0].astype(jnp.float32)
             vrow = kv_start + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-            v = jnp.where(vrow < length, v, jnp.zeros_like(v))
+            vkeep = vrow < length
+            if window is not None:
+                vkeep = vkeep & (vrow >= win_lo)
+            v = jnp.where(vkeep, v, jnp.zeros_like(v))
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -653,6 +669,8 @@ def make_flash_decode_quant(*, batch: int, heads: int, max_seq_len: int,
             kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
                                                      (qrows, block_kv), 1)
             s = jnp.where(kj < length, s, NEG_INF)
+            if window is not None:
+                s = jnp.where(kj >= win_lo, s, NEG_INF)
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m_ref[...], m_cur)
             p = jnp.exp2(s - m_new)

@@ -43,8 +43,9 @@ class LlamaConfig:
     # Sliding-window attention width (Mistral/Mixtral-v0.1 checkpoints set
     # 4096): each query attends only to the last `sliding_window` keys.
     # None = full causal. Covered paths: __call__/perplexity, prefill,
-    # decode_step, decode_chunk (float slot KV); the quant/paged/cp paths
-    # raise loudly rather than silently attending beyond the window.
+    # decode_step/decode_chunk (float AND int8-KV slot caches, incl. the
+    # windowed flash-decode kernels); the paged and TP paths raise loudly
+    # rather than silently attending beyond the window.
     sliding_window: Optional[int] = None
 
     @property
@@ -409,7 +410,6 @@ class DecoderServingMixin:
         """decode_chunk against the int8-quantized KV cache (codes +
         per-(token, head) scales, kv_cache.py quantized section). Returns
         (hidden [B, T, H], caches_k, caches_v, scales_k, scales_v)."""
-        self._swa_guard("decode_chunk_quant")
         from ..serving.kv_cache import (append_chunk_quant,
                                         chunk_attention_quant)
 
@@ -435,7 +435,8 @@ class DecoderServingMixin:
             scales_k = scales_k.at[li].set(sk)
             scales_v = scales_v.at[li].set(sv)
             attn = chunk_attention_quant(q, ck, cv, sk, sv, slots, lengths,
-                                         num_heads=cfg.num_heads)
+                                         num_heads=cfg.num_heads,
+                                         window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm)
@@ -454,7 +455,6 @@ class DecoderServingMixin:
         halves KV HBM traffic and footprint vs bf16; decode attention is
         KV-bandwidth-bound). Returns (hidden, ck, cv, sk, sv).
         """
-        self._swa_guard("decode_step_quant")
         from ..serving.kv_cache import (append_token_quant,
                                         decode_attention_quant)
 
@@ -481,7 +481,8 @@ class DecoderServingMixin:
             scales_v = scales_v.at[li].set(sv)
             attn = decode_attention_quant(q, ck, cv, sk, sv, slots,
                                           lengths + 1,
-                                          num_heads=cfg.num_heads)
+                                          num_heads=cfg.num_heads,
+                                          window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm)

@@ -188,6 +188,14 @@ class TPQuantLlama:
                  context_parallel: bool = False):
         import dataclasses as _dc
         cfg = src.cfg
+        if cfg.sliding_window is not None:
+            # The TP decode paths call the un-windowed attention helpers;
+            # a silent full-causal run would deviate from the source
+            # checkpoint. Wire window= through the sharded attention
+            # (incl. the cp partial-stats merge) before lifting this.
+            raise NotImplementedError(
+                "TPQuantLlama does not implement sliding-window attention "
+                f"yet (sliding_window={cfg.sliding_window})")
         self.mesh = mesh
         self.axis = axis
         tp = mesh.shape[axis]

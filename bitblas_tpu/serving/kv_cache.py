@@ -322,8 +322,8 @@ def append_chunk_quant(cache_k, cache_v, scale_k, scale_v,
 def chunk_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                           cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                           scale_v: jnp.ndarray, slots: jnp.ndarray,
-                          starts: jnp.ndarray, *,
-                          num_heads: int) -> jnp.ndarray:
+                          starts: jnp.ndarray, *, num_heads: int,
+                          window: Optional[int] = None) -> jnp.ndarray:
     """Quantized twin of chunk_attention: same chunk-causal masking, with
     the per-(token, head) scales applied to the dot RESULTS (logits scaled
     after QK; value scales folded into the softmax weights) so both
@@ -340,7 +340,10 @@ def chunk_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                    k.astype(jnp.float32)) / jnp.sqrt(jnp.float32(D))
     s = s * ks.transpose(0, 2, 1)[:, :, None, None, :]     # [B,Hkv,1,1,L]
     limit = starts[:, None] + jnp.arange(T)[None] + 1
-    mask = jnp.arange(L)[None, None, :] < limit[:, :, None]
+    pos = jnp.arange(L)[None, None, :]
+    mask = pos < limit[:, :, None]
+    if window is not None:
+        mask = mask & (pos > (limit[:, :, None] - 1 - window))
     s = jnp.where(mask[:, None, None, :, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     p = p * vs.transpose(0, 2, 1)[:, :, None, None, :]
@@ -439,7 +442,8 @@ def decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                            cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                            scale_v: jnp.ndarray, slots: jnp.ndarray,
                            lengths: jnp.ndarray, *, num_heads: int,
-                           use_flash: bool = None) -> jnp.ndarray:
+                           use_flash: bool = None,
+                           window: Optional[int] = None) -> jnp.ndarray:
     """Single-token attention against the int8 cache.
 
     q [B, H, D]; cache_k/v [slots, L, Hkv, D] int8; scale_k/v
@@ -459,7 +463,7 @@ def decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
         from ..tuner import get_arch
         fn = make_flash_decode_quant(
             batch=B, heads=H, max_seq_len=cache_k.shape[1], dim=D,
-            kv_heads=cache_k.shape[2], out_dtype=q.dtype,
+            kv_heads=cache_k.shape[2], out_dtype=q.dtype, window=window,
             interpret=get_arch().is_cpu)
         return fn(q, cache_k, cache_v, scale_k, scale_v, lengths, slots)
     k = cache_k[slots]            # [B, L, Hkv, D] int8
@@ -472,7 +476,10 @@ def decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
     s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32))
     s = s * ks.transpose(0, 2, 1)[:, :, None, :] / jnp.sqrt(jnp.float32(D))
     L = k.shape[1]
-    mask = jnp.arange(L)[None, :] < lengths[:, None]
+    pos = jnp.arange(L)[None, :]
+    mask = pos < lengths[:, None]
+    if window is not None:
+        mask = mask & (pos > (lengths[:, None] - 1 - window))
     s = jnp.where(mask[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     pv = p * vs.transpose(0, 2, 1)[:, :, None, :]   # fold V scales into p

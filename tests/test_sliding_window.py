@@ -128,9 +128,43 @@ def test_swa_prefill_decode_chain(quant_lm):
 def test_unwindowed_paths_raise(quant_lm):
     model = quant_lm.model
     with pytest.raises(NotImplementedError, match="sliding-window"):
-        model.decode_step_quant(None, None, None, None, None, None, None)
-    with pytest.raises(NotImplementedError, match="sliding-window"):
         model.decode_step_paged(None, None, None, None, None, None, None)
+    with pytest.raises(NotImplementedError, match="sliding-window"):
+        model.decode_step_paged_quant(None, None, None, None, None, None,
+                                      None, None, None)
+
+
+def test_swa_quant_kv_matches_float():
+    """int8-KV decode under a window tracks the float path (quantization
+    noise only — a mask bug would diverge structurally)."""
+    from bitblas_tpu.serving.kv_cache import (decode_attention,
+                                              decode_attention_quant,
+                                              quantize_kv)
+    rng = np.random.default_rng(13)
+    B, rows, L, Hkv, H, D = 3, 4, 256, 2, 4, 128
+    ck = jnp.asarray(rng.standard_normal((rows, L, Hkv, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((rows, L, Hkv, D)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float16)
+    slots = jnp.asarray([0, 1, 3], jnp.int32)
+    lengths = jnp.asarray([50, 130, 256], jnp.int32)
+    kq, ks = quantize_kv(ck)
+    vq, vs = quantize_kv(cv)
+    for window in (64, 200):
+        f = decode_attention(q, ck.astype(jnp.float16),
+                             cv.astype(jnp.float16), slots, lengths,
+                             num_heads=H, use_flash=False, window=window)
+        qn = decode_attention_quant(q, kq, vq, ks, vs, slots, lengths,
+                                    num_heads=H, use_flash=False,
+                                    window=window)
+        qf = decode_attention_quant(q, kq, vq, ks, vs, slots, lengths,
+                                    num_heads=H, use_flash=True,
+                                    window=window)
+        np.testing.assert_allclose(np.asarray(qn, np.float32),
+                                   np.asarray(f, np.float32),
+                                   rtol=0.1, atol=0.1)
+        np.testing.assert_allclose(np.asarray(qf, np.float32),
+                                   np.asarray(qn, np.float32),
+                                   rtol=2e-2, atol=2e-2)
 
 
 def test_flash_decode_window_matches_xla():
