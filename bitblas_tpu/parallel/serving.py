@@ -188,14 +188,14 @@ class TPQuantLlama:
                  context_parallel: bool = False):
         import dataclasses as _dc
         cfg = src.cfg
-        if cfg.sliding_window is not None:
-            # The TP decode paths call the un-windowed attention helpers;
-            # a silent full-causal run would deviate from the source
-            # checkpoint. Wire window= through the sharded attention
-            # (incl. the cp partial-stats merge) before lifting this.
+        if cfg.sliding_window is not None and context_parallel:
+            # cp shards the SEQUENCE axis: the window lower bound becomes
+            # a per-shard local range and the partial-stats LSE merge
+            # needs window-aware local limits — not wired yet. Non-cp TP
+            # windows correctly (same helpers as the single-chip paths).
             raise NotImplementedError(
-                "TPQuantLlama does not implement sliding-window attention "
-                f"yet (sliding_window={cfg.sliding_window})")
+                "context_parallel + sliding_window is not implemented "
+                f"(sliding_window={cfg.sliding_window})")
         self.mesh = mesh
         self.axis = axis
         tp = mesh.shape[axis]
@@ -546,15 +546,22 @@ class TPQuantLlama:
                                             lengths, k[:, 0], v[:, 0])
                     cs[0] = cs[0].at[li].set(ckl)
                     cs[1] = cs[1].at[li].set(cvl)
-                    return decode_attention(q[:, 0], ckl, cvl, slots,
-                                            lengths + 1,
-                                            num_heads=q.shape[2])[:, None]
+                    return decode_attention(
+                        q[:, 0], ckl, cvl, slots, lengths + 1,
+                        num_heads=q.shape[2],
+                        window=self.cfg.sliding_window)[:, None]
 
                 return attend, lengths[:, None]
 
         kv = self._kv_spec
         return self._sharded_decode(x, (caches_k, caches_v), (kv, kv),
                                     (slots, lengths), make_attend, T=1)
+
+    def _no_swa(self, name):
+        if self.cfg.sliding_window is not None:
+            raise NotImplementedError(
+                f"{name} does not implement sliding-window attention "
+                f"(sliding_window={self.cfg.sliding_window})")
 
     def _no_cp(self, name):
         if self.context_parallel:
@@ -621,7 +628,8 @@ class TPQuantLlama:
                     cs[0] = cs[0].at[li].set(ckl)
                     cs[1] = cs[1].at[li].set(cvl)
                     return chunk_attention(q, ckl, cvl, slots, lengths,
-                                           num_heads=q.shape[2])
+                                           num_heads=q.shape[2],
+                                           window=self.cfg.sliding_window)
 
                 positions = lengths[:, None] + jnp.arange(
                     T, dtype=lengths.dtype)
@@ -686,7 +694,8 @@ class TPQuantLlama:
                         cs[i] = cs[i].at[li].set(t)
                     return chunk_attention_quant(
                         q, ckl, cvl, skl, svl, slots, lengths,
-                        num_heads=q.shape[2])
+                        num_heads=q.shape[2],
+                        window=self.cfg.sliding_window)
 
                 positions = lengths[:, None] + jnp.arange(
                     T, dtype=lengths.dtype)
@@ -755,7 +764,8 @@ class TPQuantLlama:
                         cs[i] = cs[i].at[li].set(t)
                     return decode_attention_quant(
                         q[:, 0], ckl, cvl, skl, svl, slots, lengths + 1,
-                        num_heads=q.shape[2])[:, None]
+                        num_heads=q.shape[2],
+                        window=self.cfg.sliding_window)[:, None]
 
                 return attend, lengths[:, None]
 
@@ -769,6 +779,7 @@ class TPQuantLlama:
         """Paged-cache variant: caches [L, blocks, bs, Hkv, D] sharded on
         kv_heads; tables/block_rows/offsets replicated (host-managed)."""
         self._no_cp("decode_step_paged")
+        self._no_swa("decode_step_paged")
         def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_paged,
                                             decode_attention_paged)
@@ -797,6 +808,7 @@ class TPQuantLlama:
         """Paged + int8-quantized cache: codes [L, blocks, bs, Hkv, D] and
         scale planes [L, blocks, bs, Hkv], both kv_heads-sharded."""
         self._no_cp("decode_step_paged_quant")
+        self._no_swa("decode_step_paged_quant")
         def make_attend(cs, ex):
             from ..serving.kv_cache import (append_token_paged_quant,
                                             decode_attention_paged_quant)
@@ -850,7 +862,10 @@ class TPQuantLlama:
                         / _math.sqrt(cfg.head_dim)
                     qi = jnp.arange(S)[:, None]
                     kj = jnp.arange(S)[None, :]
-                    s = jnp.where(qi >= kj, s, -1e30)
+                    keep = qi >= kj
+                    if cfg.sliding_window is not None:
+                        keep = keep & (kj > qi - cfg.sliding_window)
+                    s = jnp.where(keep, s, -1e30)
                     p = jax.nn.softmax(s, axis=-1)
                     return jnp.einsum("bhqk,bkhd->bqhd", p,
                                       v_.astype(jnp.float32)).astype(dtype)

@@ -548,3 +548,53 @@ def test_tp_paged_kv_quant_engine():
         outs[quant] = {r.uid: r.final_hidden for r in fin}
     for uid in outs[False]:
         assert_close(outs[True][uid], outs[False][uid], rtol=5e-2, atol=0.3)
+
+
+def test_tp_sliding_window_matches_single_device():
+    """Non-cp TP decode under a sliding window tracks the single-chip
+    windowed model; cp + window raises loudly."""
+    import dataclasses
+    mesh = _mesh(4)
+    cfg_w = dataclasses.replace(CFG, sliding_window=6)
+    src = QuantLlama(cfg_w, opt_m=(4,))
+    tpm = TPQuantLlama(src, mesh)
+
+    B, S = 4, 16
+    rng = np.random.default_rng(2)
+    ck = jnp.asarray(rng.standard_normal(
+        (cfg_w.num_layers, B, S, cfg_w.num_kv_heads, cfg_w.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal(
+        (cfg_w.num_layers, B, S, cfg_w.num_kv_heads, cfg_w.head_dim))
+        .astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((B, 1, cfg_w.hidden_size))
+                    .astype(np.float16))
+    slots = jnp.arange(B, dtype=jnp.int32)
+    lengths = jnp.asarray([3, 8, 12, 15], jnp.int32)
+
+    y_ref, _, _ = src.decode_step(x, ck, cv, slots, lengths)
+    ck_tp = jax.device_put(ck, tpm.kv_cache_sharding())
+    cv_tp = jax.device_put(cv, tpm.kv_cache_sharding())
+    y_tp, _, _ = tpm.decode_step(x, ck_tp, cv_tp, slots, lengths)
+    np.testing.assert_allclose(np.asarray(y_tp, np.float32),
+                               np.asarray(y_ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+    # windowed must differ from unwindowed at the same weights (length 15
+    # > window 6): proves the window actually reached the TP attention
+    src_full = QuantLlama(CFG, opt_m=(4,))
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        for li in range(CFG.num_layers):
+            src_full.layers[li].weights[name] = src.layers[li].weights[name]
+    y_full, _, _ = src_full.decode_step(x, ck, cv, slots, lengths)
+    assert np.abs(np.asarray(y_full, np.float32)[3]
+                  - np.asarray(y_ref, np.float32)[3]).max() > 1e-3
+
+    import pytest as _pytest
+    import dataclasses as _dc
+    cfg8 = _dc.replace(cfg_w, num_heads=8, num_kv_heads=4, hidden_size=256,
+                       intermediate_size=256)
+    mesh8 = _mesh(8)
+    src8 = QuantLlama(cfg8, opt_m=(4,))
+    with _pytest.raises(NotImplementedError, match="sliding_window"):
+        TPQuantLlama(src8, mesh8, context_parallel=True)
