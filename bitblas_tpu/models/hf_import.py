@@ -97,8 +97,12 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         rope_scaling=scaling,
         # Mistral-family checkpoints set sliding_window (e.g. 4096);
         # ignoring it would silently attend beyond the window the source
-        # model was trained with.
-        sliding_window=get("sliding_window", None),
+        # model was trained with. use_sliding_window=False (Qwen2-style
+        # gate) disables it even when sliding_window is set — matching
+        # transformers.
+        sliding_window=(get("sliding_window", None)
+                        if get("use_sliding_window", True)
+                        else None),
     )
 
 

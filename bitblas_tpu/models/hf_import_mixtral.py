@@ -53,7 +53,8 @@ def mixtral_config_from_hf(hf_config, *, group_size: int = 128,
         capacity_factor=capacity_factor,
         # Mixtral-v0.1 sets sliding_window=4096 (many finetunes null it);
         # carried through so attention matches the source checkpoint.
-        sliding_window=get("sliding_window", None),
+        sliding_window=(get("sliding_window", None)
+                if get("use_sliding_window", True) else None),
     )
 
 

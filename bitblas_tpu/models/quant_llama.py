@@ -222,6 +222,13 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     k = rope(k, positions, cfg.rope_arg)
     kv_out = (k, v) if return_kv else None
     if flash is not None:
+        if window is not None:
+            # the prefill flash kernel has no window lower bound — a
+            # silent full-causal run is the failure mode _swa_guard exists
+            # to prevent (make_prefill routes SWA to the naive branch)
+            raise NotImplementedError(
+                "layer_forward: flash + sliding window is not supported; "
+                "pass flash=None for windowed attention")
         attn = flash(q, k, v)
     else:
         group = cfg.num_heads // cfg.num_kv_heads

@@ -38,7 +38,10 @@ logger = get_logger()
 
 def _attention(cfg, q, k, v):
     """Naive causal GQA attention in f32 — the calibration-path twin of
-    quant_llama.layer_forward's fallback branch."""
+    quant_llama.layer_forward's fallback branch, INCLUDING the sliding
+    window: GPTQ Hessians must come from the activation distribution the
+    served (windowed) model actually produces (r5 review finding —
+    full-causal calibration of a windowed checkpoint deviates silently)."""
     B, S, _, _ = q.shape
     group = cfg.num_heads // cfg.num_kv_heads
     k = jnp.repeat(k, group, axis=2)
@@ -46,7 +49,10 @@ def _attention(cfg, q, k, v):
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(cfg.head_dim)
     qi = jnp.arange(S)[:, None]
     kj = jnp.arange(S)[None, :]
-    s = jnp.where(qi >= kj, s, -1e30)
+    keep = qi >= kj
+    if getattr(cfg, "sliding_window", None) is not None:
+        keep = keep & (kj > qi - cfg.sliding_window)
+    s = jnp.where(keep, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, -1)
 

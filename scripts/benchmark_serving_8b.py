@@ -36,7 +36,6 @@ def main():
     import jax.numpy as jnp
     log("devices:", jax.devices())
     from bitblas_tpu.models.quant_llama import LlamaConfig, QuantLlama
-    from bitblas_tpu.serving.kv_cache import quantize_kv
     from bitblas_tpu.tuner import get_arch
     from bitblas_tpu.utils.lift import lift_arrays
     from bitblas_tpu.utils.timing import measure_kernel
@@ -76,9 +75,12 @@ def main():
                     ck = jnp.zeros((L, bs, Lmax, cfg.num_kv_heads,
                                     cfg.head_dim), jnp.int8)
                     cv = jnp.zeros_like(ck)
-                    sk = jnp.zeros((L, bs, Lmax, cfg.num_kv_heads),
-                                   jnp.float32)
-                    sv = jnp.zeros_like(sk)
+                    # unit scales: zero scales would make every logit
+                    # equal (degenerate softmax); cost is identical but
+                    # the measured graph should not be a constant-fold bait
+                    sk = jnp.ones((L, bs, Lmax, cfg.num_kv_heads),
+                                  jnp.float32)
+                    sv = jnp.ones_like(sk)
 
                     def step(vals, x, ck, cv, sk, sv, slots, lengths):
                         bind(vals)

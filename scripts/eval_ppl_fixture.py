@@ -16,37 +16,13 @@ sys.path.insert(0, "/root/repo")
 FIX = "/root/repo/tests/golden/ppl_llama_tiny.npz"
 TOK = "/root/repo/tests/golden/ppl_eval_tokens.npz"
 
-CFG = dict(hidden_size=256, intermediate_size=512, num_attention_heads=4,
-           num_key_value_heads=2, num_hidden_layers=2, vocab_size=256,
-           max_position_embeddings=512)
+sys.path.insert(0, "/root/repo/tests")
+from ppl_fixture_common import CFG, torch_fp16_ppl  # noqa: E402
 
 
 def load_state():
     z = np.load(FIX)
     return {k: z[k] for k in z.files}
-
-
-def torch_ppl(state, tokens) -> float:
-    import torch
-    from transformers import LlamaConfig, LlamaForCausalLM
-    cfg = LlamaConfig(**CFG, tie_word_embeddings=False,
-                      attention_bias=False, mlp_bias=False)
-    model = LlamaForCausalLM(cfg)
-    sd = {k: torch.from_numpy(v.astype(np.float32)) for k, v in
-          state.items()}
-    model.load_state_dict(sd, strict=False)
-    model.eval()
-    losses, count = 0.0, 0
-    with torch.no_grad():
-        for row in tokens:
-            t = torch.from_numpy(row.astype(np.int64))[None]
-            # labels == input_ids: HF shifts internally (standard
-            # next-token NLL, the same contract as models.perplexity)
-            out = model(input_ids=t, labels=t)
-            n = row.shape[0] - 1
-            losses += out.loss.item() * n
-            count += n
-    return float(np.exp(losses / count))
 
 
 def ours_ppl(state, tokens, method, calib) -> float:
@@ -63,7 +39,7 @@ def main():
     state = load_state()
     z = np.load(TOK)
     tokens, calib = z["tokens"], z["calib"]
-    p_fp16 = torch_ppl(state, tokens)
+    p_fp16 = torch_fp16_ppl(state, tokens)
     print(f"fp16 twin ppl      : {p_fp16:.4f}", flush=True)
     p_rtn = ours_ppl(state, tokens, "rtn", calib)
     print(f"uint4 RTN  ppl     : {p_rtn:.4f} "

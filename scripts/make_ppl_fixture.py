@@ -20,9 +20,8 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-CFG = dict(hidden_size=256, intermediate_size=512, num_attention_heads=4,
-           num_key_value_heads=2, num_hidden_layers=2, vocab_size=256,
-           max_position_embeddings=512)
+sys.path.insert(0, "/root/repo/tests")
+from ppl_fixture_common import CFG  # noqa: E402
 SEQ = 256
 STEPS = 1200
 BATCH = 16

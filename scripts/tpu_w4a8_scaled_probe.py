@@ -63,8 +63,6 @@ def run(cfg, label_suffix=""):
     flops = 2.0 * m * NK * NK
     best = (None, 1e9)
     for bm, bn, bk, mma, dm in CANDS:
-        if mma == "bfloat16" and cfg.A_dtype == "int8" and dm == "mask":
-            pass  # decode+scale at element level, A cast to bf16 (exact)
         name = f"t{bm}x{bn}x{bk}_{mma[:4]}_{dm[:4]}{label_suffix}"
         try:
             hint = TileHint(block_m=bm, block_n=bn, block_k=bk,

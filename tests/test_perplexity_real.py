@@ -24,9 +24,7 @@ pytestmark = pytest.mark.skipif(
     not (os.path.exists(FIX) and os.path.exists(TOK)),
     reason="perplexity fixture not built (scripts/make_ppl_fixture.py)")
 
-CFG = dict(hidden_size=256, intermediate_size=512, num_attention_heads=4,
-           num_key_value_heads=2, num_hidden_layers=2, vocab_size=256,
-           max_position_embeddings=512)
+from ppl_fixture_common import CFG, torch_fp16_ppl  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -46,34 +44,11 @@ def _ours_ppl(state, tokens, method, calib):
     return perplexity(QuantLlamaLM(model, head), tokens, chunk=4)
 
 
-def _fp16_ppl(state, tokens):
-    """fp16 twin perplexity through OUR stack: dequantize-free path is not
-    exposed, so use the torch reference (same math as training)."""
-    import torch
-    from transformers import LlamaConfig, LlamaForCausalLM
-    cfg = LlamaConfig(**CFG, tie_word_embeddings=False,
-                      attention_bias=False, mlp_bias=False)
-    m = LlamaForCausalLM(cfg)
-    m.load_state_dict({k: torch.from_numpy(v.astype(np.float32))
-                       for k, v in state.items()}, strict=False)
-    m.eval()
-    tot, cnt = 0.0, 0
-    with torch.no_grad():
-        for row in tokens:
-            t = torch.from_numpy(row.astype(np.int64))[None]
-            # labels == input_ids (HF shifts internally) — the same
-            # next-token contract as models.perplexity
-            out = m(input_ids=t, labels=t)
-            tot += out.loss.item() * (row.shape[0] - 1)
-            cnt += row.shape[0] - 1
-    return float(np.exp(tot / cnt))
-
-
 def test_gptq_perplexity_matches_fp16(fixture):
     state, tokens, calib = fixture
     # subset for CI speed; eval_ppl_fixture.py records the full numbers
     toks = tokens[:6]
-    p_fp16 = _fp16_ppl(state, toks)
+    p_fp16 = torch_fp16_ppl(state, toks)
     p_gptq = _ours_ppl(state, toks, "gptq", calib[:8])
     assert p_fp16 > 1.0
     # trained model must actually have learned (far below uniform=256)
