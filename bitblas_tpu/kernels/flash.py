@@ -37,7 +37,7 @@ NEG_INF = -1e30
 
 def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
                   q_start, kv_start, block_q, block_kv, kv_len=None,
-                  k_transposed=False, kv_lo=None):
+                  k_transposed=False, kv_lo=None, q_window=None):
     """One online-softmax step. q [BQ, D], k [BKV, D] (or [D, BKV] when
     k_transposed — dotted in place, no relayout), v [BKV, D].
     QK/PV dots run on bf16 operands (f32 accumulate) — the MXU-native rate;
@@ -67,17 +67,23 @@ def _attend_block(q, k, v, m_prev, l_prev, acc_prev, *, scale, causal,
     if scale is not None:
         s = s * (scale * 1.4426950408889634)
     kj = None
-    if causal or kv_len is not None or kv_lo is not None:
+    if causal or kv_len is not None or kv_lo is not None \
+            or q_window is not None:
         kj = kv_start + jax.lax.broadcasted_iota(jnp.int32,
                                                  (block_q, block_kv), 1)
     if kv_len is not None:
         s = jnp.where(kj < kv_len, s, NEG_INF)
     if kv_lo is not None:
         s = jnp.where(kj >= kv_lo, s, NEG_INF)
-    if causal:
+    if causal or q_window is not None:
         qi = q_start + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_kv), 0)
-        s = jnp.where(qi >= kj, s, NEG_INF)
+        if causal:
+            s = jnp.where(qi >= kj, s, NEG_INF)
+        if q_window is not None:
+            # per-ROW sliding-window lower bound: row qi attends keys in
+            # (qi - window, qi]
+            s = jnp.where(kj > qi - q_window, s, NEG_INF)
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     p = jnp.exp2(s - m_new)
@@ -101,7 +107,8 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                          kv_heads: int = None, causal: bool = False,
                          trans_k: bool = False, block_q: int = 512,
                          block_kv: int = 1024, out_dtype=jnp.float16,
-                         diag_sub: int = None, interpret: bool = False):
+                         diag_sub: int = None, window: int = None,
+                         interpret: bool = False):
     """Build attention over Q [B, S, H, D], K/V [B, S, Hkv, D]
     (K [B, D, Hkv, S] when trans_k). Returns fn(Q, K, V) -> [B, S, H, D].
 
@@ -154,12 +161,32 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     # 2103us vs non-causal 2201us at s=2048 bq=bkv=1024 — the skip saved
     # ~nothing). The live (qi, ki) walk is static, so it is enumerated
     # host-side and scalar-prefetched (the decode kernel's convention).
+    if window is not None and not causal:
+        raise NotImplementedError("sliding window requires causal=True")
     if causal:
-        walk = [(qi, ki)
-                for qi in range(nq)
-                for ki in range(min(nkv,
-                                    (qi * block_q + block_q - 1)
-                                    // block_kv + 1))]
+        # Sliding window additionally prunes kv blocks wholly BELOW each
+        # q block's band, and reverses each q block's kv order to
+        # DIAGONAL-FIRST: with a window, a row's earliest visited block
+        # can be entirely outside its band, and an all-masked FIRST block
+        # breaks the online softmax (exp2(NEG_INF - NEG_INF) == 1 weights
+        # every masked key). Diagonal-first guarantees every row's first
+        # visit contains its own position. init/emit predicates become
+        # in-kernel scalar arithmetic on qi (no extra prefetch tables).
+        def _ki_lo(qi):
+            if window is None:
+                return 0
+            return max(0, (qi * block_q - window + 1) // block_kv)
+
+        def _ki_hi(qi):
+            return min(nkv - 1,
+                       (qi * block_q + block_q - 1) // block_kv)
+
+        if window is None:
+            walk = [(qi, ki) for qi in range(nq)
+                    for ki in range(_ki_hi(qi) + 1)]
+        else:
+            walk = [(qi, ki) for qi in range(nq)
+                    for ki in range(_ki_hi(qi), _ki_lo(qi) - 1, -1)]
         qi_tab = jnp.asarray([w[0] for w in walk], jnp.int32)
         ki_tab = jnp.asarray([w[1] for w in walk], jnp.int32)
         grid = (batch * heads, len(walk))
@@ -190,7 +217,8 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
         diag_sub = max(128, block_q // 2)
     use_tri_sub = (causal and diag_sub > 0 and block_q == block_kv
                    and seq_len % block_kv == 0
-                   and block_q % diag_sub == 0 and block_q // diag_sub > 1)
+                   and block_q % diag_sub == 0 and block_q // diag_sub > 1
+                   and (window is None or window >= block_q))
     n_sub = block_q // diag_sub if use_tri_sub else 1
 
     # Index maps address heads inside the fused last dim: Q/out on
@@ -223,14 +251,21 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     def body(qi, ki, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         """Shared step body; qi/ki are dynamic scalars (grid indices for
         the dense grid, walk-table entries for the triangular one)."""
-        @pl.when(ki == 0)
+        q_start = qi * block_q
+        kv_start = ki * block_kv
+        if window is None:
+            first = ki == 0
+        else:
+            # diagonal-first walk: the first step for a q block is its
+            # highest kv block (see the walk construction note)
+            first = ki == jnp.minimum(
+                (q_start + block_q - 1) // block_kv, nkv - 1)
+
+        @pl.when(first)
         def _():
             m_ref[...] = jnp.full_like(m_ref, NEG_INF)
             l_ref[...] = jnp.zeros_like(l_ref)
             acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        q_start = qi * block_q
-        kv_start = ki * block_kv
 
         def step(masked):
             def _run():
@@ -240,7 +275,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                     scale=None, causal=masked, q_start=q_start,
                     kv_start=kv_start, block_q=block_q, block_kv=block_kv,
                     kv_len=seq_len if seq_len % block_kv else None,
-                    k_transposed=trans_k)
+                    k_transposed=trans_k, q_window=window)
                 m_ref[...] = m_new
                 l_ref[...] = l_new
                 acc_ref[...] = acc_new
@@ -273,8 +308,15 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
             diag = kv_start + block_kv - 1 > q_start
             pl.when(diag)(diag_tri_step if use_tri_sub else step(True))
             pl.when(jnp.logical_not(diag))(step(False))
-            last = (q_start + block_q - 1) // block_kv
-            emit = ki == jnp.minimum(last, nkv - 1)
+            if window is None:
+                last = (q_start + block_q - 1) // block_kv
+                emit = ki == jnp.minimum(last, nkv - 1)
+            else:
+                # diagonal-first: the final step is the lowest kv block
+                # of the band ((q_start - window + 1) floor-divides
+                # toward -inf for q_start < window; clamp at 0)
+                emit = ki == jnp.maximum(
+                    (q_start - window + 1) // block_kv, 0)
         else:
             step(False)()
             emit = ki == nkv - 1

@@ -289,21 +289,6 @@ class DecoderServingMixin:
         block overheads dominate below ~256 tokens)."""
         cfg = self.cfg
         flash = None
-        if cfg.sliding_window is not None:
-            # SWA prefill takes the masked naive path (the flash kernel's
-            # triangular walk has no window lower bound yet); correctness
-            # over throughput until the kernel grows band support.
-            def prefill_swa(x, positions):
-                ks, vs = [], []
-                for layer in self.layers:
-                    x, k, v = layer_forward(layer, x, positions,
-                                            return_kv=True,
-                                            window=cfg.sliding_window)
-                    ks.append(k[0])
-                    vs.append(v[0])
-                return x, ks, vs
-
-            return prefill_swa
         if seq_len >= 256 and seq_len % 128 == 0:
             from ..tuner import get_arch
             from ..tuner.curated import flash_block_hint
@@ -313,13 +298,20 @@ class DecoderServingMixin:
                 dim=cfg.head_dim, kv_heads=cfg.num_kv_heads, causal=True,
                 block_q=bq, block_kv=bkv,
                 out_dtype=jnp.dtype(cfg.act_dtype),
+                window=cfg.sliding_window,   # banded walk when set
                 interpret=get_arch().is_cpu)
+
+        # window=None below when flash is set: the window is baked into
+        # the banded flash walk; the naive branch (short prompts / odd
+        # dims) masks it explicitly.
+        naive_window = cfg.sliding_window if flash is None else None
 
         def prefill(x, positions):
             ks, vs = [], []
             for layer in self.layers:
                 x, k, v = layer_forward(layer, x, positions, flash=flash,
-                                        return_kv=True)
+                                        return_kv=True,
+                                        window=naive_window)
                 ks.append(k[0])
                 vs.append(v[0])
             return x, ks, vs

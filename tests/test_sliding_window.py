@@ -196,3 +196,64 @@ def test_flash_decode_window_matches_xla():
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32), rtol=2e-2,
                                atol=2e-2)
+
+
+def _naive_windowed(Q, K, V, window):
+    import math
+    B, S, H, D = Q.shape
+    group = H // K.shape[2]
+    k_ = np.repeat(np.asarray(K, np.float32), group, axis=2)
+    v_ = np.repeat(np.asarray(V, np.float32), group, axis=2)
+    s = np.einsum("bqhd,bkhd->bhqk", np.asarray(Q, np.float32), k_)
+    s = s / math.sqrt(D)
+    qi = np.arange(S)[:, None]
+    kj = np.arange(S)[None, :]
+    keep = (qi >= kj) & (kj > qi - window)
+    s = np.where(keep, s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, v_)
+
+
+@pytest.mark.parametrize("window,bq,bkv", [
+    (64, 128, 128),    # window < block_q: tri_sub disabled, full masks
+    (300, 128, 256),   # mid-band boundary, bq != bkv
+    (512, 256, 256),   # window == S: must equal plain causal
+    (128, 256, 256),   # window == sub-block
+])
+def test_flash_prefill_window_matches_naive(window, bq, bkv):
+    """Banded flash prefill (diagonal-first walk + per-row kv lower
+    bound) vs the exact naive windowed attention."""
+    from bitblas_tpu.kernels.flash import make_flash_attention
+    rng = np.random.default_rng(17)
+    B, S, H, Hkv, D = 1, 512, 4, 2, 128
+    Q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    K = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((B, S, Hkv, D)), jnp.float32)
+    fn = make_flash_attention(batch=B, heads=H, seq_len=S, dim=D,
+                              kv_heads=Hkv, causal=True, block_q=bq,
+                              block_kv=bkv, window=window,
+                              out_dtype=jnp.float32, interpret=True)
+    got = np.asarray(fn(Q, K, V), np.float32)
+    want = _naive_windowed(Q, K, V, window)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_swa_prefill_uses_flash_and_matches_naive(quant_lm):
+    """make_prefill at a flash-eligible seq_len must produce the same
+    hidden states as the naive windowed path (the banded kernel is now
+    the SWA prefill route)."""
+    model, head = quant_lm.model, quant_lm.head
+    toks = np.random.default_rng(19).integers(0, 64, (1, 256))
+    x = head.embed_tokens(jnp.asarray(toks))
+    pos = jnp.arange(256)[None]
+    h_flash, ks_f, vs_f = model.make_prefill(256)(x, pos)
+    # naive reference path
+    from bitblas_tpu.models.quant_llama import layer_forward
+    xr = x
+    for layer in model.layers:
+        xr, _, _ = layer_forward(layer, xr, pos, return_kv=True,
+                                 window=model.cfg.sliding_window)
+    np.testing.assert_allclose(np.asarray(h_flash, np.float32),
+                               np.asarray(xr, np.float32),
+                               rtol=5e-2, atol=5e-2)
