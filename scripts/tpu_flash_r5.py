@@ -81,6 +81,50 @@ def main():
             print(f"flash-decode window={window}: FAIL {str(ex)[:120]}",
                   flush=True)
 
+    # --- 1c. banded (sliding-window) prefill: Mosaic smoke + the band
+    # speedup claim (O(S*W) walk vs the full triangular walk) ---
+    from bitblas_tpu.kernels.flash import make_flash_attention
+    bw_b, bw_h, bw_s, bw_d = 1, 16, 8192, 128
+    Qw = jnp.asarray(rng.standard_normal((bw_b, bw_s, bw_h, bw_d)),
+                     jnp.float16)
+    Kw = jnp.asarray(rng.standard_normal((bw_b, bw_s, bw_h, bw_d)),
+                     jnp.float16)
+    Vw = jnp.asarray(rng.standard_normal((bw_b, bw_s, bw_h, bw_d)),
+                     jnp.float16)
+    for win in (None, 2048, 1024):
+        try:
+            fw = make_flash_attention(
+                batch=bw_b, heads=bw_h, seq_len=bw_s, dim=bw_d,
+                causal=True, block_q=1024, block_kv=1024, window=win)
+            sec = min(measure_kernel(fw, (Qw, Kw, Vw)) for _ in range(2))
+            fl = 4 * bw_b * bw_h * bw_s * bw_d * (
+                win if win else bw_s * 0.5)
+            print(f"banded s8192 w={win}: {sec*1e6:8.1f}us "
+                  f"({fl/sec/1e12:5.1f} TF/s useful)", flush=True)
+            if win == 1024:
+                # correctness vs masked-XLA on chip (small slice compare)
+                import jax as _jax
+                out = fw(Qw, Kw, Vw)
+                s0 = np.asarray(out[0, 4096:4100, 0, :4], np.float32)
+                qs = Qw[:, :, :, :].astype(jnp.float32)
+                ks = Kw.astype(jnp.float32)
+                vs2 = Vw.astype(jnp.float32)
+                sc = jnp.einsum("bqhd,bkhd->bhqk", qs[:, 4096:4100],
+                                ks) / np.sqrt(bw_d)
+                kj = jnp.arange(bw_s)[None, None, None, :]
+                qi = (4096 + jnp.arange(4))[None, None, :, None]
+                keep = (qi >= kj) & (kj > qi - win)
+                sc = jnp.where(keep, sc, -1e30)
+                pw = _jax.nn.softmax(sc, axis=-1)
+                ref = jnp.einsum("bhqk,bkhd->bqhd", pw, vs2)
+                err = float(np.max(np.abs(
+                    s0 - np.asarray(ref[0, :, 0, :4], np.float32))))
+                print(f"banded w=1024 parity: max abs {err:.4f} "
+                      f"{'OK' if err < 0.05 else 'WRONG'}", flush=True)
+        except Exception as ex:  # noqa: BLE001
+            print(f"banded s8192 w={win}: FAIL {str(ex)[:140]}",
+                  flush=True)
+
     # --- 2. new shapes: s8192 + head_dim 64/256 ---
     for (bb, hh, ss, dd, causal) in [(1, 16, 8192, 128, True),
                                      (1, 16, 8192, 128, False),
