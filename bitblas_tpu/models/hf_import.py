@@ -95,6 +95,11 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         act_dtype=act_dtype,
         rope_theta=float(get("rope_theta", 10000.0)),
         rope_scaling=scaling,
+        # Qwen2-family: biases on q/k/v only. Qwen2 configs do not carry
+        # an attention_bias field (the biases are implicit in the arch),
+        # so default it from model_type.
+        attention_bias=bool(get("attention_bias",
+                                get("model_type", "") == "qwen2")),
         # Mistral-family checkpoints set sliding_window (e.g. 4096);
         # ignoring it would silently attend beyond the window the source
         # model was trained with. use_sliding_window=False (Qwen2-style
@@ -148,8 +153,13 @@ def load_quant_llama_from_hf_gptq(
             op = layer.ops[ours]
             mcfg: MatmulConfig = op.config
             if f"{key}.bias" in state:
-                raise ValueError(f"{key}: bias present — llama projections "
-                                 f"are bias-free; refusing to drop it")
+                if cfg.attention_bias and ours in ("q", "k", "v"):
+                    layer.biases[ours] = jnp.asarray(
+                        _np(state[f"{key}.bias"]), jnp.float32)
+                else:
+                    raise ValueError(
+                        f"{key}: unexpected bias (attention_bias covers "
+                        f"q/k/v only); refusing to drop it")
             _check_g_idx(state, key, mcfg.K, group_size)
             packed = repack_gptq_layer(
                 mcfg, _np(state[f"{key}.qweight"]),
@@ -165,11 +175,15 @@ def load_quant_llama_from_hf_gptq(
             jnp.float32)
         logger.info("imported layer %d/%d", i + 1, cfg.num_layers)
 
+    embed_np = _np(state["model.embed_tokens.weight"])
+    # tied embeddings (Qwen2-small / many chat finetunes): no lm_head
+    # tensor in the state dict — the output projection IS the embedding
+    lm_np = _np(state["lm_head.weight"]) if "lm_head.weight" in state \
+        else embed_np
     head = LMHead(
-        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
-                          jnp.dtype(cfg.act_dtype)),
+        embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
-        lm_head=jnp.asarray(_np(state["lm_head.weight"]), jnp.float32),
+        lm_head=jnp.asarray(lm_np, jnp.float32),
     )
     return model, head
 

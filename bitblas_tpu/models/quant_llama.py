@@ -47,6 +47,9 @@ class LlamaConfig:
     # windowed flash-decode kernels); the paged and TP paths raise loudly
     # rather than silently attending beyond the window.
     sliding_window: Optional[int] = None
+    # Qwen2-family checkpoints carry biases on the q/k/v projections
+    # (HF config.attention_bias); o/gate/up/down stay bias-free.
+    attention_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -111,6 +114,10 @@ class QuantLlamaLayer:
         self.ops: Dict[str, Matmul] = {}
         self.weights: Dict[str, tuple] = {}
         rng = np.random.default_rng(seed)
+        # fp biases for the q/k/v projections (Qwen2-style); applied in
+        # proj() so every serving path (prefill/decode/chunk/paged) gets
+        # them through the one shared projection hook.
+        self.biases: Dict[str, Optional[jnp.ndarray]] = {}
         for name, kin, kout in _PROJS:
             K, N = _dim(cfg, kin), _dim(cfg, kout)
             # Real GPTQ layout: uint4 codes with zero point 8 (uncentered
@@ -136,12 +143,18 @@ class QuantLlamaLayer:
             W, S, Z = op.transform_weight(codes, scale=scales, zeros=zeros)
             self.ops[name] = op
             self.weights[name] = (W, S, Z)
+            if cfg.attention_bias and name in ("q", "k", "v"):
+                self.biases[name] = jnp.zeros((N,), jnp.float32)
         self.attn_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
         self.mlp_norm = jnp.ones((cfg.hidden_size,), jnp.float32)
 
     def proj(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
         W, S, Z = self.weights[name]
-        return self.ops[name].forward(x, W, scale=S, zeros=Z)
+        out = self.ops[name].forward(x, W, scale=S, zeros=Z)
+        b = self.biases.get(name)
+        if b is not None:
+            out = (out.astype(jnp.float32) + b).astype(out.dtype)
+        return out
 
     def state_dict(self) -> Dict[str, jnp.ndarray]:
         out = {}
@@ -149,6 +162,8 @@ class QuantLlamaLayer:
             out[f"{name}.qweight"] = W
             out[f"{name}.scales"] = S
             out[f"{name}.zeros"] = Z
+        for name, b in self.biases.items():
+            out[f"{name}.bias"] = b
         out["attn_norm"] = self.attn_norm
         out["mlp_norm"] = self.mlp_norm
         return out
@@ -158,6 +173,8 @@ class QuantLlamaLayer:
             self.weights[name] = (jnp.asarray(state[f"{name}.qweight"]),
                                   jnp.asarray(state[f"{name}.scales"]),
                                   jnp.asarray(state[f"{name}.zeros"]))
+            if f"{name}.bias" in state:
+                self.biases[name] = jnp.asarray(state[f"{name}.bias"])
         self.attn_norm = jnp.asarray(state["attn_norm"])
         self.mlp_norm = jnp.asarray(state["mlp_norm"])
 

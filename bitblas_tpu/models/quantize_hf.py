@@ -85,11 +85,13 @@ def quantize_llama_from_hf_fp16(
                          "and feed a matching MatmulConfig/Linear")
     cfg = llama_config_from_hf(hf_config, group_size=group_size)
     model = QuantLlama(cfg, opt_m=opt_m, enable_tuning=enable_tuning)
+    embed_np = _np(state["model.embed_tokens.weight"])
+    lm_np = _np(state["lm_head.weight"]) if "lm_head.weight" in state \
+        else embed_np  # tied embeddings (Qwen2-small convention)
     head = LMHead(
-        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
-                          jnp.dtype(cfg.act_dtype)),
+        embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
-        lm_head=jnp.asarray(_np(state["lm_head.weight"]), jnp.float32),
+        lm_head=jnp.asarray(lm_np, jnp.float32),
     )
 
     x = positions = None
@@ -111,8 +113,13 @@ def quantize_llama_from_hf_fp16(
         for hf_name, ours in _HF_PROJS:
             key = f"{base}.{hf_name}.weight"
             if f"{base}.{hf_name}.bias" in state:
-                raise ValueError(f"{base}.{hf_name}: bias present — llama "
-                                 f"projections are bias-free")
+                if cfg.attention_bias and ours in ("q", "k", "v"):
+                    layer.biases[ours] = jnp.asarray(
+                        _np(state[f"{base}.{hf_name}.bias"]), jnp.float32)
+                else:
+                    raise ValueError(
+                        f"{base}.{hf_name}: unexpected bias "
+                        f"(attention_bias covers q/k/v only)")
             fpw[ours] = _np(state[key]).astype(np.float32)
         attn_norm = jnp.asarray(
             _np(state[f"{base}.input_layernorm.weight"]), jnp.float32)
@@ -127,7 +134,8 @@ def quantize_llama_from_hf_fp16(
         else:
             # Sequential GPTQ: Hessians from the quantized-prefix stream.
             qatt, x = _calibrate_attention(cfg, x, positions, fpw,
-                                           attn_norm, quant)
+                                           attn_norm, quant,
+                                           biases=layer.biases)
             qws.update(qatt)
             h2 = rmsnorm(x, mlp_norm)
             acc_gu = HessianAccumulator(cfg.hidden_size)
@@ -170,12 +178,16 @@ def _make_quant(method, bits, group_size, symmetric, percdamp):
     return quant
 
 
-def _calibrate_attention(cfg, x, positions, attn_fp, attn_norm, quant):
+def _calibrate_attention(cfg, x, positions, attn_fp, attn_norm, quant,
+                         biases=None):
     """Sequential-GPTQ attention block shared by the llama and mixtral
     drivers: quantize q/k/v against the rmsnorm'd-input Hessian, run
-    attention with the dequantized projections, quantize o against the
-    attention-output Hessian. Returns (qatt dict, x after the residual)."""
+    attention with the dequantized projections (INCLUDING q/k/v biases —
+    Qwen2-style checkpoints; the calibration stream must match the served
+    forward), quantize o against the attention-output Hessian. Returns
+    (qatt dict, x after the residual)."""
     B, S = positions.shape
+    biases = biases or {}
     h = rmsnorm(x, attn_norm)
     acc = HessianAccumulator(cfg.hidden_size)
     acc.update(np.asarray(h))
@@ -183,9 +195,16 @@ def _calibrate_attention(cfg, x, positions, attn_fp, attn_norm, quant):
     for name in ("q", "k", "v"):
         qatt[name] = quant(attn_fp[name], acc.hessian)
         dq[name] = jnp.asarray(qatt[name].dequantize())
-    q = (h @ dq["q"].T).reshape(B, S, cfg.num_heads, cfg.head_dim)
-    k = (h @ dq["k"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
-    v = (h @ dq["v"].T).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
+
+    def _proj(name, heads):
+        y = h @ dq[name].T
+        if biases.get(name) is not None:
+            y = y + biases[name]
+        return y.reshape(B, S, heads, cfg.head_dim)
+
+    q = _proj("q", cfg.num_heads)
+    k = _proj("k", cfg.num_kv_heads)
+    v = _proj("v", cfg.num_kv_heads)
     q = rope(q, positions, cfg.rope_arg)
     k = rope(k, positions, cfg.rope_arg)
     attn = _attention(cfg, q, k, v)
@@ -233,11 +252,13 @@ def quantize_mixtral_from_hf_fp16(
                                  capacity_factor=capacity_factor)
     model = QuantMixtral(cfg, opt_m=opt_m, moe_tokens=moe_tokens,
                          enable_tuning=enable_tuning)
+    embed_np = _np(state["model.embed_tokens.weight"])
+    lm_np = _np(state["lm_head.weight"]) if "lm_head.weight" in state \
+        else embed_np  # tied embeddings (Qwen2-small convention)
     head = LMHead(
-        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
-                          jnp.dtype(cfg.act_dtype)),
+        embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
-        lm_head=jnp.asarray(_np(state["lm_head.weight"]), jnp.float32),
+        lm_head=jnp.asarray(lm_np, jnp.float32),
     )
 
     x = positions = None

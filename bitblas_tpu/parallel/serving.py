@@ -188,6 +188,12 @@ class TPQuantLlama:
                  context_parallel: bool = False):
         import dataclasses as _dc
         cfg = src.cfg
+        if cfg.attention_bias or any(getattr(l, "biases", None)
+                                     for l in src.layers):
+            raise NotImplementedError(
+                "TPQuantLlama does not carry q/k/v projection biases yet "
+                "(Qwen2-style attention_bias) — the fused qkv kernel "
+                "would silently drop them")
         if cfg.sliding_window is not None and context_parallel:
             # cp shards the SEQUENCE axis: the window lower bound becomes
             # a per-shard local range and the partial-stats LSE merge
