@@ -100,6 +100,7 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         # so default it from model_type.
         attention_bias=bool(get("attention_bias",
                                 get("model_type", "") == "qwen2")),
+        rms_norm_eps=float(get("rms_norm_eps", 1e-5)),
         # Mistral-family checkpoints set sliding_window (e.g. 4096);
         # ignoring it would silently attend beyond the window the source
         # model was trained with. use_sliding_window=False (Qwen2-style
@@ -184,6 +185,7 @@ def load_quant_llama_from_hf_gptq(
         embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
         lm_head=jnp.asarray(lm_np, jnp.float32),
+        norm_eps=cfg.rms_norm_eps,
     )
     return model, head
 
@@ -196,12 +198,14 @@ class LMHead:
     embed: jnp.ndarray       # [V, H] act dtype
     final_norm: jnp.ndarray  # [H]
     lm_head: jnp.ndarray     # [V, H] f32
+    norm_eps: float = 1e-5   # importer sets the HF rms_norm_eps
 
     def embed_tokens(self, token_ids: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(self.embed, token_ids, axis=0)
 
     def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        h = rmsnorm(hidden.astype(jnp.float32), self.final_norm)
+        h = rmsnorm(hidden.astype(jnp.float32), self.final_norm,
+                    self.norm_eps)
         return h @ self.lm_head.T
 
 

@@ -50,6 +50,12 @@ class LlamaConfig:
     # Qwen2-family checkpoints carry biases on the q/k/v projections
     # (HF config.attention_bias); o/gate/up/down stay bias-free.
     attention_bias: bool = False
+    # RMSNorm epsilon. HF llama-family checkpoints carry rms_norm_eps
+    # (usually 1e-6 or 1e-5); the importers set it — a mismatched eps is
+    # a small but real convention drift vs the source model. The in-repo
+    # random-fixture default stays 1e-5 (committed engine-equivalence
+    # fixtures were tuned against it).
+    rms_norm_eps: float = 1e-5
 
     @property
     def head_dim(self) -> int:
@@ -231,7 +237,7 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
     (HF convention: query i attends keys (i - window, i])."""
     cfg = layer.cfg
     B, S, _ = x.shape
-    h = rmsnorm(x, layer.attn_norm)
+    h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
     q = layer.proj("q", h).reshape(B, S, cfg.num_heads, cfg.head_dim)
     k = layer.proj("k", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
     v = layer.proj("v", h).reshape(B, S, cfg.num_kv_heads, cfg.head_dim)
@@ -265,7 +271,7 @@ def layer_forward(layer: QuantLlamaLayer, x: jnp.ndarray,
                           v_.astype(jnp.float32)).astype(x.dtype)
     attn = attn.reshape(B, S, cfg.hidden_size)
     x = x + layer.proj("o", attn)
-    h = rmsnorm(x, layer.mlp_norm)
+    h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
     x = x + _layer_mlp(layer, h)
     if return_kv:
         return x, kv_out[0], kv_out[1]
@@ -351,7 +357,7 @@ class DecoderServingMixin:
         B = x.shape[0]
         positions = lengths[:, None]  # [B, 1] — new token index
         for li, layer in enumerate(self.layers):
-            h = rmsnorm(x, layer.attn_norm)
+            h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
             k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
@@ -370,7 +376,7 @@ class DecoderServingMixin:
                                     window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
-            h = rmsnorm(x, layer.mlp_norm)
+            h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v
@@ -395,7 +401,7 @@ class DecoderServingMixin:
         B, T, _ = x.shape
         positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
         for li, layer in enumerate(self.layers):
-            h = rmsnorm(x, layer.attn_norm)
+            h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B * T, cfg.hidden_size)
             q = layer.proj("q", h2).reshape(B, T, cfg.num_heads,
                                             cfg.head_dim)
@@ -414,7 +420,7 @@ class DecoderServingMixin:
                                    window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
-            h = rmsnorm(x, layer.mlp_norm)
+            h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B * T, cfg.hidden_size)
             x = x + _layer_mlp(layer, h2).reshape(B, T, cfg.hidden_size)
         return x, caches_k, caches_v
@@ -433,7 +439,7 @@ class DecoderServingMixin:
         B, T, _ = x.shape
         positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
         for li, layer in enumerate(self.layers):
-            h = rmsnorm(x, layer.attn_norm)
+            h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B * T, cfg.hidden_size)
             q = layer.proj("q", h2).reshape(B, T, cfg.num_heads,
                                             cfg.head_dim)
@@ -455,7 +461,7 @@ class DecoderServingMixin:
                                          window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
-            h = rmsnorm(x, layer.mlp_norm)
+            h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B * T, cfg.hidden_size)
             x = x + _layer_mlp(layer, h2).reshape(B, T, cfg.hidden_size)
         return x, caches_k, caches_v, scales_k, scales_v
@@ -478,7 +484,7 @@ class DecoderServingMixin:
         B = x.shape[0]
         positions = lengths[:, None]
         for li, layer in enumerate(self.layers):
-            h = rmsnorm(x, layer.attn_norm)
+            h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
             k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
@@ -501,7 +507,7 @@ class DecoderServingMixin:
                                           window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
-            h = rmsnorm(x, layer.mlp_norm)
+            h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v, scales_k, scales_v
@@ -524,7 +530,7 @@ class DecoderServingMixin:
         B = x.shape[0]
         positions = lengths[:, None]
         for li, layer in enumerate(self.layers):
-            h = rmsnorm(x, layer.attn_norm)
+            h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
             k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
@@ -542,7 +548,7 @@ class DecoderServingMixin:
                                           num_heads=cfg.num_heads)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
-            h = rmsnorm(x, layer.mlp_norm)
+            h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v
@@ -565,7 +571,7 @@ class DecoderServingMixin:
         B = x.shape[0]
         positions = lengths[:, None]
         for li, layer in enumerate(self.layers):
-            h = rmsnorm(x, layer.attn_norm)
+            h = rmsnorm(x, layer.attn_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             q = layer.proj("q", h2).reshape(B, 1, cfg.num_heads, cfg.head_dim)
             k = layer.proj("k", h2).reshape(B, 1, cfg.num_kv_heads,
@@ -587,7 +593,7 @@ class DecoderServingMixin:
                                                 num_heads=cfg.num_heads)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
-            h = rmsnorm(x, layer.mlp_norm)
+            h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
             h2 = h.reshape(B, cfg.hidden_size)
             x = x + _layer_mlp(layer, h2)[:, None, :]
         return x, caches_k, caches_v, scales_k, scales_v

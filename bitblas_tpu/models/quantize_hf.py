@@ -92,6 +92,7 @@ def quantize_llama_from_hf_fp16(
         embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
         lm_head=jnp.asarray(lm_np, jnp.float32),
+        norm_eps=cfg.rms_norm_eps,
     )
 
     x = positions = None
@@ -137,7 +138,7 @@ def quantize_llama_from_hf_fp16(
                                            attn_norm, quant,
                                            biases=layer.biases)
             qws.update(qatt)
-            h2 = rmsnorm(x, mlp_norm)
+            h2 = rmsnorm(x, mlp_norm, cfg.rms_norm_eps)
             acc_gu = HessianAccumulator(cfg.hidden_size)
             acc_gu.update(np.asarray(h2))
             for name in ("gate", "up"):
@@ -188,7 +189,7 @@ def _calibrate_attention(cfg, x, positions, attn_fp, attn_norm, quant,
     (qatt dict, x after the residual)."""
     B, S = positions.shape
     biases = biases or {}
-    h = rmsnorm(x, attn_norm)
+    h = rmsnorm(x, attn_norm, cfg.rms_norm_eps)
     acc = HessianAccumulator(cfg.hidden_size)
     acc.update(np.asarray(h))
     qatt, dq = {}, {}
@@ -259,6 +260,7 @@ def quantize_mixtral_from_hf_fp16(
         embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
         lm_head=jnp.asarray(lm_np, jnp.float32),
+        norm_eps=cfg.rms_norm_eps,
     )
 
     x = positions = None
@@ -312,7 +314,7 @@ def quantize_mixtral_from_hf_fp16(
         else:
             qatt, x = _calibrate_attention(cfg, x, positions, attn_fp,
                                            attn_norm, quant)
-            h2 = rmsnorm(x, mlp_norm)
+            h2 = rmsnorm(x, mlp_norm, cfg.rms_norm_eps)
             h2f = np.asarray(h2, np.float32).reshape(-1, cfg.hidden_size)
             T = h2f.shape[0]
             CH = max(int(calib_chunk), 8)

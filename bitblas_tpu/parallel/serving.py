@@ -434,7 +434,8 @@ class TPQuantLlama:
         for li in range(cfg.num_layers):
             attn_norm, mlp_norm = self.norms[li]
             w = weights[li]
-            h2 = rmsnorm(x, attn_norm).reshape(B * T, cfg.hidden_size)
+            h2 = rmsnorm(x, attn_norm,
+                         cfg.rms_norm_eps).reshape(B * T, cfg.hidden_size)
             qkv = kern["qkv"](h2, w["qkv"][0], scales=w["qkv"][1],
                               zeros=w["qkv"][2])
             q = rope(qkv[:, :hl * D].reshape(B, T, hl, D), positions,
@@ -446,7 +447,8 @@ class TPQuantLlama:
             o = self._row_proj(kern["o"], "o", attn.reshape(B * T, hl * D),
                                *w["o"], axis)
             x = x + o.astype(x.dtype).reshape(B, T, cfg.hidden_size)
-            h2 = rmsnorm(x, mlp_norm).reshape(B * T, cfg.hidden_size)
+            h2 = rmsnorm(x, mlp_norm,
+                         cfg.rms_norm_eps).reshape(B * T, cfg.hidden_size)
             gu = kern["gateup"](h2, w["gateup"][0], scales=w["gateup"][1],
                                 zeros=w["gateup"][2])
             il = cfg.intermediate_size // self.tp
