@@ -48,6 +48,7 @@ def mixtral_config_from_hf(hf_config, *, group_size: int = 128,
         act_dtype=act_dtype,
         rope_theta=float(get("rope_theta", 1e6)),
         rope_scaling=rope_scaling_from_hf(get),
+        rms_norm_eps=float(get("rms_norm_eps", 1e-5)),
         n_experts=get("num_local_experts"),
         top_k=get("num_experts_per_tok"),
         capacity_factor=capacity_factor,
