@@ -42,10 +42,12 @@ class LlamaConfig:
     rope_scaling: Optional[dict] = None
     # Sliding-window attention width (Mistral/Mixtral-v0.1 checkpoints set
     # 4096): each query attends only to the last `sliding_window` keys.
-    # None = full causal. Covered paths: __call__/perplexity, prefill,
-    # decode_step/decode_chunk (float AND int8-KV slot caches, incl. the
-    # windowed flash-decode kernels); the paged and TP paths raise loudly
-    # rather than silently attending beyond the window.
+    # None = full causal. Covered paths: __call__/perplexity, prefill
+    # (banded flash walk), decode_step/decode_chunk/decode_step_paged
+    # (float AND int8-KV; slot flash kernels take a window lower bound,
+    # paged attends via the masked XLA gather), non-cp TP. The TP paged
+    # and context-parallel paths raise loudly rather than silently
+    # attending beyond the window.
     sliding_window: Optional[int] = None
     # Qwen2-family checkpoints carry biases on the q/k/v projections
     # (HF config.attention_bias); o/gate/up/down stay bias-free.
@@ -293,16 +295,6 @@ class DecoderServingMixin:
                               window=self.cfg.sliding_window)
         return x
 
-    def _swa_guard(self, path: str) -> None:
-        """Paths without sliding-window support must fail loudly: silently
-        attending beyond the window deviates from the source checkpoint."""
-        if self.cfg.sliding_window is not None:
-            raise NotImplementedError(
-                f"{path} does not implement sliding-window attention "
-                f"(sliding_window={self.cfg.sliding_window}); use the "
-                f"float slot-cache decode paths, or unset sliding_window")
-
-    # -- serving hooks (see serving/engine.py) --------------------------------
     def make_prefill(self, seq_len: int):
         """Returns fn(x [1, S, H], positions) -> (hidden, ks, vs) where
         ks/vs are per-layer rope-applied K/V [S, Hkv, D] for the KV cache.
@@ -522,7 +514,6 @@ class DecoderServingMixin:
         physical blocks per request; block_rows/offsets [B] = where the new
         token's K/V lands; lengths [B] = tokens already cached.
         """
-        self._swa_guard("decode_step_paged")
         from ..serving.kv_cache import (append_token_paged,
                                         decode_attention_paged)
 
@@ -545,7 +536,8 @@ class DecoderServingMixin:
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             attn = decode_attention_paged(q, ck, cv, tables, lengths + 1,
-                                          num_heads=cfg.num_heads)
+                                          num_heads=cfg.num_heads,
+                                          window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
@@ -563,7 +555,6 @@ class DecoderServingMixin:
         caches_k/v [L, blocks, bs, Hkv, D] int8; scales_k/v
         [L, blocks, bs, Hkv] f32. Returns (hidden, ck, cv, sk, sv).
         """
-        self._swa_guard("decode_step_paged_quant")
         from ..serving.kv_cache import (append_token_paged_quant,
                                         decode_attention_paged_quant)
 
@@ -590,7 +581,8 @@ class DecoderServingMixin:
             scales_v = scales_v.at[li].set(sv)
             attn = decode_attention_paged_quant(q, ck, cv, sk, sv, tables,
                                                 lengths + 1,
-                                                num_heads=cfg.num_heads)
+                                                num_heads=cfg.num_heads,
+                                                window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)

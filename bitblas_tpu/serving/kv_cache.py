@@ -177,7 +177,8 @@ def append_token_paged(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
 def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
                            cache_v: jnp.ndarray, tables: jnp.ndarray,
                            lengths: jnp.ndarray, *, num_heads: int,
-                           use_flash: bool = False) -> jnp.ndarray:
+                           use_flash: bool = False,
+                           window: Optional[int] = None) -> jnp.ndarray:
     """Single-token attention against the paged cache.
 
     q [B, H, D]; cache_k/v [blocks, bs, Hkv, D]; tables [B, MB] physical
@@ -193,6 +194,8 @@ def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
     """
     B, H, D = q.shape
     bs = cache_k.shape[1]
+    if window is not None:
+        use_flash = False  # paged flash kernel has no window lower bound
     if use_flash and (D % 128 or bs % 8):
         use_flash = False            # kernel constraints: fall back
     if use_flash:
@@ -213,7 +216,11 @@ def decode_attention_paged(q: jnp.ndarray, cache_k: jnp.ndarray,
     qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
     s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32)) \
         / jnp.sqrt(jnp.float32(D))
-    mask = jnp.arange(MB * bs)[None, :] < lengths[:, None]
+    pos = jnp.arange(MB * bs)[None, :]
+    mask = pos < lengths[:, None]
+    if window is not None:
+        # query at position lengths-1 attends (len-1-window, len-1]
+        mask = mask & (pos > (lengths[:, None] - 1 - window))
     s = jnp.where(mask[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgl,blhd->bhgd", p, v.astype(jnp.float32))
@@ -398,7 +405,9 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                                  cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                                  scale_v: jnp.ndarray, tables: jnp.ndarray,
                                  lengths: jnp.ndarray, *, num_heads: int,
-                                 use_flash: bool = False) -> jnp.ndarray:
+                                 use_flash: bool = False,
+                                 window: Optional[int] = None
+                                 ) -> jnp.ndarray:
     """Quantized twin of decode_attention_paged: same scale-on-results math
     as decode_attention_quant over the block pool. XLA gather is the
     measured default (see decode_attention_paged); the flash table-walk
@@ -406,6 +415,8 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
     lane axis)."""
     B, H, D = q.shape
     bs = cache_k.shape[1]
+    if window is not None:
+        use_flash = False  # paged flash kernel has no window lower bound
     if use_flash and (D % 128 or bs % 128):
         use_flash = False            # scale-row DMA needs 128-mult pages
     if use_flash:
@@ -430,7 +441,11 @@ def decode_attention_paged_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
     qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
     s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32))
     s = s * ks.transpose(0, 2, 1)[:, :, None, :] / jnp.sqrt(jnp.float32(D))
-    mask = jnp.arange(MB * bs)[None, :] < lengths[:, None]
+    pos = jnp.arange(MB * bs)[None, :]
+    mask = pos < lengths[:, None]
+    if window is not None:
+        # query at position lengths-1 attends (len-1-window, len-1]
+        mask = mask & (pos > (lengths[:, None] - 1 - window))
     s = jnp.where(mask[:, None, None, :], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     pv = p * vs.transpose(0, 2, 1)[:, :, None, :]

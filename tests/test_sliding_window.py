@@ -125,13 +125,30 @@ def test_swa_prefill_decode_chain(quant_lm):
     np.testing.assert_allclose(chain, full[:, P:20], rtol=0.05, atol=0.15)
 
 
-def test_unwindowed_paths_raise(quant_lm):
-    model = quant_lm.model
-    with pytest.raises(NotImplementedError, match="sliding-window"):
-        model.decode_step_paged(None, None, None, None, None, None, None)
-    with pytest.raises(NotImplementedError, match="sliding-window"):
-        model.decode_step_paged_quant(None, None, None, None, None, None,
-                                      None, None, None)
+def test_paged_window_matches_slot():
+    """Paged decode under a window equals the slot-cache windowed decode
+    for the same logical sequences (identity block table)."""
+    from bitblas_tpu.serving.kv_cache import (decode_attention,
+                                              decode_attention_paged)
+    rng = np.random.default_rng(23)
+    B, L, Hkv, H, D, bs = 2, 128, 2, 4, 128, 16
+    ck = jnp.asarray(rng.standard_normal((B, L, Hkv, D)), jnp.float16)
+    cv = jnp.asarray(rng.standard_normal((B, L, Hkv, D)), jnp.float16)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float16)
+    lengths = jnp.asarray([40, 128], jnp.int32)
+    slots = jnp.arange(B, dtype=jnp.int32)
+    MB = L // bs
+    pk = ck.reshape(B * MB, bs, Hkv, D)
+    pv = cv.reshape(B * MB, bs, Hkv, D)
+    tables = jnp.arange(B * MB, dtype=jnp.int32).reshape(B, MB)
+    for window in (32, 100):
+        a = decode_attention(q, ck, cv, slots, lengths, num_heads=H,
+                             use_flash=False, window=window)
+        b = decode_attention_paged(q, pk, pv, tables, lengths,
+                                   num_heads=H, window=window)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
 
 
 def test_swa_quant_kv_matches_float():
