@@ -58,7 +58,11 @@ class TileHint:
     #   "fast16" — same surgery in u16 lanes producing bf16 directly
     #              (mma_dtype bfloat16 only; exact: e4m3/fp4 values fit
     #              bf16's 7 mantissa bits, e5m2 normals too)
-    fp_mode: str = "legacy"
+    # Default "fast": value-identical to legacy and measured strictly
+    # faster (e4m3 m=1 1.75x) — and hint-DB records that predate this
+    # field deserialize to the default, so old pinned fp8 winners pick
+    # up the cheap decode automatically.
+    fp_mode: str = "fast"
     # Cap Mosaic VMEM usage; None = compiler default.
     vmem_limit_bytes: Optional[int] = None
 
