@@ -10,6 +10,12 @@ should re-run this and un-gate whatever now lowers (each gate costs perf):
   3. NF4 1D LUT gather (take)    — kernels force the mux off-interpret
      ("Only 2D gather is supported").
   4. f16 operands in kernels     — Mosaic rejects f16 everywhere.
+  5. 16-bit SHIFTS in kernels    — HTTP 500 (like int8 shifts); the r5
+     fast16 decoders build patterns in i32 and only or/select at 16 bit.
+  6. u16-lane SELECT mux (mux4b) — HTTP 500 even shift-free; would be
+     the 2x NF4 decode if 16-bit lanes ever pack.
+  7. lax.select_n > 2 cases      — "select_n only supported with <= 2
+     arguments"; a native N-way select would replace the NF4 mux tree.
 
 Prints PASS/FAIL per gate; a PASS means the gate in tuner/space.py /
 kernels/dequant_matmul.py can be lifted (re-measure before flipping
@@ -127,6 +133,41 @@ def main():
             tb = traceback.format_exc(limit=6)
             log(f"f16-mma: FAIL (gate stays)\n  "
                 f"{tb.strip().splitlines()[-1]}")
+
+    # 5. 16-bit shift inside a kernel
+    try:
+        import jax
+        from jax.experimental import pallas as pl
+
+        def k16(x_ref, o_ref):
+            v = x_ref[...].astype(jnp.uint16)
+            o_ref[...] = (v << jnp.uint16(4)).astype(jnp.int32)
+
+        x = jnp.asarray(np.random.randint(0, 7, (8, 128), np.int32))
+        np.asarray(pl.pallas_call(
+            k16, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32))(x))
+        log("u16-shift: PASS — 16-bit shifts lower now (fast16 decoders "
+            "can shift natively)")
+    except Exception:
+        tb = traceback.format_exc(limit=6)
+        log(f"u16-shift: FAIL (gate stays)\n  "
+            f"{tb.strip().splitlines()[-1]}")
+
+    # 6. u16-lane select mux (the NF4 mux4b 2x candidate)
+    cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="float16", W_dtype="nf4",
+                       with_scaling=True, group_size=128,
+                       out_dtype="float16")
+    try_case("nf4-mux4b-u16select", cfg, 16,
+             TileHint(block_m=16, block_n=512, block_k=512,
+                      mma_dtype="bfloat16", lut_mode="mux4b"))
+
+    # 7. lax.select_n with 16 cases
+    cfg = MatmulConfig(M=16, N=N, K=K, A_dtype="float16", W_dtype="nf4",
+                       with_scaling=True, group_size=128,
+                       out_dtype="float16")
+    try_case("nf4-selectn", cfg, 16,
+             TileHint(block_m=16, block_n=512, block_k=512,
+                      mma_dtype="bfloat16", lut_mode="selectn"))
 
 
 if __name__ == "__main__":
