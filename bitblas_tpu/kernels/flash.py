@@ -267,7 +267,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
             l_ref[...] = jnp.zeros_like(l_ref)
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        def step(masked):
+        def step(masked, win=False):
             def _run():
                 m_new, l_new, acc_new = _attend_block(
                     q_ref[0], k_ref[0], v_ref[0], m_ref[...], l_ref[...],
@@ -275,7 +275,8 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                     scale=None, causal=masked, q_start=q_start,
                     kv_start=kv_start, block_q=block_q, block_kv=block_kv,
                     kv_len=seq_len if seq_len % block_kv else None,
-                    k_transposed=trans_k, q_window=window)
+                    k_transposed=trans_k,
+                    q_window=window if win else None)
                 m_ref[...] = m_new
                 l_ref[...] = l_new
                 acc_ref[...] = acc_new
@@ -306,8 +307,26 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
             # mask ops/element matter). Diagonal steps take the sub-chunked
             # triangular path when legal (see use_tri_sub above).
             diag = kv_start + block_kv - 1 > q_start
-            pl.when(diag)(diag_tri_step if use_tri_sub else step(True))
-            pl.when(jnp.logical_not(diag))(step(False))
+            if window is None:
+                pl.when(diag)(diag_tri_step if use_tri_sub else step(True))
+                pl.when(jnp.logical_not(diag))(step(False))
+            else:
+                # Band-EDGE blocks (some row's window starts inside them)
+                # need the per-row window mask; interior blocks skip it —
+                # the same static-split rationale as `diag` (per-element
+                # mask ops ride the serial VPU softmax chain).
+                edge = kv_start < q_start + block_q - window
+                ndiag = jnp.logical_not(diag)
+                nedge = jnp.logical_not(edge)
+                if use_tri_sub:
+                    # tri_sub is gated to window >= block_q, where the
+                    # diagonal block never intersects the band edge
+                    pl.when(diag)(diag_tri_step)
+                else:
+                    pl.when(diag & edge)(step(True, True))
+                    pl.when(diag & nedge)(step(True, False))
+                pl.when(ndiag & edge)(step(False, True))
+                pl.when(ndiag & nedge)(step(False, False))
             if window is None:
                 last = (q_start + block_q - 1) // block_kv
                 emit = ki == jnp.minimum(last, nkv - 1)

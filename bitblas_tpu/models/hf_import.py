@@ -42,6 +42,14 @@ _HF_PROJS = (
 )
 
 
+def _lm_head_weight(state: Mapping) -> np.ndarray:
+    """lm_head tensor, falling back to the tied embedding matrix
+    (Qwen2-small / many chat finetunes ship no lm_head.weight)."""
+    if "lm_head.weight" in state:
+        return _np(state["lm_head.weight"])
+    return _np(state["model.embed_tokens.weight"])
+
+
 def _np(t) -> np.ndarray:
     """torch / jax / numpy -> numpy (torch tensors detach via .cpu())."""
     if hasattr(t, "detach"):  # torch
@@ -84,6 +92,18 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
 
     heads = get("num_attention_heads")
     scaling = rope_scaling_from_hf(get)
+    sw = (get("sliding_window", None)
+          if get("use_sliding_window", True) else None)
+    mwl = get("max_window_layers", None)
+    if sw is not None and mwl is not None \
+            and mwl < get("num_hidden_layers"):
+        # Qwen2 semantics: layers >= max_window_layers attend FULLY while
+        # lower layers window. Per-layer windows aren't wired; refusing
+        # beats silently windowing every layer (logits drift).
+        raise NotImplementedError(
+            f"max_window_layers={mwl} < num_hidden_layers="
+            f"{get('num_hidden_layers')} with an active sliding window: "
+            f"per-layer window gating is not implemented")
     return LlamaConfig(
         hidden_size=get("hidden_size"),
         intermediate_size=get("intermediate_size"),
@@ -106,9 +126,7 @@ def llama_config_from_hf(hf_config, *, group_size: int = 128,
         # model was trained with. use_sliding_window=False (Qwen2-style
         # gate) disables it even when sliding_window is set — matching
         # transformers.
-        sliding_window=(get("sliding_window", None)
-                        if get("use_sliding_window", True)
-                        else None),
+        sliding_window=sw,
     )
 
 
@@ -176,15 +194,11 @@ def load_quant_llama_from_hf_gptq(
             jnp.float32)
         logger.info("imported layer %d/%d", i + 1, cfg.num_layers)
 
-    embed_np = _np(state["model.embed_tokens.weight"])
-    # tied embeddings (Qwen2-small / many chat finetunes): no lm_head
-    # tensor in the state dict — the output projection IS the embedding
-    lm_np = _np(state["lm_head.weight"]) if "lm_head.weight" in state \
-        else embed_np
     head = LMHead(
-        embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
+        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
+                          jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
-        lm_head=jnp.asarray(lm_np, jnp.float32),
+        lm_head=jnp.asarray(_lm_head_weight(state), jnp.float32),
         norm_eps=cfg.rms_norm_eps,
     )
     return model, head

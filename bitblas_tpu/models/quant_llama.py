@@ -177,6 +177,9 @@ class QuantLlamaLayer:
         return out
 
     def load_state_dict(self, state: Dict[str, jnp.ndarray]) -> None:
+        # reset FIRST: loading a bias-free state into a layer that held
+        # biases must not keep applying the stale ones (r5 review)
+        self.biases = {}
         for name in self.weights:
             self.weights[name] = (jnp.asarray(state[f"{name}.qweight"]),
                                   jnp.asarray(state[f"{name}.scales"]),
@@ -308,13 +311,19 @@ class DecoderServingMixin:
             from ..tuner import get_arch
             from ..tuner.curated import flash_block_hint
             bq, bkv = flash_block_hint(seq_len, cfg.head_dim, True)
-            flash = make_flash_attention(
-                batch=1, heads=cfg.num_heads, seq_len=seq_len,
-                dim=cfg.head_dim, kv_heads=cfg.num_kv_heads, causal=True,
-                block_q=bq, block_kv=bkv,
-                out_dtype=jnp.dtype(cfg.act_dtype),
-                window=cfg.sliding_window,   # banded walk when set
-                interpret=get_arch().is_cpu)
+            try:
+                flash = make_flash_attention(
+                    batch=1, heads=cfg.num_heads, seq_len=seq_len,
+                    dim=cfg.head_dim, kv_heads=cfg.num_kv_heads,
+                    causal=True, block_q=bq, block_kv=bkv,
+                    out_dtype=jnp.dtype(cfg.act_dtype),
+                    window=cfg.sliding_window,   # banded walk when set
+                    interpret=get_arch().is_cpu)
+            except ValueError:
+                # untileable geometry (e.g. head_dim % 128 on the chip) —
+                # the masked naive branch serves it (r5 review: the old
+                # SWA early-return used to shield this; now explicit)
+                flash = None
 
         # window=None below when flash is set: the window is baked into
         # the banded flash walk; the naive branch (short prompts / odd

@@ -30,7 +30,8 @@ import numpy as np
 from ..common import get_logger
 from ..quantization.gptq import (HessianAccumulator, gptq_quantize,
                                  rtn_quantize)
-from .hf_import import _HF_PROJS, _np, llama_config_from_hf, LMHead
+from .hf_import import (_HF_PROJS, _lm_head_weight, _np,
+                        llama_config_from_hf, LMHead)
 from .quant_llama import QuantLlama, rmsnorm, rope
 
 logger = get_logger()
@@ -85,13 +86,11 @@ def quantize_llama_from_hf_fp16(
                          "and feed a matching MatmulConfig/Linear")
     cfg = llama_config_from_hf(hf_config, group_size=group_size)
     model = QuantLlama(cfg, opt_m=opt_m, enable_tuning=enable_tuning)
-    embed_np = _np(state["model.embed_tokens.weight"])
-    lm_np = _np(state["lm_head.weight"]) if "lm_head.weight" in state \
-        else embed_np  # tied embeddings (Qwen2-small convention)
     head = LMHead(
-        embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
+        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
+                          jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
-        lm_head=jnp.asarray(lm_np, jnp.float32),
+        lm_head=jnp.asarray(_lm_head_weight(state), jnp.float32),
         norm_eps=cfg.rms_norm_eps,
     )
 
@@ -253,13 +252,11 @@ def quantize_mixtral_from_hf_fp16(
                                  capacity_factor=capacity_factor)
     model = QuantMixtral(cfg, opt_m=opt_m, moe_tokens=moe_tokens,
                          enable_tuning=enable_tuning)
-    embed_np = _np(state["model.embed_tokens.weight"])
-    lm_np = _np(state["lm_head.weight"]) if "lm_head.weight" in state \
-        else embed_np  # tied embeddings (Qwen2-small convention)
     head = LMHead(
-        embed=jnp.asarray(embed_np, jnp.dtype(cfg.act_dtype)),
+        embed=jnp.asarray(_np(state["model.embed_tokens.weight"]),
+                          jnp.dtype(cfg.act_dtype)),
         final_norm=jnp.asarray(_np(state["model.norm.weight"]), jnp.float32),
-        lm_head=jnp.asarray(lm_np, jnp.float32),
+        lm_head=jnp.asarray(_lm_head_weight(state), jnp.float32),
         norm_eps=cfg.rms_norm_eps,
     )
 

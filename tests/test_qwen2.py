@@ -137,3 +137,49 @@ def test_tp_rejects_biases(state):
     mesh = Mesh(np.array(devs[:2]).reshape(2), ("tp",))
     with pytest.raises(NotImplementedError, match="bias"):
         TPQuantLlama(model, mesh)
+
+
+def test_tied_embeddings_fallback(state):
+    """A state dict without lm_head.weight (tied embeddings) must fall
+    back to the embedding matrix as the output projection."""
+    from bitblas_tpu.models import QuantLlamaLM
+    from bitblas_tpu.models.quantize_hf import quantize_llama_from_hf_fp16
+    cfg = dict(_CFG, model_type="qwen2")
+    tied = {k: v for k, v in state.items() if k != "lm_head.weight"}
+    model, head = quantize_llama_from_hf_fp16(tied, cfg, method="rtn",
+                                              group_size=64)
+    np.testing.assert_array_equal(
+        np.asarray(head.lm_head, np.float32),
+        np.asarray(state["model.embed_tokens.weight"], np.float32))
+    lm = QuantLlamaLM(model, head)
+    toks = np.random.default_rng(33).integers(0, 64, (1, 8))
+    out = np.asarray(lm(jnp.asarray(toks)), np.float32)
+    assert np.isfinite(out).all()
+
+
+def test_max_window_layers_guard():
+    from bitblas_tpu.models.hf_import import llama_config_from_hf
+    import pytest as _pytest
+    cfg = dict(_CFG, model_type="qwen2", sliding_window=8,
+               use_sliding_window=True, max_window_layers=1)
+    with _pytest.raises(NotImplementedError, match="max_window_layers"):
+        llama_config_from_hf(cfg, group_size=64)
+    # gate off -> no window, no raise
+    cfg2 = dict(cfg, use_sliding_window=False)
+    assert llama_config_from_hf(cfg2, group_size=64).sliding_window is None
+
+
+def test_load_state_dict_clears_stale_biases(quant_lm):
+    layer = quant_lm.model.layers[0]
+    assert layer.biases.get("q") is not None
+    sd = layer.state_dict()
+    for k in list(sd):
+        if k.endswith(".bias"):
+            del sd[k]
+    import copy
+    layer2 = copy.copy(layer)
+    layer2.biases = dict(layer.biases)
+    layer2.load_state_dict(sd)
+    assert layer2.biases == {}, "stale biases must be cleared"
+    # restore-safe: original layer untouched
+    assert layer.biases.get("q") is not None
