@@ -344,17 +344,26 @@ class DecoderServingMixin:
 
     def decode_step(self, x: jnp.ndarray, caches_k: jnp.ndarray,
                     caches_v: jnp.ndarray, slots: jnp.ndarray,
-                    lengths: jnp.ndarray):
+                    lengths: jnp.ndarray, *, ring: bool = False):
         """One-token decode across B slots.
 
         x [B, 1, H]; caches_k/v [L, slots, Lmax, Hkv, D]; lengths [B] =
         tokens already in each slot's cache. Returns (hidden [B, 1, H],
         caches_k, caches_v) with the new token appended at position
         lengths[b].
+
+        ring=True: caches are window-sized rolling buffers
+        ([L, slots, R, Hkv, D], kv_cache.init_ring_kv_cache) — the token
+        lands in ring row lengths[b] % R and attention masks on derived
+        absolute positions. Requires cfg.sliding_window.
         """
-        from ..serving.kv_cache import append_token, decode_attention
+        from ..serving.kv_cache import (append_token, append_token_ring,
+                                        decode_attention,
+                                        ring_decode_attention)
 
         cfg = self.cfg
+        if ring and cfg.sliding_window is None:
+            raise ValueError("ring cache requires cfg.sliding_window")
         B = x.shape[0]
         positions = lengths[:, None]  # [B, 1] — new token index
         for li, layer in enumerate(self.layers):
@@ -368,13 +377,22 @@ class DecoderServingMixin:
             q = rope(q, positions, cfg.rope_arg)[:, 0]      # [B, H, D]
             k = rope(k, positions, cfg.rope_arg)[:, 0]      # [B, Hkv, D]
             v = v[:, 0]
-            ck, cv = append_token(caches_k[li], caches_v[li], slots,
-                                  lengths, k, v)
+            if ring:
+                ck, cv = append_token_ring(caches_k[li], caches_v[li],
+                                           slots, lengths, k, v)
+            else:
+                ck, cv = append_token(caches_k[li], caches_v[li], slots,
+                                      lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
-            attn = decode_attention(q, ck, cv, slots, lengths + 1,
-                                    num_heads=cfg.num_heads,
-                                    window=cfg.sliding_window)
+            if ring:
+                attn = ring_decode_attention(q, ck, cv, slots, lengths + 1,
+                                             num_heads=cfg.num_heads,
+                                             window=cfg.sliding_window)
+            else:
+                attn = decode_attention(q, ck, cv, slots, lengths + 1,
+                                        num_heads=cfg.num_heads,
+                                        window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
@@ -384,7 +402,7 @@ class DecoderServingMixin:
 
     def decode_chunk(self, x: jnp.ndarray, caches_k: jnp.ndarray,
                      caches_v: jnp.ndarray, slots: jnp.ndarray,
-                     lengths: jnp.ndarray):
+                     lengths: jnp.ndarray, *, ring: bool = False):
         """Append T tokens per slot in ONE pass (chunked prefill /
         speculative-verify building block).
 
@@ -395,10 +413,17 @@ class DecoderServingMixin:
         decode_step's math; the projections run at M=B*T so the quantized
         weights stream from HBM once per CHUNK, not once per token — the
         whole point of batching decode-side work on TPU.
+
+        ring=True: window-sized rolling-buffer caches (see decode_step);
+        requires R >= window + T - 1 (checked at trace time).
         """
-        from ..serving.kv_cache import append_chunk, chunk_attention
+        from ..serving.kv_cache import (append_chunk, append_chunk_ring,
+                                        chunk_attention,
+                                        ring_chunk_attention)
 
         cfg = self.cfg
+        if ring and cfg.sliding_window is None:
+            raise ValueError("ring cache requires cfg.sliding_window")
         B, T, _ = x.shape
         positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
         for li, layer in enumerate(self.layers):
@@ -412,13 +437,22 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             q = rope(q, positions, cfg.rope_arg)
             k = rope(k, positions, cfg.rope_arg)
-            ck, cv = append_chunk(caches_k[li], caches_v[li], slots,
-                                  lengths, k, v)
+            if ring:
+                ck, cv = append_chunk_ring(caches_k[li], caches_v[li],
+                                           slots, lengths, k, v)
+            else:
+                ck, cv = append_chunk(caches_k[li], caches_v[li], slots,
+                                      lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
-            attn = chunk_attention(q, ck, cv, slots, lengths,
-                                   num_heads=cfg.num_heads,
-                                   window=cfg.sliding_window)
+            if ring:
+                attn = ring_chunk_attention(q, ck, cv, slots, lengths,
+                                            num_heads=cfg.num_heads,
+                                            window=cfg.sliding_window)
+            else:
+                attn = chunk_attention(q, ck, cv, slots, lengths,
+                                       num_heads=cfg.num_heads,
+                                       window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
@@ -470,18 +504,25 @@ class DecoderServingMixin:
     def decode_step_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
                           caches_v: jnp.ndarray, scales_k: jnp.ndarray,
                           scales_v: jnp.ndarray, slots: jnp.ndarray,
-                          lengths: jnp.ndarray):
+                          lengths: jnp.ndarray, *, ring: bool = False):
         """decode_step against the int8-quantized KV cache.
 
         caches_k/v [L, slots, Lmax, Hkv, D] int8; scales_k/v
         [L, slots, Lmax, Hkv] f32 (serving/kv_cache.py quantized cache —
         halves KV HBM traffic and footprint vs bf16; decode attention is
         KV-bandwidth-bound). Returns (hidden, ck, cv, sk, sv).
+
+        ring=True: window-sized int8 rolling buffers
+        (init_ring_quant_kv_cache); requires cfg.sliding_window.
         """
         from ..serving.kv_cache import (append_token_quant,
-                                        decode_attention_quant)
+                                        append_token_ring_quant,
+                                        decode_attention_quant,
+                                        ring_decode_attention_quant)
 
         cfg = self.cfg
+        if ring and cfg.sliding_window is None:
+            raise ValueError("ring cache requires cfg.sliding_window")
         B = x.shape[0]
         positions = lengths[:, None]
         for li, layer in enumerate(self.layers):
@@ -495,17 +536,23 @@ class DecoderServingMixin:
             q = rope(q, positions, cfg.rope_arg)[:, 0]
             k = rope(k, positions, cfg.rope_arg)[:, 0]
             v = v[:, 0]
-            ck, cv, sk, sv = append_token_quant(
+            appender = append_token_ring_quant if ring else append_token_quant
+            ck, cv, sk, sv = appender(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],
                 slots, lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             scales_k = scales_k.at[li].set(sk)
             scales_v = scales_v.at[li].set(sv)
-            attn = decode_attention_quant(q, ck, cv, sk, sv, slots,
-                                          lengths + 1,
-                                          num_heads=cfg.num_heads,
-                                          window=cfg.sliding_window)
+            if ring:
+                attn = ring_decode_attention_quant(
+                    q, ck, cv, sk, sv, slots, lengths + 1,
+                    num_heads=cfg.num_heads, window=cfg.sliding_window)
+            else:
+                attn = decode_attention_quant(q, ck, cv, sk, sv, slots,
+                                              lengths + 1,
+                                              num_heads=cfg.num_heads,
+                                              window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)

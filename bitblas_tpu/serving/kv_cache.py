@@ -810,3 +810,219 @@ def decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgl,blhd->bhgd", p, v.astype(jnp.float32))
     return out.reshape(B, H, D).astype(q.dtype)
+
+
+# -- ring (sliding-window rolling-buffer) cache --------------------------------
+#
+# With sliding-window attention only the trailing `window` keys are ever
+# attended, yet the slot cache above still reserves max_seq_len rows per
+# slot and masks the dead prefix. The ring cache stores capacity R ~= W
+# rows per slot and writes token at absolute position p into ring row
+# p % R — memory scales with the WINDOW, not the conversation length
+# (Mistral W=4096 at max_seq 32768: 7.5x smaller KV).
+#
+# No per-row position array is stored: ring row r of a slot holding
+# `length` tokens contains the newest absolute position p <= length-1 with
+# p % R == r, i.e. p = (length-1) - ((length-1 - r) mod R) — derived
+# in-graph from `lengths` (2 VPU ops per row). Attention masks on that
+# derived absolute position, so the math is identical to the masked
+# full-length path; only the storage layout changes.
+#
+# Eviction contract (checked at trace time): appending a chunk of T tokens
+# overwrites ring rows of absolute positions < length-R. The OLDEST key a
+# chunk query still needs is starts - window + 1 (HF convention: query p
+# attends (p-window, p]), so correctness requires R >= window + T - 1.
+# decode_step (T=1) needs only R >= window.
+#
+# There is no flash-decode ring kernel on purpose: the ring is already
+# window-sized, so the plain XLA attend reads exactly the ~W keys a
+# windowed flash kernel would — length-proportional IO comes free from
+# the layout. (Reference: no counterpart — its serving is delegated to
+# vLLM; rolling-buffer design follows the Mistral paper's cache.)
+
+
+def ring_capacity(window: int, max_chunk: int = 1, align: int = 128) -> int:
+    """Smallest aligned ring capacity correct for chunked appends of up
+    to `max_chunk` tokens: R >= window + max_chunk - 1, rounded up."""
+    need = window + max_chunk - 1
+    return ((need + align - 1) // align) * align
+
+
+def init_ring_kv_cache(cfg: KVCacheConfig, window: int,
+                       max_chunk: int = 1) -> Dict[str, jnp.ndarray]:
+    """Slot cache with ring rows: k/v [L, slots, R, H, D], R = window-sized
+    capacity instead of cfg.max_seq_len."""
+    R = min(ring_capacity(window, max_chunk), cfg.max_seq_len)
+    dt = jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, cfg.num_slots, R, cfg.num_kv_heads,
+             cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dt),
+        "v": jnp.zeros(shape, dt),
+        "lengths": jnp.zeros((cfg.num_slots,), jnp.int32),
+    }
+
+
+def ring_abs_positions(lengths: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """[B] lengths -> [B, R] absolute position held by each ring row
+    (-1 for rows never written). Row r holds the newest p <= length-1
+    with p % R == r."""
+    r = jnp.arange(capacity, dtype=lengths.dtype)[None, :]
+    last = lengths[:, None] - 1
+    abs_pos = last - ((last - r) % capacity)
+    return jnp.where(abs_pos >= 0, abs_pos, -1)
+
+
+def append_token_ring(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                      slots: jnp.ndarray, positions: jnp.ndarray,
+                      k_new: jnp.ndarray, v_new: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """append_token into ring rows: cache_k/v [slots, R, H, D]; the token
+    at absolute position positions[b] lands in ring row positions[b] % R."""
+    R = cache_k.shape[1]
+    rows = positions % R
+    cache_k = cache_k.at[slots, rows].set(k_new.astype(cache_k.dtype))
+    cache_v = cache_v.at[slots, rows].set(v_new.astype(cache_v.dtype))
+    return cache_k, cache_v
+
+
+def append_chunk_ring(cache_k: jnp.ndarray, cache_v: jnp.ndarray,
+                      slots: jnp.ndarray, starts: jnp.ndarray,
+                      k_new: jnp.ndarray, v_new: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """append_chunk into ring rows (absolute starts[b]+i -> row % R).
+
+    T <= R keeps the T scatter targets distinct (duplicate scatter order
+    is undefined); checked at trace time since both are static.
+    """
+    B, T = k_new.shape[:2]
+    R = cache_k.shape[1]
+    if T > R:
+        raise ValueError(f"append_chunk_ring: chunk T={T} exceeds ring "
+                         f"capacity R={R} (duplicate scatter targets)")
+    pos = (starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]) % R
+    cache_k = cache_k.at[slots[:, None], pos].set(k_new.astype(cache_k.dtype))
+    cache_v = cache_v.at[slots[:, None], pos].set(v_new.astype(cache_v.dtype))
+    return cache_k, cache_v
+
+
+def ring_decode_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
+                          cache_v: jnp.ndarray, slots: jnp.ndarray,
+                          lengths: jnp.ndarray, *, num_heads: int,
+                          window: int) -> jnp.ndarray:
+    """Single-token windowed attention against the ring cache.
+
+    q [B, H, D]; cache_k/v [slots, R, Hkv, D]; lengths [B] = valid tokens
+    INCLUDING the one just appended. Requires R >= window. Returns
+    [B, H, D]. Same attended SET as decode_attention(window=) on a full
+    cache — only the key ordering inside the softmax differs.
+    """
+    B, H, D = q.shape
+    R = cache_k.shape[1]
+    if R < window:
+        raise ValueError(f"ring capacity {R} < window {window}")
+    k = cache_k[slots]            # [B, R, Hkv, D]
+    v = cache_v[slots]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32)) \
+        / jnp.sqrt(jnp.float32(D))
+    abs_pos = ring_abs_positions(lengths, R)          # [B, R]
+    p = (lengths - 1)[:, None]
+    mask = (abs_pos >= 0) & (abs_pos > p - window)    # abs<=p by derivation
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    pr = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgl,blhd->bhgd", pr, v.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
+
+
+def ring_chunk_attention(q: jnp.ndarray, cache_k: jnp.ndarray,
+                         cache_v: jnp.ndarray, slots: jnp.ndarray,
+                         starts: jnp.ndarray, *, num_heads: int,
+                         window: int) -> jnp.ndarray:
+    """T-token windowed causal attention against the ring cache (chunk
+    already appended). q [B, T, H, D]; starts [B] = tokens cached BEFORE
+    the chunk. Requires R >= window + T - 1 (eviction contract above)."""
+    B, T, H, D = q.shape
+    R = cache_k.shape[1]
+    if R < window + T - 1:
+        raise ValueError(
+            f"ring capacity {R} < window+T-1 = {window + T - 1}: chunk "
+            f"appends would evict keys the first chunk queries still need")
+    k = cache_k[slots]            # [B, R, Hkv, D]
+    v = cache_v[slots]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    s = jnp.einsum("bthgd,blhd->bhgtl", qf, k.astype(jnp.float32)) \
+        / jnp.sqrt(jnp.float32(D))
+    abs_pos = ring_abs_positions(starts + T, R)       # [B, R] post-append
+    p = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]  # [B, T]
+    a = abs_pos[:, None, :]                           # [B, 1, R]
+    pq = p[:, :, None]                                # [B, T, 1]
+    mask = (a >= 0) & (a <= pq) & (a > pq - window)   # [B, T, R]
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    pr = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhgtl,blhd->bthgd", pr, v.astype(jnp.float32))
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
+def init_ring_quant_kv_cache(cfg: KVCacheConfig, window: int,
+                             max_chunk: int = 1) -> Dict[str, jnp.ndarray]:
+    """int8 ring cache: codes + per-(row, head) scales at ring capacity."""
+    R = min(ring_capacity(window, max_chunk), cfg.max_seq_len)
+    shape = (cfg.num_layers, cfg.num_slots, R, cfg.num_kv_heads,
+             cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        "lengths": jnp.zeros((cfg.num_slots,), jnp.int32),
+    }
+
+
+def append_token_ring_quant(cache_k, cache_v, scale_k, scale_v,
+                            slots: jnp.ndarray, positions: jnp.ndarray,
+                            k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Quantized ring append: int8 codes + scales land in row pos % R."""
+    R = cache_k.shape[1]
+    rows = positions % R
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    cache_k = cache_k.at[slots, rows].set(kq)
+    cache_v = cache_v.at[slots, rows].set(vq)
+    scale_k = scale_k.at[slots, rows].set(ks)
+    scale_v = scale_v.at[slots, rows].set(vs)
+    return cache_k, cache_v, scale_k, scale_v
+
+
+def ring_decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
+                                cache_v: jnp.ndarray, scale_k: jnp.ndarray,
+                                scale_v: jnp.ndarray, slots: jnp.ndarray,
+                                lengths: jnp.ndarray, *, num_heads: int,
+                                window: int) -> jnp.ndarray:
+    """Single-token windowed attention against the int8 ring cache (scales
+    applied to dot results, as decode_attention_quant)."""
+    B, H, D = q.shape
+    R = cache_k.shape[1]
+    if R < window:
+        raise ValueError(f"ring capacity {R} < window {window}")
+    k = cache_k[slots]            # [B, R, Hkv, D] int8
+    v = cache_v[slots]
+    ks = scale_k[slots]           # [B, R, Hkv]
+    vs = scale_v[slots]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, Hkv, group, D)
+    s = jnp.einsum("bhgd,blhd->bhgl", qf, k.astype(jnp.float32))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, :] / jnp.sqrt(jnp.float32(D))
+    abs_pos = ring_abs_positions(lengths, R)
+    p = (lengths - 1)[:, None]
+    mask = (abs_pos >= 0) & (abs_pos > p - window)
+    s = jnp.where(mask[:, None, None, :], s, -1e30)
+    pr = jax.nn.softmax(s, axis=-1)
+    pv = pr * vs.transpose(0, 2, 1)[:, :, None, :]
+    out = jnp.einsum("bhgl,blhd->bhgd", pv, v.astype(jnp.float32))
+    return out.reshape(B, H, D).astype(q.dtype)
