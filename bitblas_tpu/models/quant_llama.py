@@ -463,14 +463,19 @@ class DecoderServingMixin:
     def decode_chunk_quant(self, x: jnp.ndarray, caches_k: jnp.ndarray,
                            caches_v: jnp.ndarray, scales_k: jnp.ndarray,
                            scales_v: jnp.ndarray, slots: jnp.ndarray,
-                           lengths: jnp.ndarray):
+                           lengths: jnp.ndarray, *, ring: bool = False):
         """decode_chunk against the int8-quantized KV cache (codes +
         per-(token, head) scales, kv_cache.py quantized section). Returns
-        (hidden [B, T, H], caches_k, caches_v, scales_k, scales_v)."""
+        (hidden [B, T, H], caches_k, caches_v, scales_k, scales_v).
+        ring=True: window-sized int8 rolling buffers (see decode_chunk)."""
         from ..serving.kv_cache import (append_chunk_quant,
-                                        chunk_attention_quant)
+                                        append_chunk_ring_quant,
+                                        chunk_attention_quant,
+                                        ring_chunk_attention_quant)
 
         cfg = self.cfg
+        if ring and cfg.sliding_window is None:
+            raise ValueError("ring cache requires cfg.sliding_window")
         B, T, _ = x.shape
         positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
         for li, layer in enumerate(self.layers):
@@ -484,16 +489,24 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             q = rope(q, positions, cfg.rope_arg)
             k = rope(k, positions, cfg.rope_arg)
-            ck, cv, sk, sv = append_chunk_quant(
+            appender = (append_chunk_ring_quant if ring
+                        else append_chunk_quant)
+            ck, cv, sk, sv = appender(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],
                 slots, lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             scales_k = scales_k.at[li].set(sk)
             scales_v = scales_v.at[li].set(sv)
-            attn = chunk_attention_quant(q, ck, cv, sk, sv, slots, lengths,
-                                         num_heads=cfg.num_heads,
-                                         window=cfg.sliding_window)
+            if ring:
+                attn = ring_chunk_attention_quant(
+                    q, ck, cv, sk, sv, slots, lengths,
+                    num_heads=cfg.num_heads, window=cfg.sliding_window)
+            else:
+                attn = chunk_attention_quant(q, ck, cv, sk, sv, slots,
+                                             lengths,
+                                             num_heads=cfg.num_heads,
+                                             window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)

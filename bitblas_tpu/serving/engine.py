@@ -56,7 +56,8 @@ class ContinuousBatchingEngine:
 
     def __init__(self, model, num_slots: int, max_seq_len: int,
                  cache_sharding=None, kv_quant: bool = False,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, kv_ring: bool = False,
+                 kv_ring_capacity: Optional[int] = None):
         """cache_sharding: optional jax Sharding for the [L, slots, S, Hkv,
         D] KV tensors (e.g. TPQuantLlama.kv_cache_sharding() to shard on
         kv_heads over a TP mesh). kv_quant=True stores the cache as int8
@@ -67,24 +68,62 @@ class ContinuousBatchingEngine:
         T-token pieces: ONE compiled shape serves every prompt length
         instead of a jit per power-of-2 bucket — on hardware each Mosaic
         compile rides the tunnel for 20-60 s, so chunked prefill trades a
-        little padding for most of that warmup."""
+        little padding for most of that warmup.
+
+        kv_ring=True (sliding-window models only): the cache rows become a
+        window-sized rolling buffer (kv_cache.py ring section) — KV memory
+        scales with cfg.sliding_window instead of max_seq_len. Requires
+        prefill_chunk (prompts enter through decode_chunk, which handles
+        the ring wrap; the one-shot prefill writer has no wrap path). The
+        ring capacity R >= window + prefill_chunk - 1 also guarantees the
+        chunked-prefill pad rows (garbage K/V past the prompt length) are
+        never attended: a pad at absolute position g is only reachable
+        through derived position g - R, which the window mask excludes
+        exactly when R >= window + T - 1. kv_ring_capacity overrides the
+        default 128-aligned capacity (still validated against the
+        contract)."""
         self.model = model
         self.cfg = model.cfg
         self.num_slots = num_slots
         self.max_seq_len = max_seq_len
         self.kv_quant = kv_quant
         self.prefill_chunk = int(prefill_chunk)
+        self.kv_ring = bool(kv_ring)
         if self.prefill_chunk and kv_quant and not hasattr(
                 model, "decode_chunk_quant"):
             raise ValueError("prefill_chunk with kv_quant needs the model "
                              "to expose decode_chunk_quant")
+        if self.kv_ring:
+            if self.cfg.sliding_window is None:
+                raise ValueError("kv_ring requires cfg.sliding_window")
+            if not self.prefill_chunk:
+                raise ValueError(
+                    "kv_ring requires prefill_chunk > 0 (prompts must "
+                    "enter through the wrap-aware decode_chunk path)")
         self.alloc = SlotAllocator(num_slots)
         self.active: Dict[int, Request] = {}
         self.pending: List[Request] = []
         self.finished: List[Request] = []
 
         c = self.cfg
-        kv_shape = (c.num_layers, num_slots, max_seq_len, c.num_kv_heads,
+        cache_rows = max_seq_len
+        if self.kv_ring:
+            from .kv_cache import ring_capacity
+            if kv_ring_capacity is not None:
+                cache_rows = int(kv_ring_capacity)
+            else:
+                cache_rows = min(ring_capacity(c.sliding_window,
+                                               max(self.prefill_chunk, 1)),
+                                 max_seq_len)
+            if cache_rows < c.sliding_window + self.prefill_chunk - 1:
+                raise ValueError(
+                    f"kv_ring: max_seq_len {max_seq_len} < window + "
+                    f"prefill_chunk - 1 = "
+                    f"{c.sliding_window + self.prefill_chunk - 1} — the "
+                    "ring cannot satisfy the eviction contract and would "
+                    "save no memory; drop kv_ring or shrink prefill_chunk")
+        self.cache_rows = cache_rows
+        kv_shape = (c.num_layers, num_slots, cache_rows, c.num_kv_heads,
                     c.head_dim)
         self.caches_k = jnp.zeros(kv_shape,
                                   jnp.int8 if kv_quant else jnp.bfloat16)
@@ -190,14 +229,19 @@ class ContinuousBatchingEngine:
         T = self.prefill_chunk
         S = req.prompt.shape[0]
         if not hasattr(self, "_chunk_step"):
+            import functools as _ft
             if self.kv_quant:
-                self._chunk_step = jit_lifted(
-                    self.model.decode_chunk_quant, self.model,
-                    donate_argnums=(1, 2, 3, 4))
+                fn = self.model.decode_chunk_quant
+                if self.kv_ring:
+                    fn = _ft.partial(fn, ring=True)
+                self._chunk_step = jit_lifted(fn, self.model,
+                                              donate_argnums=(1, 2, 3, 4))
             else:
-                self._chunk_step = jit_lifted(
-                    self.model.decode_chunk, self.model,
-                    donate_argnums=(1, 2))
+                fn = self.model.decode_chunk
+                if self.kv_ring:
+                    fn = _ft.partial(fn, ring=True)
+                self._chunk_step = jit_lifted(fn, self.model,
+                                              donate_argnums=(1, 2))
         slots = jnp.asarray([req.slot], jnp.int32)
         prompt = np.asarray(req.prompt, np.float16)
         written = 0
@@ -224,19 +268,20 @@ class ContinuousBatchingEngine:
 
     def _make_decode_step(self):
         model = self.model
+        ring = self.kv_ring
 
         if self.kv_quant:
             def step_q(x, caches_k, caches_v, scales_k, scales_v, slots,
                        lengths):
                 return model.decode_step_quant(
                     x[:, None, :], caches_k, caches_v, scales_k, scales_v,
-                    slots, lengths)
+                    slots, lengths, ring=ring)
             return step_q
 
         def step(x, caches_k, caches_v, slots, lengths):
             # x [num_slots, hidden] -> one token step for every slot.
             return model.decode_step(x[:, None, :], caches_k, caches_v,
-                                     slots, lengths)
+                                     slots, lengths, ring=ring)
 
         return step
 

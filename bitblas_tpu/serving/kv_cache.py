@@ -998,6 +998,61 @@ def append_token_ring_quant(cache_k, cache_v, scale_k, scale_v,
     return cache_k, cache_v, scale_k, scale_v
 
 
+def append_chunk_ring_quant(cache_k, cache_v, scale_k, scale_v,
+                            slots: jnp.ndarray, starts: jnp.ndarray,
+                            k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Quantized ring chunk append: codes + scales land in rows
+    (starts[b]+i) % R. T <= R keeps scatter targets distinct."""
+    B, T = k_new.shape[:2]
+    R = cache_k.shape[1]
+    if T > R:
+        raise ValueError(f"append_chunk_ring_quant: chunk T={T} exceeds "
+                         f"ring capacity R={R}")
+    pos = (starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]) % R
+    b = slots[:, None]
+    kq, ks = quantize_kv(k_new)
+    vq, vs = quantize_kv(v_new)
+    cache_k = cache_k.at[b, pos].set(kq)
+    cache_v = cache_v.at[b, pos].set(vq)
+    scale_k = scale_k.at[b, pos].set(ks)
+    scale_v = scale_v.at[b, pos].set(vs)
+    return cache_k, cache_v, scale_k, scale_v
+
+
+def ring_chunk_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
+                               cache_v: jnp.ndarray, scale_k: jnp.ndarray,
+                               scale_v: jnp.ndarray, slots: jnp.ndarray,
+                               starts: jnp.ndarray, *, num_heads: int,
+                               window: int) -> jnp.ndarray:
+    """Quantized twin of ring_chunk_attention (scales on dot results)."""
+    B, T, H, D = q.shape
+    R = cache_k.shape[1]
+    if R < window + T - 1:
+        raise ValueError(
+            f"ring capacity {R} < window+T-1 = {window + T - 1}: chunk "
+            f"appends would evict keys the first chunk queries still need")
+    k = cache_k[slots]            # [B, R, Hkv, D] int8
+    v = cache_v[slots]
+    ks = scale_k[slots]           # [B, R, Hkv]
+    vs = scale_v[slots]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qf = q.astype(jnp.float32).reshape(B, T, Hkv, group, D)
+    s = jnp.einsum("bthgd,blhd->bhgtl", qf,
+                   k.astype(jnp.float32)) / jnp.sqrt(jnp.float32(D))
+    s = s * ks.transpose(0, 2, 1)[:, :, None, None, :]     # [B,Hkv,1,1,R]
+    abs_pos = ring_abs_positions(starts + T, R)
+    p = starts[:, None] + jnp.arange(T, dtype=starts.dtype)[None]
+    a = abs_pos[:, None, :]
+    pq = p[:, :, None]
+    mask = (a >= 0) & (a <= pq) & (a > pq - window)
+    s = jnp.where(mask[:, None, None, :, :], s, -1e30)
+    pr = jax.nn.softmax(s, axis=-1)
+    pr = pr * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum("bhgtl,blhd->bthgd", pr, v.astype(jnp.float32))
+    return out.reshape(B, T, H, D).astype(q.dtype)
+
+
 def ring_decode_attention_quant(q: jnp.ndarray, cache_k: jnp.ndarray,
                                 cache_v: jnp.ndarray, scale_k: jnp.ndarray,
                                 scale_v: jnp.ndarray, slots: jnp.ndarray,

@@ -251,6 +251,73 @@ def test_model_ring_decode_quant_matches_full(model):
                                    err_msg=f"step {i}")
 
 
+def test_engine_kv_ring_tracks_plain(model):
+    """Continuous-batching engine with the window-sized ring cache matches
+    the full-length masked engine on identical request streams — through
+    ring wraps AND slot reuse (4 requests over 2 slots: released slots
+    leave stale ring rows that the derived-position mask must hide)."""
+    from bitblas_tpu.serving import ContinuousBatchingEngine, Request
+
+    RING_R = 16
+    outs, shapes = {}, {}
+    for use_ring in (False, True):
+        engine = ContinuousBatchingEngine(
+            model, num_slots=2, max_seq_len=64, prefill_chunk=3,
+            kv_ring=use_ring, kv_ring_capacity=RING_R if use_ring else None)
+        rng = np.random.default_rng(8)
+        for i in range(4):
+            S = int(rng.integers(2, 9))
+            engine.submit(Request(
+                uid=i,
+                prompt=rng.standard_normal(
+                    (S, CFG.hidden_size)).astype(np.float16),
+                max_new=int(rng.integers(12, 20))))   # wraps the 16-ring
+        finished = engine.run_to_completion(max_steps=200)
+        assert len(finished) == 4 and all(r.done for r in finished)
+        outs[use_ring] = {r.uid: r.final_hidden for r in finished}
+        shapes[use_ring] = engine.caches_k.shape
+    assert shapes[True][2] == RING_R and shapes[False][2] == 64
+    for uid in outs[False]:
+        np.testing.assert_allclose(
+            np.asarray(outs[True][uid], np.float32),
+            np.asarray(outs[False][uid], np.float32),
+            rtol=2e-2, atol=0.1, err_msg=f"uid {uid}")
+
+
+def test_engine_kv_ring_quant_runs(model):
+    """kv_ring composes with kv_quant (int8 ring — the smallest KV)."""
+    from bitblas_tpu.serving import ContinuousBatchingEngine, Request
+    import jax.numpy as jnp
+
+    engine = ContinuousBatchingEngine(
+        model, num_slots=2, max_seq_len=64, prefill_chunk=3,
+        kv_quant=True, kv_ring=True, kv_ring_capacity=16)
+    assert engine.caches_k.dtype == jnp.int8
+    assert engine.caches_k.shape[2] == 16
+    rng = np.random.default_rng(9)
+    engine.submit(Request(
+        uid=0, prompt=rng.standard_normal((5, CFG.hidden_size))
+        .astype(np.float16), max_new=20))
+    finished = engine.run_to_completion(max_steps=60)
+    assert len(finished) == 1 and finished[0].done
+
+
+def test_engine_kv_ring_guards():
+    from bitblas_tpu.serving import ContinuousBatchingEngine
+
+    m = QuantLlama(CFG, opt_m=(1,))
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        ContinuousBatchingEngine(m, num_slots=1, max_seq_len=64,
+                                 kv_ring=True)
+    cfg_nw = LlamaConfig(hidden_size=256, intermediate_size=512,
+                         num_heads=4, num_kv_heads=2, num_layers=1,
+                         vocab_size=64, group_size=128)
+    with pytest.raises(ValueError, match="sliding_window"):
+        ContinuousBatchingEngine(QuantLlama(cfg_nw, opt_m=(1,)),
+                                 num_slots=1, max_seq_len=64,
+                                 prefill_chunk=3, kv_ring=True)
+
+
 def test_model_ring_requires_window():
     cfg = LlamaConfig(hidden_size=256, intermediate_size=512, num_heads=4,
                       num_kv_heads=2, num_layers=1, vocab_size=64,
