@@ -364,6 +364,8 @@ class DecoderServingMixin:
         cfg = self.cfg
         if ring and cfg.sliding_window is None:
             raise ValueError("ring cache requires cfg.sliding_window")
+        append = append_token_ring if ring else append_token
+        attend = ring_decode_attention if ring else decode_attention
         B = x.shape[0]
         positions = lengths[:, None]  # [B, 1] — new token index
         for li, layer in enumerate(self.layers):
@@ -377,22 +379,13 @@ class DecoderServingMixin:
             q = rope(q, positions, cfg.rope_arg)[:, 0]      # [B, H, D]
             k = rope(k, positions, cfg.rope_arg)[:, 0]      # [B, Hkv, D]
             v = v[:, 0]
-            if ring:
-                ck, cv = append_token_ring(caches_k[li], caches_v[li],
-                                           slots, lengths, k, v)
-            else:
-                ck, cv = append_token(caches_k[li], caches_v[li], slots,
-                                      lengths, k, v)
+            ck, cv = append(caches_k[li], caches_v[li], slots, lengths,
+                            k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
-            if ring:
-                attn = ring_decode_attention(q, ck, cv, slots, lengths + 1,
-                                             num_heads=cfg.num_heads,
-                                             window=cfg.sliding_window)
-            else:
-                attn = decode_attention(q, ck, cv, slots, lengths + 1,
-                                        num_heads=cfg.num_heads,
-                                        window=cfg.sliding_window)
+            attn = attend(q, ck, cv, slots, lengths + 1,
+                          num_heads=cfg.num_heads,
+                          window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
@@ -424,6 +417,8 @@ class DecoderServingMixin:
         cfg = self.cfg
         if ring and cfg.sliding_window is None:
             raise ValueError("ring cache requires cfg.sliding_window")
+        append = append_chunk_ring if ring else append_chunk
+        attend = ring_chunk_attention if ring else chunk_attention
         B, T, _ = x.shape
         positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
         for li, layer in enumerate(self.layers):
@@ -437,22 +432,13 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             q = rope(q, positions, cfg.rope_arg)
             k = rope(k, positions, cfg.rope_arg)
-            if ring:
-                ck, cv = append_chunk_ring(caches_k[li], caches_v[li],
-                                           slots, lengths, k, v)
-            else:
-                ck, cv = append_chunk(caches_k[li], caches_v[li], slots,
-                                      lengths, k, v)
+            ck, cv = append(caches_k[li], caches_v[li], slots, lengths,
+                            k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
-            if ring:
-                attn = ring_chunk_attention(q, ck, cv, slots, lengths,
-                                            num_heads=cfg.num_heads,
-                                            window=cfg.sliding_window)
-            else:
-                attn = chunk_attention(q, ck, cv, slots, lengths,
-                                       num_heads=cfg.num_heads,
-                                       window=cfg.sliding_window)
+            attn = attend(q, ck, cv, slots, lengths,
+                          num_heads=cfg.num_heads,
+                          window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
@@ -476,6 +462,8 @@ class DecoderServingMixin:
         cfg = self.cfg
         if ring and cfg.sliding_window is None:
             raise ValueError("ring cache requires cfg.sliding_window")
+        append = append_chunk_ring_quant if ring else append_chunk_quant
+        attend = ring_chunk_attention_quant if ring else chunk_attention_quant
         B, T, _ = x.shape
         positions = lengths[:, None] + jnp.arange(T, dtype=lengths.dtype)
         for li, layer in enumerate(self.layers):
@@ -489,24 +477,16 @@ class DecoderServingMixin:
                                             cfg.head_dim)
             q = rope(q, positions, cfg.rope_arg)
             k = rope(k, positions, cfg.rope_arg)
-            appender = (append_chunk_ring_quant if ring
-                        else append_chunk_quant)
-            ck, cv, sk, sv = appender(
+            ck, cv, sk, sv = append(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],
                 slots, lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             scales_k = scales_k.at[li].set(sk)
             scales_v = scales_v.at[li].set(sv)
-            if ring:
-                attn = ring_chunk_attention_quant(
-                    q, ck, cv, sk, sv, slots, lengths,
-                    num_heads=cfg.num_heads, window=cfg.sliding_window)
-            else:
-                attn = chunk_attention_quant(q, ck, cv, sk, sv, slots,
-                                             lengths,
-                                             num_heads=cfg.num_heads,
-                                             window=cfg.sliding_window)
+            attn = attend(q, ck, cv, sk, sv, slots, lengths,
+                          num_heads=cfg.num_heads,
+                          window=cfg.sliding_window)
             attn = attn.reshape(B * T, cfg.hidden_size)
             x = x + layer.proj("o", attn).reshape(B, T, cfg.hidden_size)
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)
@@ -536,6 +516,9 @@ class DecoderServingMixin:
         cfg = self.cfg
         if ring and cfg.sliding_window is None:
             raise ValueError("ring cache requires cfg.sliding_window")
+        append = append_token_ring_quant if ring else append_token_quant
+        attend = (ring_decode_attention_quant if ring
+                  else decode_attention_quant)
         B = x.shape[0]
         positions = lengths[:, None]
         for li, layer in enumerate(self.layers):
@@ -549,23 +532,16 @@ class DecoderServingMixin:
             q = rope(q, positions, cfg.rope_arg)[:, 0]
             k = rope(k, positions, cfg.rope_arg)[:, 0]
             v = v[:, 0]
-            appender = append_token_ring_quant if ring else append_token_quant
-            ck, cv, sk, sv = appender(
+            ck, cv, sk, sv = append(
                 caches_k[li], caches_v[li], scales_k[li], scales_v[li],
                 slots, lengths, k, v)
             caches_k = caches_k.at[li].set(ck)
             caches_v = caches_v.at[li].set(cv)
             scales_k = scales_k.at[li].set(sk)
             scales_v = scales_v.at[li].set(sv)
-            if ring:
-                attn = ring_decode_attention_quant(
-                    q, ck, cv, sk, sv, slots, lengths + 1,
-                    num_heads=cfg.num_heads, window=cfg.sliding_window)
-            else:
-                attn = decode_attention_quant(q, ck, cv, sk, sv, slots,
-                                              lengths + 1,
-                                              num_heads=cfg.num_heads,
-                                              window=cfg.sliding_window)
+            attn = attend(q, ck, cv, sk, sv, slots, lengths + 1,
+                          num_heads=cfg.num_heads,
+                          window=cfg.sliding_window)
             attn = attn.reshape(B, cfg.hidden_size)
             x = x + layer.proj("o", attn)[:, None, :]
             h = rmsnorm(x, layer.mlp_norm, layer.cfg.rms_norm_eps)

@@ -100,6 +100,12 @@ class ContinuousBatchingEngine:
                 raise ValueError(
                     "kv_ring requires prefill_chunk > 0 (prompts must "
                     "enter through the wrap-aware decode_chunk path)")
+            import inspect
+            if "ring" not in inspect.signature(
+                    model.decode_step).parameters:
+                raise ValueError(
+                    "kv_ring: this model's decode_step takes no ring= "
+                    "kwarg (TP models are not ring-capable yet)")
         self.alloc = SlotAllocator(num_slots)
         self.active: Dict[int, Request] = {}
         self.pending: List[Request] = []
@@ -117,11 +123,12 @@ class ContinuousBatchingEngine:
                                  max_seq_len)
             if cache_rows < c.sliding_window + self.prefill_chunk - 1:
                 raise ValueError(
-                    f"kv_ring: max_seq_len {max_seq_len} < window + "
-                    f"prefill_chunk - 1 = "
+                    f"kv_ring: ring capacity {cache_rows} (from "
+                    f"{'kv_ring_capacity' if kv_ring_capacity is not None else 'max_seq_len'}) "
+                    f"< window + prefill_chunk - 1 = "
                     f"{c.sliding_window + self.prefill_chunk - 1} — the "
-                    "ring cannot satisfy the eviction contract and would "
-                    "save no memory; drop kv_ring or shrink prefill_chunk")
+                    "ring cannot satisfy the eviction contract; raise the "
+                    "capacity, shrink prefill_chunk, or drop kv_ring")
         self.cache_rows = cache_rows
         kv_shape = (c.num_layers, num_slots, cache_rows, c.num_kv_heads,
                     c.head_dim)
@@ -268,20 +275,22 @@ class ContinuousBatchingEngine:
 
     def _make_decode_step(self):
         model = self.model
-        ring = self.kv_ring
+        # only thread ring= through when set: TP models (TPQuantLlama)
+        # take no ring kwarg and must keep working with kv_ring=False
+        kw = {"ring": True} if self.kv_ring else {}
 
         if self.kv_quant:
             def step_q(x, caches_k, caches_v, scales_k, scales_v, slots,
                        lengths):
                 return model.decode_step_quant(
                     x[:, None, :], caches_k, caches_v, scales_k, scales_v,
-                    slots, lengths, ring=ring)
+                    slots, lengths, **kw)
             return step_q
 
         def step(x, caches_k, caches_v, slots, lengths):
             # x [num_slots, hidden] -> one token step for every slot.
             return model.decode_step(x[:, None, :], caches_k, caches_v,
-                                     slots, lengths, ring=ring)
+                                     slots, lengths, **kw)
 
         return step
 

@@ -63,8 +63,13 @@ def bench_one(cfg, m, hint, label, ref=None):
         if ref is not None:
             # e5m2 random codes include NaN/inf bit patterns; compare only
             # finite reference positions (NaN err would silently pass the
-            # `err > lim` gate — False for NaN)
-            fin = np.isfinite(ref)
+            # `err > lim` gate — False for NaN). Also drop columns near the
+            # f16 overflow boundary: random e5m2 spans +-57344, so borderline
+            # sums overflow to inf in the kernel's f16 cast while the f32
+            # reference stays finite (measured: every e5m2 row "WRONG
+            # err=inf" in the r5e window — accumulation-order artifact, not
+            # a decode bug; bit-exactness lives in TestR5DecodeVariants)
+            fin = np.isfinite(ref) & (np.abs(ref) < 0.9 * 65504.0)
             err = float(np.max(np.abs(np.where(fin, got - ref, 0.0))))
             lim = 0.01 * float(np.max(np.abs(np.where(fin, ref, 0.0))))
             if err > max(lim, 1e-3):
