@@ -324,14 +324,17 @@ def default_hint(spec: KernelSpec, arch: TileDevice) -> TileHint:
         # the user asks for it explicitly.
         from dataclasses import replace
         return replace(hints[0], precision="highest")
-    if spec.family in ("fp_e4m3", "fp_e5m2"):
-        # fp8 weight VALUES are bf16-exact (2-3 mantissa bits); only the
-        # f16 activations round when fed to a bf16 MXU. Small m is
+    if spec.family in ("fp_e4m3", "fp_e5m2") or (spec.family == "fp"
+                                                 and spec.bits == 4):
+        # fp8/fp4 weight VALUES are bf16-exact (1-3 mantissa bits); only
+        # the f16 activations round when fed to a bf16 MXU. Small m is
         # ingest-bound where f32 operands cost nothing extra (f32 ingests
         # at the bf16 elem rate) — keep the extra activation precision
         # free. Large m is MXU-bound: bf16 runs 2x the f32 rate
         # (measured m=256 e4m3: bf16/fast 51.4us vs f32/fast 58.1,
-        # tpu_decode_probe 2026-08-20).
+        # tpu_decode_probe 2026-08-20; fp4 r5e window 2026-08-21: m=1
+        # f32 33.1us vs bf16/fast 38.3, m=16 f32/fast 32.2 vs 39.7,
+        # m=256 bf16/fast 52.3 vs f32 54.3).
         want = "float32" if spec.m <= 16 else "bfloat16"
         for h in hints:
             if h.mma_dtype == want:

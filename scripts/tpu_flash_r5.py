@@ -30,6 +30,7 @@ def main():
         sys.exit(2)
     import jax
     print("devices:", jax.devices(), flush=True)
+    only = os.environ.get("BITBLAS_TPU_FLASH_R5_ONLY", "")
 
     # --- 1. one-window diag_sub head-to-head at s2048 (tuned blocks) ---
     b, h, s, d = 4, 32, 2048, 128
@@ -40,7 +41,8 @@ def main():
     K = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float16)
     V = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float16)
     flops = 4 * b * h * s * s * d * 0.5
-    for bq, bkv in ((1024, 1024), (512, 512)):
+    for bq, bkv in ((1024, 1024), (512, 512)) if only in ("", "diag") \
+            else ():
         for sub in (0, 512, 256):
             if sub and (bq % sub or bq // sub < 2):
                 continue
@@ -66,7 +68,7 @@ def main():
     qd = jnp.asarray(rng2.standard_normal((B, H, D)), jnp.float16)
     slots = jnp.asarray([0, 2, 3, 5], jnp.int32)
     lengths = jnp.asarray([37, 700, 1025, 2048], jnp.int32)
-    for window in (None, 600):
+    for window in (None, 600) if only in ("", "decode") else ():
         try:
             a = decode_attention(qd, ck, cv, slots, lengths, num_heads=H,
                                  use_flash=True, window=window)
@@ -83,7 +85,9 @@ def main():
 
     # --- 1c. banded (sliding-window) prefill: Mosaic smoke + the band
     # speedup claim (O(S*W) walk vs the full triangular walk) ---
-    from bitblas_tpu.kernels.flash import make_flash_attention
+    # (no local re-import here: a function-local `from ... import
+    # make_flash_attention` would shadow the module-level name for the
+    # WHOLE function body and broke section 1 in the r5e window)
     bw_b, bw_h, bw_s, bw_d = 1, 16, 8192, 128
     Qw = jnp.asarray(rng.standard_normal((bw_b, bw_s, bw_h, bw_d)),
                      jnp.float16)
@@ -91,7 +95,7 @@ def main():
                      jnp.float16)
     Vw = jnp.asarray(rng.standard_normal((bw_b, bw_s, bw_h, bw_d)),
                      jnp.float16)
-    for win in (None, 2048, 1024):
+    for win in (None, 2048, 1024) if only in ("", "banded") else ():
         try:
             fw = make_flash_attention(
                 batch=bw_b, heads=bw_h, seq_len=bw_s, dim=bw_d,
@@ -126,6 +130,8 @@ def main():
                   flush=True)
 
     # --- 2. new shapes: s8192 + head_dim 64/256 ---
+    if only not in ("", "shapes"):
+        return
     for (bb, hh, ss, dd, causal) in [(1, 16, 8192, 128, True),
                                      (1, 16, 8192, 128, False),
                                      (4, 32, 2048, 64, True),
