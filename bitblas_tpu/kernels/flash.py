@@ -108,7 +108,7 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
                          trans_k: bool = False, block_q: int = 512,
                          block_kv: int = 1024, out_dtype=jnp.float16,
                          diag_sub: int = None, window: int = None,
-                         interpret: bool = False):
+                         interpret: bool = False, _scale: float = None):
     """Build attention over Q [B, S, H, D], K/V [B, S, Hkv, D]
     (K [B, D, Hkv, S] when trans_k). Returns fn(Q, K, V) -> [B, S, H, D].
 
@@ -118,17 +118,36 @@ def make_flash_attention(*, batch: int, heads: int, seq_len: int, dim: int,
     kv_heads = kv_heads or heads
     assert heads % kv_heads == 0
     group = heads // kv_heads
-    scale = 1.0 / math.sqrt(dim)
-    if not interpret and dim % 128 and (heads > 1 or kv_heads > 1):
+    scale = _scale if _scale is not None else 1.0 / math.sqrt(dim)
+    if dim % 128 and (heads > 1 or kv_heads > 1):
         # The fused-head views put a dim-wide block on a heads*dim-wide
         # lane axis; Mosaic needs lane blocks to be 128-multiples or the
-        # full dim. FlashAtten._build catches this and serves the XLA
-        # attention instead (a Mosaic lowering crash would otherwise
-        # surface at the first forward() inside jit).
-        raise ValueError(
-            f"flash prefill needs dim % 128 == 0 for multi-head fused "
-            f"layouts on TPU (got dim={dim}, heads={heads}); the XLA "
-            f"fallback serves this shape")
+        # full dim. Small heads (d=64: GPT-2/small-llama class) get a
+        # ZERO-PAD shim to the next lane multiple instead of the 7.5-15
+        # TF/s XLA fallback (r5e window): padded K columns add 0 to every
+        # q.k dot and padded V columns emit zeros that the slice drops,
+        # so the math is exact; the true-1/sqrt(dim) scale rides the
+        # _scale override. 2x the d-bytes, but the kernel then runs at
+        # the d=128 rate (~60 TF/s dense) — a 4-8x win over the fallback.
+        dim_p = -(-dim // 128) * 128
+        inner = make_flash_attention(
+            batch=batch, heads=heads, seq_len=seq_len, dim=dim_p,
+            kv_heads=kv_heads, causal=causal, trans_k=trans_k,
+            block_q=block_q, block_kv=block_kv, out_dtype=out_dtype,
+            diag_sub=diag_sub, window=window, interpret=interpret,
+            _scale=scale)
+        pad_d = dim_p - dim
+
+        def padded(q, k, v):
+            qp = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+            if trans_k:                      # K [B, D, Hkv, S]
+                kp = jnp.pad(k, ((0, 0), (0, pad_d), (0, 0), (0, 0)))
+            else:
+                kp = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+            vp = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
+            return inner(qp, kp, vp)[..., :dim]
+
+        return padded
     block_q = _legal_block(block_q, seq_len)
     if trans_k:
         # K^T blocks take S on the lane axis, head-interleaved: the block

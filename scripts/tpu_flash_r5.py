@@ -129,6 +129,38 @@ def main():
             print(f"banded s8192 w={win}: FAIL {str(ex)[:140]}",
                   flush=True)
 
+    # --- 1d. d=64 zero-pad shim vs the XLA fallback (r5e measured the
+    # fallback at 7.5/14.9 TF/s causal/dense on b4 h32 s2048 d64) ---
+    if only in ("", "pad64"):
+        pb, ph, ps, pd = 4, 32, 2048, 64
+        Qp = jnp.asarray(rng.standard_normal((pb, ps, ph, pd)), jnp.float16)
+        Kp = jnp.asarray(rng.standard_normal((pb, ps, ph, pd)), jnp.float16)
+        Vp = jnp.asarray(rng.standard_normal((pb, ps, ph, pd)), jnp.float16)
+        for causal in (True, False):
+            try:
+                fp = make_flash_attention(
+                    batch=pb, heads=ph, seq_len=ps, dim=pd, causal=causal,
+                    block_q=1024, block_kv=1024)
+                sec = min(measure_kernel(fp, (Qp, Kp, Vp)) for _ in range(2))
+                fl = 4 * pb * ph * ps * ps * pd * (0.5 if causal else 1.0)
+                # parity vs the XLA softmax at the true 1/sqrt(64) scale
+                import jax.nn as jnn
+                s_ = jnp.einsum("bqhd,bkhd->bhqk", Qp.astype(jnp.float32),
+                                Kp.astype(jnp.float32)) / np.sqrt(pd)
+                if causal:
+                    s_ = jnp.where(jnp.tril(jnp.ones((ps, ps), bool))[
+                        None, None], s_, -1e30)
+                exp_ = jnp.einsum("bhqk,bkhd->bqhd", jnn.softmax(s_, -1),
+                                  Vp.astype(jnp.float32))
+                err = np.abs(np.asarray(fp(Qp, Kp, Vp), np.float32)
+                             - np.asarray(exp_, np.float32)).max()
+                print(f"pad64 causal={causal}: {sec*1e6:8.1f}us "
+                      f"{fl/sec/1e12:6.1f} TF/s useful maxerr={err:.1e}",
+                      flush=True)
+            except Exception as ex:  # noqa: BLE001
+                print(f"pad64 causal={causal}: FAIL {str(ex)[:140]}",
+                      flush=True)
+
     # --- 2. new shapes: s8192 + head_dim 64/256 ---
     if only not in ("", "shapes"):
         return

@@ -66,6 +66,34 @@ def test_causal_diag_subchunk(blocks):
     assert_close(fn(Q, K, V), expected, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("dim", [64, 96])
+def test_small_head_dim_pad_shim(dim):
+    """dim % 128 != 0 multi-head no longer raises: the zero-pad shim
+    (kernels/flash.py) pads d to the next lane multiple with an exact
+    scale override instead of handing the shape to the 7.5 TF/s XLA
+    fallback. Construction must succeed even for the non-interpret path
+    (the Mosaic layout sees dim_p), and the padded math must equal the
+    oracle at the TRUE 1/sqrt(dim) scale."""
+    from bitblas_tpu.kernels.flash import make_flash_attention
+    B, H, S = 1, 4, 256
+    # non-interpret construction (no call): the old guard raised here
+    make_flash_attention(batch=B, heads=H, seq_len=S, dim=dim, causal=True,
+                         interpret=False)
+    rng = np.random.default_rng(11)
+    Q = jnp.asarray(rng.standard_normal((B, S, H, dim)).astype(np.float32))
+    K = jnp.asarray(rng.standard_normal((B, S, H, dim)).astype(np.float32))
+    V = jnp.asarray(rng.standard_normal((B, S, H, dim)).astype(np.float32))
+    s = jnp.einsum("bqhd,bkhd->bhqk", Q, K) / np.sqrt(dim)
+    s = jnp.where(jnp.tril(jnp.ones((S, S), bool))[None, None], s, -1e30)
+    expected = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(s, -1), V)
+    fn = make_flash_attention(batch=B, heads=H, seq_len=S, dim=dim,
+                              causal=True, block_q=128, block_kv=128,
+                              out_dtype=jnp.float32, interpret=True)
+    out = fn(Q, K, V)
+    assert out.shape == (B, S, H, dim)
+    assert_close(out, expected, rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_ragged_seq_len(causal):
     """seq_len not divisible by the block: padded tail KV positions must be
