@@ -500,9 +500,27 @@ class TPQuantLlama:
             return P(None, None, "cp", self.axis)
         return P(None, None, None, self.axis)
 
-    def decode_step(self, x, caches_k, caches_v, slots, lengths):
+    def _check_ring(self, ring):
+        """Ring (rolling-buffer) caches shard on kv_heads exactly like the
+        full-length cache — the ring row axis is head-independent — so the
+        non-cp TP paths reuse the single-chip ring helpers unchanged.
+        cp shards the SEQUENCE axis, which a ring re-indexes mod R;
+        composing the two needs cp-local ring row derivations (not wired)."""
+        if not ring:
+            return
+        if self.cfg.sliding_window is None:
+            raise ValueError("ring cache requires cfg.sliding_window")
+        if self.context_parallel:
+            raise NotImplementedError(
+                "ring + context_parallel is not implemented (the window "
+                "already bounds per-chip KV; use kv_ring without cp)")
+
+    def decode_step(self, x, caches_k, caches_v, slots, lengths, *,
+                    ring: bool = False):
         """x [B, 1, H]; caches [L, slots, S, Hkv, D] kv_heads-sharded (and
-        sequence-sharded under context parallelism)."""
+        sequence-sharded under context parallelism). ring=True: caches are
+        window-sized rolling buffers (kv_cache.py ring section)."""
+        self._check_ring(ring)
         if self.context_parallel:
             def make_attend(cs, ex):
                 from ..serving.kv_cache import (append_token_cp,
@@ -545,15 +563,22 @@ class TPQuantLlama:
                 return attend, lengths[:, None]
         else:
             def make_attend(cs, ex):
-                from ..serving.kv_cache import (append_token,
-                                                decode_attention)
+                from ..serving.kv_cache import (
+                    append_token, append_token_ring, decode_attention,
+                    ring_decode_attention)
                 slots, lengths = ex
+                append = append_token_ring if ring else append_token
 
                 def attend(li, q, k, v):
-                    ckl, cvl = append_token(cs[0][li], cs[1][li], slots,
-                                            lengths, k[:, 0], v[:, 0])
+                    ckl, cvl = append(cs[0][li], cs[1][li], slots,
+                                      lengths, k[:, 0], v[:, 0])
                     cs[0] = cs[0].at[li].set(ckl)
                     cs[1] = cs[1].at[li].set(cvl)
+                    if ring:
+                        return ring_decode_attention(
+                            q[:, 0], ckl, cvl, slots, lengths + 1,
+                            num_heads=q.shape[2],
+                            window=self.cfg.sliding_window)[:, None]
                     return decode_attention(
                         q[:, 0], ckl, cvl, slots, lengths + 1,
                         num_heads=q.shape[2],
@@ -579,11 +604,13 @@ class TPQuantLlama:
                 f"decode_step/chunk, float + int8 KV); run with "
                 f"context_parallel=False for the paged variants")
 
-    def decode_chunk(self, x, caches_k, caches_v, slots, lengths):
+    def decode_chunk(self, x, caches_k, caches_v, slots, lengths, *,
+                     ring: bool = False):
         """TP twin of QuantLlama.decode_chunk: append T tokens per slot in
         one sharded pass (chunked prefill / speculative verify under TP).
         x [B, T, H]; local projections run at M=B*T so each device streams
         its weight shard once per chunk."""
+        self._check_ring(ring)
         T = x.shape[1]
 
         if self.context_parallel:
@@ -626,15 +653,22 @@ class TPQuantLlama:
                 return attend, positions
         else:
             def make_attend(cs, ex):
-                from ..serving.kv_cache import (append_chunk,
-                                                chunk_attention)
+                from ..serving.kv_cache import (
+                    append_chunk, append_chunk_ring, chunk_attention,
+                    ring_chunk_attention)
                 slots, lengths = ex
+                append = append_chunk_ring if ring else append_chunk
 
                 def attend(li, q, k, v):
-                    ckl, cvl = append_chunk(cs[0][li], cs[1][li], slots,
-                                            lengths, k, v)
+                    ckl, cvl = append(cs[0][li], cs[1][li], slots,
+                                      lengths, k, v)
                     cs[0] = cs[0].at[li].set(ckl)
                     cs[1] = cs[1].at[li].set(cvl)
+                    if ring:
+                        return ring_chunk_attention(
+                            q, ckl, cvl, slots, lengths,
+                            num_heads=q.shape[2],
+                            window=self.cfg.sliding_window)
                     return chunk_attention(q, ckl, cvl, slots, lengths,
                                            num_heads=q.shape[2],
                                            window=self.cfg.sliding_window)
@@ -648,10 +682,11 @@ class TPQuantLlama:
                                     (slots, lengths), make_attend, T=T)
 
     def decode_chunk_quant(self, x, caches_k, caches_v, scales_k, scales_v,
-                           slots, lengths):
+                           slots, lengths, *, ring: bool = False):
         """TP twin of QuantLlama.decode_chunk_quant: T-token append over
         the kv_heads-sharded int8 cache (codes + scales), chunk-causal
         attention, local projections at M=B*T."""
+        self._check_ring(ring)
         T = x.shape[1]
 
         if self.context_parallel:
@@ -690,16 +725,24 @@ class TPQuantLlama:
                 return attend, positions
         else:
             def make_attend(cs, ex):
-                from ..serving.kv_cache import (append_chunk_quant,
-                                                chunk_attention_quant)
+                from ..serving.kv_cache import (
+                    append_chunk_quant, append_chunk_ring_quant,
+                    chunk_attention_quant, ring_chunk_attention_quant)
                 slots, lengths = ex
+                append = (append_chunk_ring_quant if ring
+                          else append_chunk_quant)
 
                 def attend(li, q, k, v):
-                    ckl, cvl, skl, svl = append_chunk_quant(
+                    ckl, cvl, skl, svl = append(
                         cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
                         lengths, k, v)
                     for i, t in enumerate((ckl, cvl, skl, svl)):
                         cs[i] = cs[i].at[li].set(t)
+                    if ring:
+                        return ring_chunk_attention_quant(
+                            q, ckl, cvl, skl, svl, slots, lengths,
+                            num_heads=q.shape[2],
+                            window=self.cfg.sliding_window)
                     return chunk_attention_quant(
                         q, ckl, cvl, skl, svl, slots, lengths,
                         num_heads=q.shape[2],
@@ -715,7 +758,7 @@ class TPQuantLlama:
             (slots, lengths), make_attend, T=T)
 
     def decode_step_quant(self, x, caches_k, caches_v, scales_k, scales_v,
-                          slots, lengths):
+                          slots, lengths, *, ring: bool = False):
         """decode_step against the int8-quantized KV cache.
 
         caches [L, slots, S, Hkv, D] int8 + scales [L, slots, S, Hkv] f32,
@@ -726,6 +769,7 @@ class TPQuantLlama:
         shard their sequence axis (cp + int8 compound: kv_rep * 2x less KV
         HBM per chip than replicated bf16).
         """
+        self._check_ring(ring)
         if self.context_parallel:
             def make_attend(cs, ex):
                 from ..serving.kv_cache import (
@@ -760,16 +804,24 @@ class TPQuantLlama:
                 return attend, lengths[:, None]
         else:
             def make_attend(cs, ex):
-                from ..serving.kv_cache import (append_token_quant,
-                                                decode_attention_quant)
+                from ..serving.kv_cache import (
+                    append_token_quant, append_token_ring_quant,
+                    decode_attention_quant, ring_decode_attention_quant)
                 slots, lengths = ex
+                append = (append_token_ring_quant if ring
+                          else append_token_quant)
 
                 def attend(li, q, k, v):
-                    ckl, cvl, skl, svl = append_token_quant(
+                    ckl, cvl, skl, svl = append(
                         cs[0][li], cs[1][li], cs[2][li], cs[3][li], slots,
                         lengths, k[:, 0], v[:, 0])
                     for i, t in enumerate((ckl, cvl, skl, svl)):
                         cs[i] = cs[i].at[li].set(t)
+                    if ring:
+                        return ring_decode_attention_quant(
+                            q[:, 0], ckl, cvl, skl, svl, slots,
+                            lengths + 1, num_heads=q.shape[2],
+                            window=self.cfg.sliding_window)[:, None]
                     return decode_attention_quant(
                         q[:, 0], ckl, cvl, skl, svl, slots, lengths + 1,
                         num_heads=q.shape[2],

@@ -28,6 +28,8 @@ BITBLAS_TPU_FLASH_R5_ONLY=diag stage flash_diag 2400 \
   python /root/repo/scripts/tpu_flash_r5.py
 BITBLAS_TPU_FLASH_R5_ONLY=pad64 stage flash_pad64 1800 \
   python /root/repo/scripts/tpu_flash_r5.py
+BITBLAS_TPU_PROBE_FMTS=e5m2_float8 BITBLAS_TPU_PROBE_SKIP_DENSE=1 \
+  stage e5m2_probe 2400 python /root/repo/scripts/tpu_decode_probe.py
 stage serving_8b 5400 python /root/repo/scripts/benchmark_serving_8b.py
 BITBLAS_TPU_SMB_MS=4096 stage support_m4096 9000 \
   python /root/repo/scripts/tpu_support_matrix_bench.py
